@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Engine benchmark: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing excludes SparkSession startup and includes a full action
+(count via collect of the query result) per query. A warmup query
+primes the JVM/codegen paths first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from epl_cas_etl_2026_spark import get_spark
+from epl_cas_etl_2026_spark.plans import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the scan/agg/join/window/dedup/similarity workhorses.
+HEADLINE = [
+    "pricing_summary",
+    "rank_nations_by_custbal",
+    "region_revenue_join_chain",
+    "latest_order_per_customer",
+    "region_segment_matrix",
+    "orders_period_range_join",
+    "events_tumbling_hourly",
+    "events_user_sessions",
+    "docs_token_stats",
+    "docs_near_dup_pairs",
+    "embedding_topk_cosine",
+]
+
+
+def sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="epl-cas-bench")
+    # warmup: JVM, parquet footer cache, codegen
+    QUERIES["segment_counts"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        rows = fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

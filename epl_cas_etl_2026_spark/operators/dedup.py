@@ -1,0 +1,299 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH near-dup, SimHash. (BASELINE.json north star; no analogue
+in the reference, which dedups only on a natural key —
+etl_sync.py:215-217 = the J6 anti-join.)
+
+Design for 100 TB:
+
+* Exact dedup is a hash-groupBy — one shuffle on a 16-byte digest, the
+  canonical Spark dedup.
+* Near-dup NEVER compares all pairs. MinHash signatures are computed
+  per-document inside the scan stage (pure higher-order expressions —
+  no explode of the shingle set, no UDF), then LSH banding turns
+  near-dup detection into an equi-join on (band_index, band_key):
+  only documents sharing a band bucket are candidate pairs, and the
+  exact Jaccard verification runs on candidates only. The expensive
+  O(n²) step is gone; what remains shuffles on band keys, which are
+  uniformly distributed by construction (hash values).
+* Two hash families: ``xxhash64`` (native, fastest — production path)
+  and an md5-derived 60-bit hash (the DuckDB oracle can compute the
+  identical value — correctness path). Same algorithm either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from epl_cas_etl_2026_spark.functions.text import words
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate summary: total docs, distinct texts (by md5),
+    docs that are duplicates of an earlier doc."""
+    hashed = df.select(F.md5(F.col(text_col)).alias("h"))
+    return hashed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+    )
+
+
+def keep_first_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact dedup keeping the lowest id per text hash (deterministic
+    survivor selection — groupBy + min, one shuffle)."""
+    h = F.md5(F.col(text_col)).alias("__h")
+    keepers = (
+        df.select(h, F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+def shingles_of_words(w: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an already-materialized words array.
+
+    Pass a *column reference* (not the inline ``split`` expression) as
+    ``w`` when this runs interpreted: higher-order lambdas re-evaluate
+    captured subtrees per element, so an inline split costs O(words)
+    per shingle — a bound column costs O(1).
+    """
+    # i ranges over 1 .. size-(n-1), 1-based slice; guard the short-doc
+    # case explicitly (F.sequence(1, 0) would generate a DESCENDING
+    # sequence, not an empty one).
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array (higher-order expressions; no
+    explode — the array never leaves the row)."""
+    return shingles_of_words(words(text), n)
+
+
+def _md5_hash60(s: Column) -> Column:
+    """Deterministic 60-bit positive hash both Spark and DuckDB can
+    compute identically: first 15 hex chars of md5 → BIGINT."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+# Kirsch-Mitzenmacher double hashing: ONE digest per shingle, the
+# n_hashes MinHash functions derived as (h1 + i*h2) mod P. Hashing the
+# string n_hashes times (md5(s || '|seed')) both costs 16× the digest
+# work AND inflates the generated aggregate code past the JIT/codegen-
+# cache sweet spot (observed: multi-second Janino recompiles per run).
+# The mod-P wrap is essential for band independence: without it, large
+# i*h2 dominates and the min-h2 shingle wins every high-i band,
+# correlating the signature. Ranges keep every intermediate inside a
+# signed 64-bit int even with ANSI overflow checks on: h1 < 2^60,
+# i*h2 < 16*2^56 = 2^60, sum < 2^61.
+_H2_MOD = 2**56
+_KM_P = 4294967291  # largest prime < 2^32; pre-mod values wrap ~2^29 times
+
+
+def _km_hash_pair(s: Column, use_md5: bool) -> tuple[Column, Column]:
+    if use_md5:
+        m = F.md5(s)
+        h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+        h2 = F.conv(F.substring(m, 17, 15), 16, 10).cast("long") % F.lit(_H2_MOD)
+    else:
+        h1 = F.pmod(F.xxhash64(s), F.lit(2**60))
+        h2 = F.pmod(F.xxhash64(s, F.lit(1)), F.lit(_H2_MOD))
+    return h1, h2
+
+
+def minhash_signature(
+    text: Column, n_hashes: int = 16, shingle_n: int = 3, use_md5: bool = False
+) -> Column:
+    """MinHash signature as one array column: for each derived hash
+    function, the min over the shingle set. Pure expression tree —
+    fine for ad-hoc use on narrow data; the LSH pipeline uses
+    :func:`minhash_signature_agg` (explode + groupBy-min), which scales
+    and stays inside codegen."""
+    sh = shingles(text, shingle_n)
+    pairs = F.transform(
+        sh,
+        lambda s: F.struct(
+            _km_hash_pair(s, use_md5)[0].alias("h1"),
+            _km_hash_pair(s, use_md5)[1].alias("h2"),
+        ),
+    )
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    pairs,
+                    lambda p: (p["h1"] + F.lit(seed) * p["h2"]) % F.lit(_KM_P),
+                )
+            )
+            for seed in range(n_hashes)
+        ]
+    )
+
+
+def minhash_signature_agg(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    use_md5: bool = False,
+) -> DataFrame:
+    """MinHash signature via explode + groupBy-min — the scale path.
+
+    The pure-expression :func:`minhash_signature` nests higher-order
+    functions (transform-inside-transform re-evaluating ``split`` per
+    shingle), which Spark evaluates INTERPRETED, outside whole-stage
+    codegen — O(words² · n_hashes) per doc and catastrophically slow
+    once the same subtree is inlined per band and per join side.
+    Here each shingle becomes a row once, the ``n_hashes`` hash
+    expressions are flat codegen-able columns, and one partial-agg
+    ``min`` per seed reduces map-side before the single shuffle on
+    ``id_col``. Returns (id, h0..h{n-1}); docs with no shingles
+    (fewer than ``shingle_n`` words) drop out, matching the oracle's
+    ``len(shingles) > 0`` guard.
+    """
+    docs = df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles_of_words(F.col("__w"), shingle_n)).alias("__sh"),
+    )
+    # Hash-partition the shingle rows by doc id: distributes the hash
+    # work even when the scan has fewer splits than cores (one small
+    # parquet file locally; a skewed file layout on a cluster), and the
+    # downstream groupBy(id) reuses the partitioning — still exactly
+    # one logical shuffle in the stage graph.
+    sh = sh.repartition(F.col(id_col))
+    h1, h2 = _km_hash_pair(F.col("__sh"), use_md5)
+    base = sh.select(F.col(id_col), h1.alias("__h1"), h2.alias("__h2"))
+    derived = base.select(
+        F.col(id_col),
+        *[
+            ((F.col("__h1") + F.lit(seed) * F.col("__h2")) % F.lit(_KM_P)).alias(
+                f"h{seed}"
+            )
+            for seed in range(n_hashes)
+        ],
+    )
+    return derived.groupBy(id_col).agg(
+        *[F.min(f"h{seed}").alias(f"h{seed}") for seed in range(n_hashes)]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+    use_md5: bool = False,
+) -> DataFrame:
+    """LSH banding: docs sharing any (band_index, band_key) bucket are
+    candidate near-duplicate pairs. Returns distinct (id_a < id_b)
+    pairs. Equi-join on band keys — no all-pairs comparison."""
+    n_bands = n_hashes // band_size
+    # persist: the self-join below consumes this twice; signatures are
+    # n_hashes longs per doc (~128 B/doc — cachable even at billions of
+    # docs), while recomputing means re-hashing every shingle twice.
+    sig_df = minhash_signature_agg(
+        df, id_col, text_col, n_hashes, shingle_n, use_md5
+    ).persist()
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "-", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig_df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(band_keys).alias("band", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_words(text_a: Column, text_b: Column) -> Column:
+    """Exact word-set Jaccard similarity (the verify step after LSH)."""
+    wa = F.array_distinct(words(text_a))
+    wb = F.array_distinct(words(text_b))
+    inter = F.size(F.array_intersect(wa, wb)).cast("double")
+    union = F.size(F.array_union(wa, wb)).cast("double")
+    return inter / F.nullif(union, F.lit(0.0))
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+    use_md5: bool = False,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash → LSH candidates → exact Jaccard
+    verify ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    cands = lsh_candidate_pairs(
+        docs, id_col, text_col, n_hashes, band_size, shingle_n, use_md5
+    )
+    texts = docs.select(F.col(id_col), F.col(text_col))
+    ta = texts.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__text_a")
+    )
+    tb = texts.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__text_b")
+    )
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(jaccard_words(F.col("__text_a"), F.col("__text_b")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(text: Column, use_md5: bool = False) -> Column:
+    """64-bit SimHash over word tokens (bit-vote of token hashes).
+    Near-identical docs differ in few bits (Hamming distance).
+
+    With ``use_md5`` the token hash is the md5-derived 60-bit value so
+    the DuckDB oracle reproduces it exactly (top 4 bits unused)."""
+    toks = F.array_distinct(words(text))
+    hashed = (
+        F.transform(toks, _md5_hash60)
+        if use_md5
+        else F.transform(toks, lambda t: F.xxhash64(t))
+    )
+    n_bits = 60 if use_md5 else 63  # stay positive in a signed BIGINT
+    out = F.lit(0).cast("long")
+    for i in range(n_bits):
+        # vote: +1 if bit set, -1 otherwise; sign of the sum is the bit
+        vote = F.aggregate(
+            hashed,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        out = out + F.when(
+            vote > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return out

@@ -1,0 +1,434 @@
+"""Training-data pipeline + streaming-analog query plans with DuckDB
+oracle twins: dedup, near-dup LSH, text analysis, embedding similarity,
+event-time windows, sessionization, JSON extraction, multimodal
+metadata (BASELINE.json north star; SURVEY.md §7 Phase 4).
+
+Determinism notes: all hash-based ops use md5-derived values both
+engines compute identically; vector math is double-precision with a
+fixed fold order; averages are rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from epl_cas_etl_2026_spark.functions.text import (
+    alpha_ratio,
+    bpe_token_count,
+    fingerprint,
+    quality_class,
+    token_count,
+)
+from epl_cas_etl_2026_spark.functions.scalars import det_avg, det_avg_sql
+from epl_cas_etl_2026_spark.functions.vectors import cosine, to_double
+from epl_cas_etl_2026_spark.operators.dedup import (
+    exact_dedup_stats,
+    near_dup_pairs,
+    simhash64,
+)
+from epl_cas_etl_2026_spark.operators.multimodal import (
+    decode_image_meta,
+    with_binary_payload,
+)
+from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy).
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_exact_dedup_stats",
+    """
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups
+    FROM documents
+    """,
+)
+def docs_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counts (whitespace + BPE-ish regex), quality.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_token_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(len(string_split(text, ' '))), 2) AS avg_tokens,
+           ROUND(AVG(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))), 2) AS avg_bpe_tokens,
+           ROUND(AVG(length(text)), 2) AS avg_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(token_count(t)), 2).alias("avg_tokens"),
+            F.round(F.avg(bpe_token_count(t)), 2).alias("avg_bpe_tokens"),
+            F.round(F.avg(F.length(t)), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "docs_quality_classes",
+    """
+    SELECT CASE WHEN len(string_split(text, ' ')) < 5 THEN 'drop'
+                WHEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0
+                     / nullif(length(text), 0) < 0.8 THEN 'review'
+                ELSE 'keep' END AS calidad,
+           COUNT(*) AS n,
+           ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM documents GROUP BY calidad ORDER BY calidad
+    """,
+)
+def docs_quality_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("calidad", quality_class(F.col("text")))
+        .groupBy("calidad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("calidad")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (md5 of normalized text).
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_fingerprint_by_source",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')))) AS n_fingerprints
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def docs_fingerprint_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", fingerprint(F.col("text")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_fingerprints"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (md5-hash variant so DuckDB reproduces it bit-for-bit).
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_simhash",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents WHERE doc_id < 50
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM hashed, generate_series(0, 59) AS t(b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        docs.select(
+            "doc_id", simhash64(F.col("text"), use_md5=True).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection: MinHash signatures → LSH band buckets →
+# exact Jaccard verify. No O(n²) pass anywhere.
+# ---------------------------------------------------------------------------
+_NEARDUP_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             [array_to_string(w[i:i+2], ' ') FOR i IN range(1, greatest(len(w) - 1, 1))] AS shingles
+      FROM toks
+    ),
+    hp AS (  -- Kirsch-Mitzenmacher pair per shingle: one md5, 16 derived fns
+      SELECT doc_id,
+             [{'h1': CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT),
+               'h2': CAST(('0x' || substr(md5(s), 17, 15)) AS BIGINT) % 72057594037927936}
+              FOR s IN shingles] AS pairs
+      FROM sh WHERE len(shingles) > 0
+    ),
+    sigs AS (
+      SELECT doc_id,
+             [list_min([(p.h1 + j * p.h2) % 4294967291 FOR p IN pairs])
+              FOR j IN range(0, 16)] AS sig
+      FROM hp
+    ),
+    banded AS (
+      SELECT doc_id, b,
+             array_to_string(sig[b*4+1:b*4+4], '-') AS band_key
+      FROM sigs, generate_series(0, 3) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM banded a JOIN banded c
+        ON a.b = c.b AND a.band_key = c.band_key AND a.doc_id < c.doc_id
+    ),
+    words AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+    )
+    SELECT id_a, id_b,
+           ROUND(len(list_intersect(wa.ws, wb.ws)) * 1.0
+                 / nullif(len(list_distinct(wa.ws || wb.ws)), 0), 6) AS jaccard
+    FROM cand
+    JOIN words wa ON wa.doc_id = id_a
+    JOIN words wb ON wb.doc_id = id_b
+    WHERE len(list_intersect(wa.ws, wb.ws)) * 1.0
+          / nullif(len(list_distinct(wa.ws || wb.ws)), 0) >= 0.5
+    ORDER BY id_a, id_b
+"""
+
+
+@_register("docs_near_dup_pairs", _NEARDUP_ORACLE)
+def docs_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.5,
+        n_hashes=16,
+        band_size=4,
+        shingle_n=3,
+        use_md5=True,
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity: brute-force cosine top-k (TakeOrderedAndProject).
+# ---------------------------------------------------------------------------
+@_register(
+    "embedding_topk_cosine",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_dot_product(embedding::DOUBLE[], qv)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv, qv))), 6) AS sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        to_double(F.col("embedding")).alias("qv")
+    )
+    joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qrow))
+    return (
+        joined.select(
+            "vec_id",
+            F.round(
+                cosine(to_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (SURVEY.md §2.9 T4 extension): tumbling & sliding.
+# Batch expression here; streaming/windows.py runs the same logic under
+# Structured Streaming with a watermark.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_tumbling_hourly",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {det_avg_sql('value')} AS avg_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            det_avg(F.col("value")).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@_register(
+    "events_sliding_counts",
+    """
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP)
+               - o * (INTERVAL '30 minutes') AS ws,
+             event_type
+      FROM events, generate_series(0, 1) AS t(o)
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM expanded GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1-hour window sliding every 30 minutes: each event lands in two
+    # windows; Spark's window() generates both natively.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: 30-minute-gap sessions per user (lag + running sum —
+# the batch twin of a streaming session window).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_user_sessions",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts::TIMESTAMP)
+                       - epoch_us(LAG(ts::TIMESTAMP) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    gaps = ev.withColumn(
+        "is_start",
+        F.when(
+            prev.isNull() | ((F.unix_micros(F.col("ts")) - prev) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.sum("is_start").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10 analogue — JSON navigation on the events props column.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_json_extract",
+    f"""
+    SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS BIGINT) AS k_decile,
+           COUNT(*) AS n,
+           {det_avg_sql('value')} AS avg_value
+    FROM events GROUP BY k_decile ORDER BY k_decile
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k_decile", F.floor(k / 10).cast("long"))
+        .groupBy("k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            det_avg(F.col("value")).alias("avg_value"),
+        )
+        .orderBy("k_decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary payload → mapInPandas metadata extraction
+# (decode stubbed — see operators/multimodal.py). Oracle recomputes the
+# deterministic metadata formulas in SQL.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_multimodal_meta",
+    """
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+           CAST(octet_length(encode(text)) % 480 AS INTEGER) AS fake_height,
+           md5(text) AS checksum
+    FROM documents WHERE doc_id < 100 ORDER BY id
+    """,
+)
+def docs_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payload = with_binary_payload(docs, "text", "payload")
+    return decode_image_meta(payload, id_col="doc_id").orderBy("id")

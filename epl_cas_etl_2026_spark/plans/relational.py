@@ -1,0 +1,938 @@
+"""Core relational query plans (SURVEY.md §2.1-§2.8) on the driver's
+TPC-H-ish testdata, each with a DuckDB oracle twin.
+
+Role mapping (FIXTURES.md §B): nation/region play the reference's dims
+(grupos/sucursales), orders/lineitem play the facts (supervisiones),
+customer plays the branch-level entity. Every query cites the reference
+operator ids it re-expresses.
+
+Numeric determinism: monetary SUMs are computed in DECIMAL (exact,
+order-independent) then cast to double, so Spark's partial aggregation
+and DuckDB's sequential sum produce bit-identical results; AVGs are
+plain double rounded to 2 decimals (division result ~never lands on a
+rounding boundary). Ranks/row_numbers are cast to BIGINT to match
+DuckDB's window-function result type.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from epl_cas_etl_2026_spark.functions.scalars import color_class, territorio
+from epl_cas_etl_2026_spark.operators.ranking import competition_rank, intra_group_rank
+from epl_cas_etl_2026_spark.operators.windows import (
+    latest_per_key,
+    top_n_per_key,
+    with_next_value,
+)
+from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dsum(col, alias: str, scale: int = 2):
+    """Exact decimal sum emitted as double (order-independent across
+    engines). Input values are money-like (≤2 decimal places)."""
+    return (
+        F.round(F.sum(F.col(col).cast("decimal(27,6)")).cast("double"), scale)
+        .alias(alias)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5+A1+F7 — pricing summary (grouped sums/avgs/count; the reference's
+# workhorse aggregate shape app.py:447-455 writ large, TPC-H Q1 style).
+# ---------------------------------------------------------------------------
+@_register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE), 0) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))
+                 * CAST(1 - l_discount AS DECIMAL(8,6))) AS DOUBLE), 0) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 2) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty", 2),
+            _dsum("l_extendedprice", "sum_base_price", 0),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(27,6)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+                ).cast("double"),
+                0,
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# FLAGSHIP — J2 + A5 + W1/W2 + O1: rank nations by avg customer balance,
+# left-join-preserved empty nations, competition rank with NULLS-LAST
+# unranked tail (reference app.py:445-472 + 621-646).
+# ---------------------------------------------------------------------------
+@_register(
+    "rank_nations_by_custbal",
+    """
+    WITH agg AS (
+      SELECT n_nationkey, n_name,
+             ROUND(AVG(c_acctbal), 2) AS promedio,
+             COUNT(c_custkey) AS n_customers
+      FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+      GROUP BY n_nationkey, n_name
+    )
+    SELECT n_nationkey, n_name, promedio, n_customers,
+           CASE WHEN promedio IS NOT NULL
+                THEN RANK() OVER (ORDER BY promedio DESC NULLS LAST) END AS posicion
+    FROM agg
+    ORDER BY promedio DESC NULLS LAST, n_name
+    """,
+)
+def rank_nations_by_custbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    agg = (
+        nation.join(
+            customer, nation.n_nationkey == customer.c_nationkey, "left"
+        )
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.round(F.avg("c_acctbal"), 2).alias("promedio"),
+            F.count("c_custkey").alias("n_customers"),
+        )
+    )
+    return competition_rank(
+        agg, "promedio", rank_col="posicion", tiebreak=[F.asc("n_name")]
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — inner equi-join chain with extra predicate in the ON clause
+# (reference app.py:77-81: dims ⋈ fact with `AND s.activo = true`).
+# ---------------------------------------------------------------------------
+@_register(
+    "region_revenue_join_chain",
+    """
+    SELECT r_name,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE), 0) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey AND o_orderstatus = 'F'
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def region_revenue_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = (
+        F.broadcast(region)
+        .join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .join(
+            orders,
+            (orders.o_custkey == customer.c_custkey)
+            & (orders.o_orderstatus == "F"),
+        )
+    )
+    return (
+        joined.groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), _dsum("o_totalprice", "revenue", 0))
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — filter inside the ON clause of a LEFT JOIN (the #1 correctness
+# trap: reference app.py:451-456 keeps all dims even with zero facts).
+# ---------------------------------------------------------------------------
+@_register(
+    "nation_building_customers_left_on",
+    """
+    SELECT n_nationkey, n_name,
+           COUNT(c_custkey) AS n_building,
+           ROUND(COALESCE(AVG(c_acctbal), 0), 2) AS avg_bal
+    FROM nation LEFT JOIN customer
+      ON n_nationkey = c_nationkey AND c_mktsegment = 'BUILDING'
+    GROUP BY n_nationkey, n_name
+    ORDER BY n_nationkey
+    """,
+)
+def nation_building_customers_left_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    # The segment filter MUST live in the join condition: in WHERE it
+    # would drop nations with no BUILDING customers (app.py:453).
+    joined = nation.join(
+        customer,
+        (nation.n_nationkey == customer.c_nationkey)
+        & (customer.c_mktsegment == "BUILDING"),
+        "left",
+    )
+    return (
+        joined.groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_building"),
+            F.round(F.coalesce(F.avg("c_acctbal"), F.lit(0)), 2).alias("avg_bal"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — LEFT JOIN then WHERE (pred OR col IS NULL): filters matched rows
+# but keeps NULL-extended ones (reference app.py:795).
+# ---------------------------------------------------------------------------
+@_register(
+    "nation_or_null_filter",
+    """
+    SELECT n_nationkey, n_name, COUNT(c_custkey) AS n_matching
+    FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+    WHERE c_mktsegment = 'MACHINERY' OR c_mktsegment IS NULL
+    GROUP BY n_nationkey, n_name
+    ORDER BY n_nationkey
+    """,
+)
+def nation_or_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        nation.join(customer, nation.n_nationkey == customer.c_nationkey, "left")
+        .filter(
+            (F.col("c_mktsegment") == "MACHINERY")
+            | F.col("c_mktsegment").isNull()
+        )
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("c_custkey").alias("n_matching"))
+        .orderBy("n_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 + A10 — densified matrix + pivot (reference heatmap,
+# app.py:1141-1184): region × mktsegment grid, avg balance per cell.
+# ---------------------------------------------------------------------------
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+@_register(
+    "region_segment_matrix",
+    """
+    SELECT r_name,
+           ROUND(AVG(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 2) AS automobile,
+           ROUND(AVG(CASE WHEN c_mktsegment = 'BUILDING'   THEN c_acctbal END), 2) AS building,
+           ROUND(AVG(CASE WHEN c_mktsegment = 'FURNITURE'  THEN c_acctbal END), 2) AS furniture,
+           ROUND(AVG(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN c_acctbal END), 2) AS household,
+           ROUND(AVG(CASE WHEN c_mktsegment = 'MACHINERY'  THEN c_acctbal END), 2) AS machinery
+    FROM region
+    LEFT JOIN nation   ON n_regionkey = r_regionkey
+    LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def region_segment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    long_df = (
+        region.join(nation, nation.n_regionkey == region.r_regionkey, "left")
+        .join(customer, customer.c_nationkey == nation.n_nationkey, "left")
+        .select("r_name", "c_mktsegment", "c_acctbal")
+    )
+    wide = (
+        long_df.groupBy("r_name")
+        # explicit value list: avoids Spark's extra distinct-scan job
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.round(F.avg("c_acctbal"), 2))
+    )
+    for seg in _SEGMENTS:
+        wide = wide.withColumnRenamed(seg, seg.lower())
+    return wide.orderBy("r_name")
+
+
+# ---------------------------------------------------------------------------
+# A6 — conditional-aggregation histogram (reference 4-bucket
+# performance distribution, app.py:387-399).
+# ---------------------------------------------------------------------------
+@_register(
+    "acctbal_histogram",
+    """
+    SELECT CAST(SUM(CASE WHEN c_acctbal >= 7500 THEN 1 ELSE 0 END) AS BIGINT) AS excelente,
+           CAST(SUM(CASE WHEN c_acctbal >= 5000 AND c_acctbal < 7500 THEN 1 ELSE 0 END) AS BIGINT) AS bueno,
+           CAST(SUM(CASE WHEN c_acctbal >= 2500 AND c_acctbal < 5000 THEN 1 ELSE 0 END) AS BIGINT) AS regular,
+           CAST(SUM(CASE WHEN c_acctbal < 2500 THEN 1 ELSE 0 END) AS BIGINT) AS critico
+    FROM customer
+    """,
+)
+def acctbal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col("c_acctbal")
+    return load_table(spark, sf_dir, "customer").agg(
+        F.sum(F.when(c >= 7500, 1).otherwise(0)).alias("excelente"),
+        F.sum(F.when((c >= 5000) & (c < 7500), 1).otherwise(0)).alias("bueno"),
+        F.sum(F.when((c >= 2500) & (c < 5000), 1).otherwise(0)).alias("regular"),
+        F.sum(F.when(c < 2500, 1).otherwise(0)).alias("critico"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — HAVING: post-aggregation threshold filter (critical branches
+# AVG < 70, reference app.py:1237).
+# ---------------------------------------------------------------------------
+@_register(
+    "nations_below_avg_threshold",
+    """
+    SELECT n_nationkey, n_name, ROUND(AVG(c_acctbal), 2) AS promedio
+    FROM nation JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY n_nationkey, n_name
+    HAVING AVG(c_acctbal) < 4500
+    ORDER BY promedio ASC, n_nationkey
+    """,
+)
+def nations_below_avg_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        nation.join(customer, nation.n_nationkey == customer.c_nationkey)
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.round(F.avg("c_acctbal"), 2).alias("promedio"),
+            F.avg("c_acctbal").alias("__raw"),
+        )
+        .filter(F.col("__raw") < 4500)
+        .drop("__raw")
+        .orderBy(F.asc("promedio"), F.asc("n_nationkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — multiple COUNT DISTINCTs in one aggregate (app.py:73-76).
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_multi_distinct",
+    """
+    SELECT COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    """,
+)
+def orders_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — DISTINCT + GROUP BY counts (states listing, app.py:331-335).
+# ---------------------------------------------------------------------------
+@_register(
+    "segment_counts",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE c_mktsegment IS NOT NULL
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isNotNull())
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — "periods having data" = left-semi join (app.py:253-259).
+# ---------------------------------------------------------------------------
+@_register(
+    "nations_with_customers_semi",
+    """
+    SELECT n_nationkey, n_name FROM nation
+    WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+    ORDER BY n_nationkey
+    """,
+)
+def nations_with_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        nation.join(
+            customer, nation.n_nationkey == customer.c_nationkey, "left_semi"
+        )
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — anti-join (dedup / not-exists; reference per-row existence check
+# etl_sync.py:215-217 made set-wise).
+# ---------------------------------------------------------------------------
+@_register(
+    "customers_without_orders_anti",
+    """
+    SELECT c_custkey, c_name, c_nationkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 — latest row per key (latest supervision per branch,
+# app.py:846-857), with a total order for determinism.
+# ---------------------------------------------------------------------------
+@_register(
+    "latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    ORDER BY o_custkey
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        latest_per_key(
+            orders,
+            ["o_custkey"],
+            [F.desc("o_orderdate"), F.desc("o_orderkey")],
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 — top-N per key then chronological (last-4 trend, app.py:938-960).
+# ---------------------------------------------------------------------------
+@_register(
+    "last3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+           ) AS BIGINT) AS recency_rank
+    FROM orders
+    QUALIFY recency_rank <= 3
+    ORDER BY o_custkey, orderdate, o_orderkey
+    """,
+)
+def last3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    top = top_n_per_key(
+        orders,
+        ["o_custkey"],
+        [F.desc("o_orderdate"), F.desc("o_orderkey")],
+        3,
+        rank_col="recency_rank",
+    )
+    return (
+        top.select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("recency_rank").cast("long").alias("recency_rank"),
+        )
+        # reference reverses to chronological after taking last-N
+        .orderBy("o_custkey", "orderdate", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W6 — next-value lookup via lead (next period, etl_sync.py:542-547).
+# ---------------------------------------------------------------------------
+@_register(
+    "next_order_date_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           strftime(LEAD(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ), '%Y-%m-%d') AS next_orderdate
+    FROM orders
+    ORDER BY o_custkey, orderdate, o_orderkey
+    """,
+)
+def next_order_date_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = with_next_value(
+        orders,
+        "o_orderdate",
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        keys=["o_custkey"],
+        out_col="next_orderdate",
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.date_format("next_orderdate", "yyyy-MM-dd").alias("next_orderdate"),
+    ).orderBy("o_custkey", "orderdate", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# J7 — range/interval join: assign facts to irregular calendar periods
+# with LIMIT-1 disambiguation on overlap (etl_sync.py:229-233). Periods
+# deliberately include an overlap and a gap (FIXTURES.md §A1).
+# ---------------------------------------------------------------------------
+_PERIODS = [
+    (1, "1995-01-01", "1996-12-31"),
+    (2, "1997-01-01", "1998-12-31"),
+    (3, "1998-07-01", "1999-12-31"),  # overlaps period 2
+    (4, "2000-06-01", "2001-12-31"),  # gap 2000-01..2000-05
+]
+
+_PERIODS_SQL = ", ".join(
+    f"({pid}, DATE '{ini}', DATE '{fin}')" for pid, ini, fin in _PERIODS
+)
+
+@_register(
+    "orders_period_range_join",
+    f"""
+    WITH periods(periodo_id, fecha_inicio, fecha_fin) AS (VALUES {_PERIODS_SQL}),
+    assigned AS (
+      SELECT o_orderkey, periodo_id
+      FROM orders LEFT JOIN periods
+        ON CAST(o_orderdate AS DATE) BETWEEN fecha_inicio AND fecha_fin
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_orderkey ORDER BY fecha_inicio NULLS LAST, periodo_id NULLS LAST) = 1
+    )
+    SELECT periodo_id, COUNT(*) AS n_orders
+    FROM assigned GROUP BY periodo_id
+    ORDER BY periodo_id NULLS LAST
+    """,
+)
+def orders_period_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    periods = spark.createDataFrame(
+        [(pid, ini, fin) for pid, ini, fin in _PERIODS],
+        "periodo_id INT, fecha_inicio STRING, fecha_fin STRING",
+    ).select(
+        "periodo_id",
+        F.col("fecha_inicio").cast("date").alias("fecha_inicio"),
+        F.col("fecha_fin").cast("date").alias("fecha_fin"),
+    )
+    odate = F.col("o_orderdate").cast("date")
+    # tiny build side → BroadcastNestedLoopJoin, fact side never shuffles
+    joined = orders.join(
+        F.broadcast(periods),
+        odate.between(F.col("fecha_inicio"), F.col("fecha_fin")),
+        "left",
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.asc_nulls_last("fecha_inicio"), F.asc_nulls_last("periodo_id")
+    )
+    assigned = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return (
+        assigned.groupBy("periodo_id")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.asc_nulls_last("periodo_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A16/U1 — UNION ALL of labeled scalar counts (stats report,
+# etl_sync.py:410-415).
+# ---------------------------------------------------------------------------
+@_register(
+    "union_stats_report",
+    """
+    SELECT 'customers' AS tabla, COUNT(*) AS registros FROM customer
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+    ORDER BY tabla
+    """,
+)
+def union_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = {"customer": "customers"}
+    parts = [
+        load_table(spark, sf_dir, t).agg(
+            F.lit(labels.get(t, t)).alias("tabla"),
+            F.count(F.lit(1)).alias("registros"),
+        )
+        for t in ("customer", "orders", "lineitem", "supplier")
+    ]
+    return reduce(DataFrame.unionAll, parts).orderBy("tabla")
+
+
+# ---------------------------------------------------------------------------
+# A14 — percent-of-total via an empty-frame window (app.js:436-459).
+# ---------------------------------------------------------------------------
+@_register(
+    "segment_pct_of_total",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n,
+           ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 1) AS pct
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def segment_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    return counts.withColumn(
+        "pct", F.round(F.col("n") * 100.0 / F.sum("n").over(w), 1)
+    ).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# O2/O3 — top-k by sort+limit (TakeOrderedAndProject; app.py:855, 943).
+# ---------------------------------------------------------------------------
+@_register(
+    "top10_orders_by_price",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def top10_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2-P8 — predicate stack: IN-list, LIKE, range, projection (pushed to
+# the parquet scan; reference assembles these by string concat,
+# app.py:688-702 — here it's conditional .filter chaining).
+# ---------------------------------------------------------------------------
+@_register(
+    "filtered_parts",
+    """
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part
+    WHERE p_size IN (5, 10, 15, 20)
+      AND p_type LIKE '%A%'
+      AND p_retailprice BETWEEN 1000 AND 1800
+    ORDER BY p_partkey
+    """,
+)
+def filtered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size").isin(5, 10, 15, 20))
+        .filter(F.col("p_type").like("%A%"))
+        .filter(F.col("p_retailprice").between(1000, 1800))
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/A3 — scalar aggregates (app.py:354, 137-140, 281-283).
+# ---------------------------------------------------------------------------
+@_register(
+    "lineitem_scalar_stats",
+    """
+    SELECT ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def lineitem_scalar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11 — UNWEIGHTED average-of-averages vs A13 — weighted regroup.
+# The reference's two deliberately different averaging semantics
+# (app.py:1186-1189 vs 65-89) side by side on the same data.
+# ---------------------------------------------------------------------------
+@_register(
+    "nation_avg_of_segment_avgs",
+    """
+    WITH inner_avg AS (
+      SELECT c_nationkey, c_mktsegment, AVG(c_acctbal) AS seg_avg
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey,
+           ROUND(AVG(seg_avg), 2) AS promedio_unweighted,
+           COUNT(*) AS n_segments
+    FROM inner_avg GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def nation_avg_of_segment_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    inner = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.avg("c_acctbal").alias("seg_avg")
+    )
+    return (
+        inner.groupBy("c_nationkey")
+        .agg(
+            F.round(F.avg("seg_avg"), 2).alias("promedio_unweighted"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@_register(
+    "regrouped_weighted_avg",
+    """
+    SELECT CASE WHEN n_name LIKE 'NATION_1%' THEN 'NATION_1X' ELSE n_name END AS agrupacion,
+           ROUND(AVG(c_acctbal), 2) AS promedio,
+           COUNT(*) AS n_rows
+    FROM nation JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY agrupacion
+    ORDER BY agrupacion
+    """,
+)
+def regrouped_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A13: members regroup under one banner ('PLOG %' → PLOG in the
+    # reference; NATION_1* here) and the average pools ALL member rows —
+    # explicitly NOT the average of member averages.
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    base = nation.join(customer, nation.n_nationkey == customer.c_nationkey)
+    keyed = base.withColumn(
+        "agrupacion",
+        F.when(F.col("n_name").startswith("NATION_1"), F.lit("NATION_1X")).otherwise(
+            F.col("n_name")
+        ),
+    )
+    return (
+        keyed.groupBy("agrupacion")
+        .agg(
+            F.round(F.avg("c_acctbal"), 2).alias("promedio"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("agrupacion")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — intra-group nested rank (posicion_interna, app.py:566-586)
+# on top of the regrouped key.
+# ---------------------------------------------------------------------------
+@_register(
+    "intra_group_nation_rank",
+    """
+    WITH agg AS (
+      SELECT CASE WHEN n_name LIKE 'NATION_1%' THEN 'NATION_1X' ELSE 'OTRAS' END AS agrupacion,
+             n_name, ROUND(AVG(c_acctbal), 2) AS promedio
+      FROM nation JOIN customer ON n_nationkey = c_nationkey
+      GROUP BY agrupacion, n_name
+    )
+    SELECT agrupacion, n_name, promedio,
+           CASE WHEN promedio IS NOT NULL THEN RANK() OVER (
+             PARTITION BY agrupacion ORDER BY promedio DESC NULLS LAST) END AS posicion_interna
+    FROM agg
+    ORDER BY agrupacion, promedio DESC NULLS LAST, n_name
+    """,
+)
+def intra_group_nation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    agg = (
+        nation.join(customer, nation.n_nationkey == customer.c_nationkey)
+        .withColumn(
+            "agrupacion",
+            F.when(
+                F.col("n_name").startswith("NATION_1"), F.lit("NATION_1X")
+            ).otherwise(F.lit("OTRAS")),
+        )
+        .groupBy("agrupacion", "n_name")
+        .agg(F.round(F.avg("c_acctbal"), 2).alias("promedio"))
+    )
+    ranked = intra_group_rank(agg, "agrupacion", "promedio")
+    return ranked.orderBy(
+        "agrupacion", F.desc_nulls_last("promedio"), F.asc("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 — color-class bucketing CASE (get_color_class, app.py:32-42).
+# ---------------------------------------------------------------------------
+@_register(
+    "acctbal_color_class",
+    """
+    SELECT CASE WHEN c_acctbal IS NULL THEN 'sin-datos'
+                WHEN c_acctbal >= 9000 THEN 'excelente'
+                WHEN c_acctbal >= 8000 THEN 'bueno'
+                WHEN c_acctbal >= 7000 THEN 'regular'
+                ELSE 'critico' END AS clase,
+           COUNT(*) AS n
+    FROM customer GROUP BY clase ORDER BY clase
+    """,
+)
+def acctbal_color_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = ((9000.0, "excelente"), (8000.0, "bueno"), (7000.0, "regular"))
+    return (
+        load_table(spark, sf_dir, "customer")
+        .withColumn("clase", color_class(F.col("c_acctbal"), buckets=buckets))
+        .groupBy("clase")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("clase")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 — territory classification by substring containment
+# (get_territorio, app.py:44-55), keyword lists adapted to the
+# synthetic nation names.
+# ---------------------------------------------------------------------------
+@_register(
+    "nation_territory_classify",
+    """
+    SELECT CASE WHEN contains(lower(n_name), '_1') OR contains(lower(n_name), '_3') THEN 'local'
+                WHEN contains(lower(n_name), '_2') THEN 'mixto'
+                ELSE 'foranea' END AS territorio,
+           COUNT(*) AS n_nations
+    FROM nation GROUP BY territorio ORDER BY territorio
+    """,
+)
+def nation_territory_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "nation")
+        .withColumn(
+            "territorio",
+            territorio(
+                F.col("n_name"),
+                local_keywords=("_1", "_3"),
+                mixto_keywords=("_2",),
+            ),
+        )
+        .groupBy("territorio")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .orderBy("territorio")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 — COALESCE defaults over a sparse LEFT JOIN (app.py:788:
+# COALESCE(AVG(..), 0) for dims with no facts).
+# ---------------------------------------------------------------------------
+@_register(
+    "nation_supplier_coalesce",
+    """
+    SELECT n_nationkey, n_name,
+           ROUND(COALESCE(AVG(s_acctbal), 0), 2) AS avg_supp_bal,
+           COUNT(s_suppkey) AS n_suppliers
+    FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name
+    ORDER BY n_nationkey
+    """,
+)
+def nation_supplier_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        nation.join(supplier, supplier.s_nationkey == nation.n_nationkey, "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.round(F.coalesce(F.avg("s_acctbal"), F.lit(0)), 2).alias(
+                "avg_supp_bal"
+            ),
+            F.count("s_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5/F6 — date bucketing + formatting (DATE(), strftime('%d/%m'),
+# etl_sync.py:288, app.py:949).
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_by_month",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS mes,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE), 0) AS total
+    FROM orders GROUP BY mes ORDER BY mes
+    """,
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("mes", F.date_format("o_orderdate", "yyyy-MM"))
+        .groupBy("mes")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice", "total", 0),
+        )
+        .orderBy("mes")
+    )

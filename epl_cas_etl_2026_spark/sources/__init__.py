@@ -1,0 +1,3 @@
+from epl_cas_etl_2026_spark.sources.parquet import load_table, load_tables, register_views
+
+__all__ = ["load_table", "load_tables", "register_views"]

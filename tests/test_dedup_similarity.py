@@ -1,0 +1,138 @@
+"""Unit tests for dedup / similarity / text / multimodal operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from epl_cas_etl_2026_spark.functions.text import (
+    fingerprint,
+    quality_class,
+    token_count,
+)
+from epl_cas_etl_2026_spark.operators.dedup import (
+    exact_dedup_stats,
+    keep_first_exact,
+    near_dup_pairs,
+    shingles,
+    simhash64,
+)
+from epl_cas_etl_2026_spark.operators.multimodal import (
+    decode_image_meta,
+    frame_sample_stub,
+    with_binary_payload,
+)
+from epl_cas_etl_2026_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+    hyperplanes,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+            (4, "completely different text about spark engines"),
+            (5, "ab"),  # shorter than shingle width
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup(spark, docs):
+    stats = exact_dedup_stats(docs).collect()[0]
+    assert (stats["n_docs"], stats["n_distinct"], stats["n_exact_dups"]) == (5, 4, 1)
+    kept = keep_first_exact(docs, "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4, 5]
+
+
+def test_shingles_short_doc_safe(spark, docs):
+    out = docs.select(F.size(shingles(F.col("text"), 3)).alias("n")).collect()
+    by = sorted(r["n"] for r in out)
+    assert by[0] == 0  # 2-word doc → zero shingles, not a crash
+
+
+def test_near_dup_pipeline_finds_planted_pair(spark, docs):
+    # band_size=1 → 16 single-hash bands: recall for the planted pair
+    # (shingle-set Jaccard 0.4) is 1-(1-0.4)^16 ≈ 0.9997, and the md5
+    # hash family makes the outcome deterministic. The default 4×4
+    # banding targets higher-similarity pairs and would miss J=0.4.
+    pairs = near_dup_pairs(
+        docs, threshold=0.5, use_md5=True, band_size=1
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # exact dup certainly caught
+    assert (1, 3) in got or (2, 3) in got  # near dup shares most shingles
+    assert all(a < b for a, b in got)
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    sh = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", simhash64(F.col("text")).alias("sh")).collect()}
+    assert sh[1] == sh[2]  # identical text → identical simhash
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far  # near dup closer in Hamming space
+
+
+def test_text_helpers(spark, docs):
+    row = docs.filter(F.col("doc_id") == 1).select(
+        token_count(F.col("text")).alias("n"),
+        fingerprint(F.col("text")).alias("fp"),
+        quality_class(F.col("text")).alias("q"),
+    ).collect()[0]
+    assert row["n"] == 9
+    assert len(row["fp"]) == 32
+    assert row["q"] == "keep"
+    short = docs.filter(F.col("doc_id") == 5).select(
+        quality_class(F.col("text")).alias("q")).collect()[0]
+    assert short["q"] == "drop"
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+        (4, [0.8, 0.2, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_ordering(spark, vectors):
+    top = cosine_topk(vectors, [1.0, 0.0, 0.0], k=3, exclude_ids=(0,)).collect()
+    assert [r["vec_id"] for r in top] == [1, 4, 2]
+    assert top[0]["sim"] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+
+
+def test_ann_lsh_same_bucket_recall(spark, vectors):
+    planes = hyperplanes(dim=3, n_planes=2, seed=7)
+    approx = ann_topk_lsh(vectors, [1.0, 0.0, 0.0], planes, k=2).collect()
+    # the query's own bucket must contain the query-identical vector
+    assert approx and approx[0]["vec_id"] in (0, 1, 4)
+
+
+def test_multimodal_meta_batch_shape(spark, docs):
+    payload = with_binary_payload(docs, "text")
+    meta = decode_image_meta(payload, id_col="doc_id").collect()
+    by_id = {r["id"]: r for r in meta}
+    assert by_id[1]["byte_len"] == len("the quick brown fox jumps over the lazy dog")
+    assert by_id[1]["fake_width"] == by_id[1]["byte_len"] % 640
+    assert len(by_id[1]["checksum"]) == 32
+
+
+def test_frame_sample_fanout(spark, docs):
+    payload = with_binary_payload(docs, "text")
+    frames = frame_sample_stub(payload, id_col="doc_id", n_frames=4)
+    assert frames.filter(F.col("id") == 1).count() == 4
+    idx = [r["frame_index"] for r in
+           frames.filter(F.col("id") == 1).orderBy("frame_index").collect()]
+    assert idx == [0, 1, 2, 3]

@@ -1,0 +1,209 @@
+"""ETL pipeline tests (SURVEY.md §5 item 3): Zenput-shaped JSON
+fixtures → extraction, dedup idempotency, period assignment, explode
+counts, location imputation, repair, period transition."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from epl_cas_etl_2026_spark.etl.pipeline import (
+    append_idempotent,
+    assign_periodo,
+    dedup_against_sink,
+    period_transition,
+    recover_location,
+    repair_scores,
+    resolve_sucursal_fk,
+)
+from epl_cas_etl_2026_spark.etl.zenput import (
+    extract_calificacion_general,
+    extract_detail_items,
+    parse_submissions,
+)
+from epl_cas_etl_2026_spark.schemas import (
+    CATALOGO_SCHEMA,
+    PERIODOS_SCHEMA,
+)
+
+
+def _submission(sid, loc="LOC-001", sup="Ana", date="2026-02-10T14:30:00Z",
+                answers=None):
+    return {
+        "id": sid,
+        "smetadata": {
+            "location": {"id": loc} if loc else None,
+            "created_by": {"display_name": sup},
+            "date_submitted": date,
+            "lat": 25.68,
+            "lon": -100.31,
+        },
+        "answers": answers
+        or [
+            {"field_type": "formula", "title": "PORCENTAJE %", "value": "87.5"},
+            {"field_type": "formula", "title": "CUARTO FRIO PORCENTAJE %", "value": "92.0"},
+            {"field_type": "text", "title": "COMENTARIOS", "value": "ok"},
+        ],
+    }
+
+
+@pytest.fixture()
+def raw_feed(spark):
+    subs = [
+        _submission(1),
+        _submission(2, answers=[
+            # no plain 'PORCENTAJE %' → falls back to CALIFICACION variant
+            {"field_type": "formula", "title": "CALIFICACION PORCENTAJE %", "value": "70.0"},
+            {"field_type": "formula", "title": "FREIDORAS PORCENTAJE %", "value": "60.0"},
+            # duplicate area title: first wins (etl_sync.py:155-156)
+            {"field_type": "formula", "title": "FREIDORAS PORCENTAJE %", "value": "10.0"},
+            # non-formula must be dropped
+            {"field_type": "text", "title": "HORNOS PORCENTAJE %", "value": "99"},
+        ]),
+        _submission(3, loc=None, sup="Luis", date="2026-02-11T09:00:00Z"),
+    ]
+    return spark.createDataFrame(
+        [(json.dumps(s),) for s in subs], "value string"
+    )
+
+
+def test_parse_and_score_extraction(spark, raw_feed):
+    parsed = parse_submissions(raw_feed)
+    assert parsed.count() == 3
+    scores = {
+        r["zenput_submission_id"]: r["calificacion_general"]
+        for r in extract_calificacion_general(parsed).collect()
+    }
+    # F11 priority: 'PORCENTAJE %' first, else 'CALIFICACION PORCENTAJE %'
+    assert scores["1"] == 87.5
+    assert scores["2"] == 70.0
+
+
+def test_detail_explode_first_wins(spark, raw_feed):
+    parsed = parse_submissions(raw_feed)
+    catalog = spark.createDataFrame(
+        [(1, "CF", "CUARTO FRIO", 1), (2, "FR", "FREIDORAS", 2), (3, "HO", "HORNOS", 3)],
+        CATALOGO_SCHEMA,
+    )
+    details = extract_detail_items(parsed, catalog)
+    rows = {
+        (r["zenput_submission_id"], r["codigo"]): r["porcentaje"]
+        for r in details.collect()
+    }
+    assert rows[("1", "CF")] == 92.0
+    assert rows[("2", "FR")] == 60.0  # first of the duplicate titles
+    assert ("2", "HO") not in rows  # non-formula dropped
+
+
+def test_dedup_idempotency(spark, raw_feed):
+    parsed = parse_submissions(raw_feed)
+    first = dedup_against_sink(parsed, None)
+    assert first.count() == 3
+    # re-delivery of the same feed against the sink → nothing new (T2)
+    second = dedup_against_sink(parsed, existing=first)
+    assert second.count() == 0
+    # in-batch duplicates collapse
+    doubled = parsed.unionAll(parsed)
+    assert dedup_against_sink(doubled, None).count() == 3
+
+
+def test_fk_resolution_and_period_assignment(spark, raw_feed):
+    parsed = parse_submissions(raw_feed)
+    sucursales = spark.createDataFrame(
+        [(11, "Sucursal A", "LOC-001"), (12, "Sucursal B", "LOC-002")],
+        "id int, nombre string, zenput_location_id string",
+    )
+    resolved = resolve_sucursal_fk(parsed, sucursales)
+    by_id = {r["zenput_submission_id"]: r["sucursal_id"] for r in resolved.collect()}
+    assert by_id["1"] == 11
+    assert by_id["3"] is None  # missing location → NULL FK
+
+    periodos = spark.createDataFrame(
+        [
+            (1, "P1", "Periodo 1", dt.date(2026, 1, 1), dt.date(2026, 1, 31), False),
+            # overlapping periods — J7 LIMIT-1 trap: earliest inicio wins
+            (2, "P2", "Periodo 2", dt.date(2026, 2, 1), dt.date(2026, 2, 28), True),
+            (3, "P3", "Periodo 3", dt.date(2026, 2, 10), dt.date(2026, 3, 10), False),
+        ],
+        PERIODOS_SCHEMA,
+    )
+    assigned = assign_periodo(resolved, periodos)
+    periods = {r["zenput_submission_id"]: r["periodo_id"] for r in assigned.collect()}
+    assert periods["1"] == 2  # 2026-02-10 is in P2 and P3 → P2 (earlier inicio)
+    assert assigned.count() == 3  # no row duplication from the overlap
+
+
+def test_location_recovery_composite_key(spark):
+    # J8 (etl_sync.py:280-293)
+    seguridad = spark.createDataFrame(
+        [
+            ("s1", None, "Ana", dt.datetime(2026, 2, 10, 16, 0)),
+            ("s2", "LOC-009", "Luis", dt.datetime(2026, 2, 11, 10, 0)),
+        ],
+        "zenput_submission_id string, zenput_location_id string, supervisor string, fecha_supervision timestamp",
+    )
+    operativas = spark.createDataFrame(
+        [
+            ("o1", "LOC-001", "Ana", dt.datetime(2026, 2, 10, 9, 0)),
+            ("o2", "LOC-002", "Ana", dt.datetime(2026, 2, 10, 11, 0)),
+        ],
+        "zenput_submission_id string, zenput_location_id string, supervisor string, fecha_supervision timestamp",
+    )
+    recovered = recover_location(seguridad, operativas)
+    locs = {r["zenput_submission_id"]: r["zenput_location_id"] for r in recovered.collect()}
+    assert locs["s1"] == "LOC-001"  # deterministic pick (lowest donor id)
+    assert locs["s2"] == "LOC-009"  # existing location untouched
+    assert recovered.count() == 2
+
+
+def test_append_idempotent_sink(spark, tmp_path, raw_feed):
+    # S5/T2: run the load twice → same sink contents.
+    path = str(tmp_path / "sink.parquet")
+    parsed = parse_submissions(raw_feed).drop("answers")
+    n1 = append_idempotent(spark, parsed, path, "zenput_submission_id")
+    n2 = append_idempotent(spark, parsed, path, "zenput_submission_id")
+    assert n1 == 3 and n2 == 0
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_repair_scores_null_and_zero(spark):
+    # T3 (etl_sync.py:446-498)
+    sink = spark.createDataFrame(
+        [("a", None), ("b", 0.0), ("c", 88.0)],
+        "zenput_submission_id string, calificacion_general double",
+    )
+    fresh = spark.createDataFrame(
+        [("a", 91.0), ("b", 72.0), ("c", 10.0)],
+        "zenput_submission_id string, calificacion_general double",
+    )
+    fixed = {r["zenput_submission_id"]: r["calificacion_general"]
+             for r in repair_scores(sink, fresh).collect()}
+    assert fixed == {"a": 91.0, "b": 72.0, "c": 88.0}  # c untouched
+
+
+def test_period_transition(spark):
+    # T6 (etl_sync.py:504-566)
+    periodos = spark.createDataFrame(
+        [
+            (1, "P1", "Periodo 1", dt.date(2026, 1, 1), dt.date(2026, 1, 31), True),
+            (2, "P2", "Periodo 2", dt.date(2026, 2, 1), dt.date(2026, 2, 28), False),
+        ],
+        PERIODOS_SCHEMA,
+    )
+    sucursales = spark.createDataFrame(
+        [(1, True), (2, True)], "id int, activo boolean"
+    )
+    full_coverage = spark.createDataFrame(
+        [(1, 1), (2, 1)], "sucursal_id int, periodo_id int"
+    )
+    out = {r["id"]: r["activo"] for r in
+           period_transition(periodos, full_coverage, sucursales).collect()}
+    assert out == {1: False, 2: True}
+
+    partial = spark.createDataFrame([(1, 1)], "sucursal_id int, periodo_id int")
+    out2 = {r["id"]: r["activo"] for r in
+            period_transition(periodos, partial, sucursales).collect()}
+    assert out2 == {1: True, 2: False}  # not all covered → no transition

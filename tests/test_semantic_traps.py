@@ -1,0 +1,109 @@
+"""Unit tests pinning the reference's semantic traps (SURVEY.md §5
+item 2) on tiny literal DataFrames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from epl_cas_etl_2026_spark.functions.scalars import color_class, territorio
+from epl_cas_etl_2026_spark.operators.ranking import competition_rank
+from epl_cas_etl_2026_spark.operators.reshape import (
+    avg_of_avgs,
+    densified_matrix,
+    regrouped_avg,
+)
+
+
+def test_competition_rank_tie_gaps_and_null_tail(spark):
+    # W1/W2 (app.py:624-646): ties share a position, gaps follow,
+    # NULL scores are unranked and sort last.
+    df = spark.createDataFrame(
+        [("a", 90.0), ("b", 90.0), ("c", 80.0), ("d", None), ("e", 95.0)],
+        "name string, promedio double",
+    )
+    rows = competition_rank(df, "promedio", tiebreak=[F.asc("name")]).collect()
+    got = [(r["name"], r["posicion"]) for r in rows]
+    assert got == [("e", 1), ("a", 2), ("b", 2), ("c", 4), ("d", None)]
+
+
+def test_left_join_filter_in_on_preserves_dims(spark):
+    # J2 (app.py:451-456): filter in ON keeps dims with zero facts.
+    dims = spark.createDataFrame([(1, "g1"), (2, "g2")], "id int, nombre string")
+    facts = spark.createDataFrame(
+        [(1, 10, 50.0), (1, 20, 70.0), (2, 10, 99.0)],
+        "dim_id int, periodo_id int, score double",
+    )
+    on_clause = (
+        dims.join(
+            facts,
+            (dims.id == facts.dim_id) & (facts.periodo_id == 20),
+            "left",
+        )
+        .groupBy("id")
+        .agg(F.count("score").alias("n"))
+    )
+    got = {r["id"]: r["n"] for r in on_clause.collect()}
+    assert got == {1: 1, 2: 0}  # g2 preserved with 0 — NOT dropped
+
+
+def test_unweighted_vs_weighted_average_differ(spark):
+    # A11 vs A13 (app.py:1186-1189 vs 65-89).
+    df = spark.createDataFrame(
+        [("g", "p1", 100.0), ("g", "p2", 50.0), ("g", "p2", 50.0), ("g", "p2", 50.0)],
+        "grupo string, periodo string, score double",
+    )
+    unweighted = avg_of_avgs(df, ["grupo"], ["periodo"], "score").collect()[0]
+    assert unweighted["promedio"] == 75.0  # (100 + 50) / 2
+    pooled = df.groupBy("grupo").agg(F.avg("score").alias("a")).collect()[0]
+    assert pooled["a"] == 62.5  # (100+50+50+50)/4 — must NOT be used
+
+
+def test_regrouped_avg_pools_member_rows(spark):
+    # A13: PLOG agrupación pools ALL member supervisions.
+    df = spark.createDataFrame(
+        [("PLOG A", 100.0), ("PLOG B", 50.0), ("PLOG B", 50.0), ("OTRA", 80.0)],
+        "nombre string, score double",
+    )
+    got = {
+        r["agrupacion"]: (r["promedio"], r["n_rows"])
+        for r in regrouped_avg(df, "nombre", "score").collect()
+    }
+    assert got["PLOG"] == (pytest.approx(200.0 / 3), 3)
+    assert got["OTRA"] == (80.0, 1)
+
+
+def test_color_class_boundaries_and_null(spark):
+    # F1 (app.py:32-42): >=90 / >=80 / >=70 / else; NULL is its own class.
+    df = spark.createDataFrame(
+        [(90.0,), (89.99,), (80.0,), (70.0,), (69.99,), (None,)],
+        "score double",
+    )
+    got = [r[0] for r in df.select(color_class(F.col("score"))).collect()]
+    assert got == ["excelente", "bueno", "bueno", "regular", "critico", "sin-datos"]
+
+
+def test_territorio_first_match_wins(spark):
+    # F2 (app.py:44-55): local beats mixto beats foranea.
+    df = spark.createDataFrame(
+        [("Grupo TEPEYAC EXPO",), ("EXPO Norte",), ("Sin marca",)],
+        "nombre string",
+    )
+    got = [r[0] for r in df.select(territorio(F.col("nombre"))).collect()]
+    assert got == ["local", "mixto", "foranea"]
+
+
+def test_densified_matrix_has_every_cell(spark):
+    # J4 (app.py:1141-1151): empty cells exist with NULL.
+    rows_dim = spark.createDataFrame([("g1",), ("g2",)], "g string")
+    cols_dim = spark.createDataFrame([("p1",), ("p2",)], "p string")
+    facts = spark.createDataFrame(
+        [("g1", "p1", 10.0)], "g string, p string, v double"
+    )
+    cells = densified_matrix(
+        rows_dim, cols_dim, facts, "g", "p", F.avg("v")
+    ).collect()
+    assert len(cells) == 4
+    vals = {(r["g"], r["p"]): r["cell"] for r in cells}
+    assert vals[("g1", "p1")] == 10.0
+    assert vals[("g2", "p2")] is None

@@ -1,0 +1,100 @@
+"""Structured Streaming tests: windowed agg with watermark over a file
+source, and the foreachBatch incremental ETL wrapper (T1/T5)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from epl_cas_etl_2026_spark.streaming.windows import (
+    incremental_zenput_stream,
+    run_stream_to_memory,
+    stream_events_from_dir,
+    windowed_agg,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_events(path, rows):
+    with open(path, "w") as f:
+        for ts, et, v in rows:
+            f.write(json.dumps({"ts": ts, "event_type": et, "value": v}) + "\n")
+
+
+def test_stream_tumbling_window_with_watermark(spark, tmp_path):
+    src = tmp_path / "events_in"
+    src.mkdir()
+    _write_events(
+        src / "batch1.json",
+        [
+            ("2024-01-01T10:05:00", "click", 1.0),
+            ("2024-01-01T10:45:00", "click", 3.0),
+            ("2024-01-01T11:10:00", "view", 5.0),
+        ],
+    )
+    stream = stream_events_from_dir(spark, str(src), EVENT_SCHEMA)
+    assert stream.isStreaming
+    win = windowed_agg(stream, "1 hour", watermark="2 hours")
+    q = run_stream_to_memory(win, "win_test", output_mode="update")
+    try:
+        q.processAllAvailable()
+        out = spark.sql(
+            "select window_start, event_type, n_events from win_test"
+        ).collect()
+        got = {(str(r["window_start"]), r["event_type"]): r["n_events"] for r in out}
+        assert got[("2024-01-01 10:00:00", "click")] == 2
+        assert got[("2024-01-01 11:00:00", "view")] == 1
+    finally:
+        q.stop()
+
+
+def test_windowed_agg_same_logic_batch(spark):
+    # the SAME transformation applied to a batch frame (one definition,
+    # two execution modes)
+    batch = spark.createDataFrame(
+        [("2024-01-01 10:05:00", "click", 1.0)], "ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = windowed_agg(batch, "1 hour").collect()
+    assert out[0]["n_events"] == 1
+
+
+def test_incremental_etl_foreachbatch(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "page-000000.jsonl").write_text(
+        json.dumps({"id": 1, "smetadata": {"location": {"id": "L1"},
+                    "created_by": {"display_name": "Ana"},
+                    "date_submitted": "2026-02-10T14:30:00Z",
+                    "lat": 1.0, "lon": 2.0},
+                    "answers": []}) + "\n"
+    )
+    seen: list[int] = []
+
+    def process(batch_df, batch_id):
+        from epl_cas_etl_2026_spark.etl.zenput import parse_submissions
+
+        seen.append(parse_submissions(batch_df).count())
+
+    q = incremental_zenput_stream(
+        spark, str(landing), str(tmp_path / "ckpt"), process
+    )
+    q.awaitTermination(60)
+    assert sum(seen) == 1
+
+    # second run with no new files → checkpoint prevents reprocessing (T1)
+    seen.clear()
+    q2 = incremental_zenput_stream(
+        spark, str(landing), str(tmp_path / "ckpt"), process
+    )
+    q2.awaitTermination(60)
+    assert sum(seen) == 0
