@@ -35,7 +35,10 @@ HEADLINE = [
     "events_user_sessions",
     "docs_token_stats",
     "docs_near_dup_pairs",
+    "docs_language_id",
     "embedding_topk_cosine",
+    "embedding_near_dup_cosine",
+    "region_nation_rollup",
 ]
 
 

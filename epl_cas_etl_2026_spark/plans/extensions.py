@@ -17,11 +17,12 @@ from epl_cas_etl_2026_spark.functions.text import (
     alpha_ratio,
     bpe_token_count,
     fingerprint,
+    lang_scores,
     quality_class,
     token_count,
 )
 from epl_cas_etl_2026_spark.functions.scalars import det_avg, det_avg_sql
-from epl_cas_etl_2026_spark.functions.vectors import cosine, to_double
+from epl_cas_etl_2026_spark.functions.vectors import cosine, dot, to_double
 from epl_cas_etl_2026_spark.operators.dedup import (
     exact_dedup_stats,
     near_dup_pairs,
@@ -432,3 +433,238 @@ def docs_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     payload = with_binary_payload(docs, "text", "payload")
     return decode_image_meta(payload, id_col="doc_id").orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Language-ID (marker/n-gram heuristic): argmax of per-language marker
+# hits, first-max-wins on ties (lexicographic language order).
+# ---------------------------------------------------------------------------
+LANG_MARKERS = {
+    "core_ish": ("data", "value", "row", "key"),
+    "ops_ish": ("batch", "window", "merge", "agg"),
+    "sql_ish": ("query", "join", "filter", "scan"),
+}
+
+
+def _markers_sql(lang: str) -> str:
+    toks = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), x -> list_contains([{toks}], x)))"
+    )
+
+
+@_register(
+    "docs_language_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_markers_sql('core_ish')} AS s_core,
+             {_markers_sql('ops_ish')} AS s_ops,
+             {_markers_sql('sql_ish')} AS s_sql
+      FROM documents
+    )
+    SELECT CASE WHEN s_sql > GREATEST(s_core, s_ops) THEN 'sql_ish'
+                WHEN s_ops > s_core THEN 'ops_ish'
+                ELSE 'core_ish' END AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM scored GROUP BY predicted_lang ORDER BY predicted_lang
+    """,
+)
+def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    return (
+        docs.withColumn("predicted_lang", lang_scores(F.col("text"), LANG_MARKERS))
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram Jaccard near-dup — the exact small-subset baseline
+# (brute-force pairs over a bounded id range). The unbounded-scale
+# path is the MinHash/LSH pipeline above; this pins its quality.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_char_ngram_jaccard",
+    """
+    WITH grams AS (
+      SELECT doc_id,
+             list_distinct([text[i:i+3] FOR i IN range(1, length(text) - 2)]) AS g
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.g, b.g)) * 1.0
+                 / nullif(len(list_distinct(a.g || b.g)), 0), 6) AS jaccard4
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.g, b.g)) * 1.0
+          / nullif(len(list_distinct(a.g || b.g)), 0) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def docs_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    n = 4
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - (n - 1)),
+                lambda i: F.col("text").substr(i, F.lit(n)),
+            )
+        ).alias("g"),
+    )
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    b = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb")).cast("double")
+    jac = inter / F.nullif(union, F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard4", F.round(jac, 6))
+        .filter(F.col("jaccard4") >= 0.4)
+        .select("id_a", "id_b", "jaccard4")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: sign-bit LSH bucket join (first 4 dims as
+# the deterministic coarse quantizer) → exact cosine inside buckets.
+# No O(n²) pass; the oracle reproduces the identical bucketing.
+# ---------------------------------------------------------------------------
+_SIGNBITS_SQL = (
+    "(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END"
+    " + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END"
+    " + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END"
+    " + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)"
+)
+
+
+def _signbits_col(vec) -> F.Column:
+    key = F.lit(0)
+    for i in range(4):
+        key = key + F.when(vec[i] >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return key
+
+
+@_register(
+    "embedding_near_dup_cosine",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {_SIGNBITS_SQL} AS bucket
+      FROM embeddings
+    ),
+    nb AS (  -- normalize ONCE per vector; pairwise work is then one dot
+      SELECT vec_id, bucket,
+             [x / sqrt(list_dot_product(v, v)) FOR x IN v] AS nv
+      FROM b
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           ROUND(list_dot_product(a.nv, c.nv), 6) AS sim
+    FROM nb a JOIN nb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE list_dot_product(a.nv, c.nv) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        to_double(F.col("embedding")).alias("v"),
+    )
+    bucketed = emb.withColumn("bucket", _signbits_col(F.col("v")))
+    # normalize once per vector (norm per PAIR would treble the float
+    # work across ~n²/buckets candidates); the norm is bound as its own
+    # column first — an inline dot(v,v) inside the transform lambda
+    # would re-evaluate per element under interpreted eval. repartition
+    # spreads the pairwise stage across cores when the scan is a single
+    # file split.
+    with_norm = bucketed.withColumn("__n", F.sqrt(dot(F.col("v"), F.col("v"))))
+    normed = with_norm.select(
+        "vec_id",
+        "bucket",
+        F.transform("v", lambda x: x / F.col("__n")).alias("nv"),
+    ).repartition("bucket")
+    a = normed.select(
+        F.col("vec_id").alias("id_a"), F.col("nv").alias("na"), "bucket"
+    )
+    b = normed.select(
+        F.col("vec_id").alias("id_b"), F.col("nv").alias("nb"), "bucket"
+    )
+    pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    sim = dot(F.col("na"), F.col("nb"))
+    return (
+        pairs.withColumn("sim", F.round(sim, 6))
+        .filter(sim >= 0.4)
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: probe only the query vector's coarse bucket, exact
+# cosine inside it (the scale path next to brute-force topk above).
+# ---------------------------------------------------------------------------
+@_register(
+    "embedding_ann_ivf_signbits",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {_SIGNBITS_SQL} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+    FROM b, q
+    WHERE bucket = qb AND vec_id <> 0
+    ORDER BY sim DESC, vec_id LIMIT 5
+    """,
+)
+def embedding_ann_ivf_signbits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    bucketed = emb.withColumn("bucket", _signbits_col(F.col("v")))
+    q = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    probed = bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qb")).filter(
+        F.col("vec_id") != 0
+    )
+    return (
+        probed.select(
+            "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# F11 — priority-ordered JSON field extraction (etl_sync.py:160-177:
+# first matching title wins) re-expressed as a coalesce chain over the
+# events props document.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_priority_json",
+    """
+    SELECT COALESCE(CAST(json_extract_string(props, '$.primary_score') AS INTEGER),
+                    CAST(json_extract_string(props, '$.k') AS INTEGER)) AS score,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY score ORDER BY score
+    """,
+)
+def events_priority_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    score = F.coalesce(
+        F.get_json_object("props", "$.primary_score").cast("int"),
+        F.get_json_object("props", "$.k").cast("int"),
+    )
+    return (
+        ev.withColumn("score", score)
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("score")
+    )

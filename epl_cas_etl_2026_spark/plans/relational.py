@@ -936,3 +936,184 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mes")
     )
+
+
+# ---------------------------------------------------------------------------
+# A12 — cross-entity unweighted mean per period (app.py:1195-1202: the
+# "EPL CAS" row = mean over group-averages, per period). Here: per
+# mktsegment, the unweighted mean over per-nation averages.
+# ---------------------------------------------------------------------------
+@_register(
+    "segment_unweighted_nation_mean",
+    """
+    WITH nation_avg AS (
+      SELECT c_mktsegment, c_nationkey, AVG(c_acctbal) AS nat_avg
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment,
+           ROUND(AVG(nat_avg), 2) AS promedio_global,
+           COUNT(*) AS n_nations
+    FROM nation_avg GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def segment_unweighted_nation_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    inner = customer.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.avg("c_acctbal").alias("nat_avg")
+    )
+    return (
+        inner.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.avg("nat_avg"), 2).alias("promedio_global"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP — multi-granularity totals in ONE pass. The reference fans out
+# a separate query per dashboard level (SURVEY.md §2.4 note); rollup
+# collapses the fan-out into a single shuffle with partial aggregation
+# shared across levels.
+# ---------------------------------------------------------------------------
+@_register(
+    "region_nation_rollup",
+    """
+    SELECT COALESCE(r_name, '__total__') AS r_name,
+           COALESCE(CASE WHEN GROUPING(n_name) = 1 THEN '__subtotal__' ELSE n_name END,
+                    '__subtotal__') AS n_name,
+           COUNT(c_custkey) AS n_customers,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE), 0) AS total_bal
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY r_name, n_name
+    """,
+)
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    base = (
+        F.broadcast(region)
+        .join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+    )
+    rolled = base.rollup("r_name", "n_name").agg(
+        F.count("c_custkey").alias("n_customers"),
+        _dsum("c_acctbal", "total_bal", 0),
+        F.grouping("n_name").alias("__gn"),
+    )
+    return (
+        rolled.select(
+            F.coalesce("r_name", F.lit("__total__")).alias("r_name"),
+            F.coalesce(
+                F.when(F.col("__gn") == 1, F.lit("__subtotal__")).otherwise(
+                    F.col("n_name")
+                ),
+                F.lit("__subtotal__"),
+            ).alias("n_name"),
+            "n_customers",
+            "total_bal",
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5/J10 — broadcast FK-lookup enrichment (the scalar-subquery INSERT
+# lookup etl_sync.py:240-241 and single-row enrich app.py:829-835,
+# made set-wise): resolve each order's customer → nation name.
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_enrich_customer_nation",
+    """
+    SELECT o_orderkey, c_name, n_name, o_totalprice
+    FROM orders
+    LEFT JOIN customer ON c_custkey = o_custkey
+    LEFT JOIN nation ON n_nationkey = c_nationkey
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+)
+def orders_enrich_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .select("o_orderkey", "c_name", "n_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8 — composite-key recovery join (etl_sync.py:280-293: borrow a
+# missing attribute from a sibling row sharing a composite key, with a
+# deterministic LIMIT-1 pick + COALESCE). Here: orders in status 'P'
+# act as "attribute missing" and borrow o_orderpriority from the
+# customer's earliest non-P order that year.
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_priority_recovery",
+    """
+    WITH donors AS (
+      -- pre-aggregate to ONE donor per composite key (arg-min on the
+      -- donor id): the join then has no fanout and needs no window
+      SELECT o_custkey AS d_cust, year(o_orderdate) AS d_year,
+             arg_min(o_orderpriority, o_orderkey) AS d_prio
+      FROM orders WHERE o_orderstatus <> 'P'
+      GROUP BY d_cust, d_year
+    )
+    SELECT COALESCE(d.d_prio, o.o_orderpriority) AS recovered_priority,
+           COUNT(*) AS n_recovered
+    FROM orders o LEFT JOIN donors d
+      ON d.d_cust = o.o_custkey AND d.d_year = year(o.o_orderdate)
+    WHERE o.o_orderstatus = 'P'
+    GROUP BY recovered_priority ORDER BY recovered_priority
+    """,
+)
+def orders_priority_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # arg-min pre-aggregation replaces the reference's per-row LIMIT 1
+    # pick: no join fanout, no per-row window — one partial-agg shuffle
+    # over the donor side, then a plain left join.
+    donors = (
+        orders.filter(F.col("o_orderstatus") != "P")
+        .groupBy(
+            F.col("o_custkey").alias("d_cust"),
+            F.year("o_orderdate").alias("d_year"),
+        )
+        .agg(F.min_by("o_orderpriority", "o_orderkey").alias("d_prio"))
+    )
+    pending = orders.filter(F.col("o_orderstatus") == "P")
+    joined = pending.join(
+        donors,
+        (F.col("d_cust") == F.col("o_custkey"))
+        & (F.col("d_year") == F.year("o_orderdate")),
+        "left",
+    )
+    return (
+        joined.withColumn(
+            "recovered_priority",
+            F.coalesce(F.col("d_prio"), F.col("o_orderpriority")),
+        )
+        .groupBy("recovered_priority")
+        .agg(F.count(F.lit(1)).alias("n_recovered"))
+        .orderBy("recovered_priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8 — health probe (app.py:1287: SELECT 1 behind /api/health).
+# ---------------------------------------------------------------------------
+@_register("health_probe", "SELECT 1 AS ok")
+def health_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql("SELECT 1 AS ok")

@@ -136,3 +136,45 @@ def test_frame_sample_fanout(spark, docs):
     idx = [r["frame_index"] for r in
            frames.filter(F.col("id") == 1).orderBy("frame_index").collect()]
     assert idx == [0, 1, 2, 3]
+
+
+def test_language_id_first_max_wins(spark):
+    from epl_cas_etl_2026_spark.functions.text import lang_scores
+
+    markers = {"aa": ("x",), "bb": ("y",), "cc": ("z",)}
+    df = spark.createDataFrame(
+        [("x y",), ("y z",), ("q q",)], "text string"
+    ).select(lang_scores(F.col("text"), markers).alias("lang"))
+    # ties resolve to the lexicographically-first language
+    assert [r["lang"] for r in df.collect()] == ["aa", "bb", "aa"]
+
+
+def test_minhash_agg_drops_short_docs(spark, docs):
+    from epl_cas_etl_2026_spark.operators.dedup import minhash_signature_agg
+
+    sig = minhash_signature_agg(docs, "doc_id", "text", n_hashes=4, use_md5=True)
+    ids = sorted(r["doc_id"] for r in sig.collect())
+    assert ids == [1, 2, 3, 4]  # doc 5 ("ab") has no 3-shingles
+    # identical docs → identical signatures
+    rows = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"]) for r in sig.collect()}
+    assert rows[1] == rows[2]
+
+
+def test_signbit_bucket_groups_similar_vectors(spark):
+    from epl_cas_etl_2026_spark.plans.extensions import _signbits_col
+    from epl_cas_etl_2026_spark.functions.vectors import to_double
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 1.0, -1.0, 0.5]),
+            (1, [0.9, 1.1, -0.8, 0.4]),   # same orthant as 0
+            (3, [-1.0, -1.0, 1.0, -0.5]), # opposite orthant
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    b = vecs.select(
+        "vec_id", _signbits_col(to_double(F.col("embedding"))).alias("bucket")
+    ).collect()
+    by = {r["vec_id"]: r["bucket"] for r in b}
+    assert by[0] == by[1]  # near-identical directions share a bucket
+    assert by[0] != by[3]  # opposite vector lands elsewhere
