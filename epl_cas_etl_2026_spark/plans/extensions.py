@@ -668,3 +668,28 @@ def events_priority_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct counting — the 100 TB-scale substitute for exact
+# COUNT(DISTINCT) (A3): HyperLogLog++ sketches merge associatively, so
+# the count needs no global shuffle of the key column. No oracle entry:
+# sketch estimates are engine-specific by nature (driver records the
+# weaker rows-only check); the exact twin `orders_multi_distinct`
+# pins correctness.
+# ---------------------------------------------------------------------------
+@_register("orders_approx_distinct", None)
+def orders_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    ).withColumn(
+        "rel_error",
+        F.round(
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            / F.col("exact_customers"),
+            4,
+        ),
+    )

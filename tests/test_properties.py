@@ -1,0 +1,98 @@
+"""Property-based checks (SURVEY.md §5 item 4, hypothesis-driven).
+
+Spark jobs are slow per example, so each property runs a small number
+of generated cases over tiny literal frames — the properties, not the
+volume, carry the value:
+
+  * competition rank is a function of the score multiset only
+    (permutation-invariant), ties share a position, gaps follow ties;
+  * AVG ignores NULLs — injecting NULL rows never changes it;
+  * sink dedup is idempotent under re-delivery/duplication of pages.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from epl_cas_etl_2026_spark.etl.pipeline import dedup_against_sink
+from epl_cas_etl_2026_spark.operators.ranking import competition_rank
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+scores = st.lists(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(xs=scores, seed=st.randoms())
+@settings(**_SETTINGS)
+def test_rank_is_permutation_invariant(spark, xs, seed):
+    rows = [(i, float(x) if x is not None else None) for i, x in enumerate(xs)]
+    shuffled = rows[:]
+    seed.shuffle(shuffled)
+
+    def ranks(data):
+        df = spark.createDataFrame(data, "id long, score double")
+        out = competition_rank(df, "score", rank_col="r").collect()
+        return {row["id"]: row["r"] for row in out}
+
+    assert ranks(rows) == ranks(shuffled)
+    # competition-rank law: position = 1 + #strictly-better scores
+    by_id = ranks(rows)
+    vals = [x for x in xs if x is not None]
+    for i, x in enumerate(xs):
+        if x is None:
+            assert by_id[i] is None
+        else:
+            assert by_id[i] == 1 + sum(1 for v in vals if v > x)
+
+
+@given(
+    vals=st.lists(st.floats(0, 100, allow_nan=False), min_size=1, max_size=8),
+    n_nulls=st.integers(min_value=0, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_avg_null_injection_invariant(spark, vals, n_nulls):
+    base = [(float(v),) for v in vals]
+    with_nulls = base + [(None,)] * n_nulls
+    a = spark.createDataFrame(base, "v double").agg(F.avg("v")).collect()[0][0]
+    b = (
+        spark.createDataFrame(with_nulls, "v double")
+        .agg(F.avg("v"))
+        .collect()[0][0]
+    )
+    assert a == b
+
+
+@given(
+    keys=st.lists(st.integers(0, 5), min_size=1, max_size=8),
+    redeliver=st.integers(min_value=1, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_dedup_idempotent_under_redelivery(spark, keys, redeliver):
+    page = [(f"k{k}", k) for k in keys]
+    once = spark.createDataFrame(page, "zenput_submission_id string, payload long")
+    many = spark.createDataFrame(
+        page * redeliver, "zenput_submission_id string, payload long"
+    )
+    sink = spark.createDataFrame(
+        [("k0", 0)], "zenput_submission_id string, payload long"
+    )
+    got_once = sorted(
+        r["zenput_submission_id"]
+        for r in dedup_against_sink(once, sink).collect()
+    )
+    got_many = sorted(
+        r["zenput_submission_id"]
+        for r in dedup_against_sink(many, sink).collect()
+    )
+    assert got_once == got_many
+    assert "k0" not in got_once

@@ -98,3 +98,33 @@ def test_incremental_etl_foreachbatch(spark, tmp_path):
     )
     q2.awaitTermination(60)
     assert sum(seen) == 0
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    from epl_cas_etl_2026_spark.streaming.stateful import (
+        running_totals_with_state,
+    )
+
+    src = tmp_path / "stateful_in"
+    src.mkdir()
+    _write_events(
+        src / "b1.json",
+        [("2024-01-01T10:00:00", "click", 1.0), ("2024-01-01T10:01:00", "click", 2.0)],
+    )
+    stream = stream_events_from_dir(spark, str(src), EVENT_SCHEMA)
+    out = running_totals_with_state(stream)
+    q = run_stream_to_memory(out, "state_test", output_mode="update")
+    try:
+        q.processAllAvailable()
+        # second micro-batch: state must carry over, not reset
+        _write_events(src / "b2.json", [("2024-01-01T10:02:00", "click", 4.0)])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select * from state_test order by n_events desc"
+        ).collect()
+        latest = rows[0]
+        assert latest["event_type"] == "click"
+        assert latest["n_events"] == 3          # 2 from batch1 + 1 from batch2
+        assert latest["total_value"] == 7.0     # 1+2 carried into 4
+    finally:
+        q.stop()
