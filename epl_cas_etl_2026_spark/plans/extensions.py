@@ -693,3 +693,59 @@ def orders_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows (F.session_window — gap-merged, data-driven
+# window bounds). The lag-gap island twin above (events_user_sessions)
+# is the hand-rolled form; this is the engine-native operator, usable
+# unchanged under Structured Streaming with a watermark. Oracle
+# reproduces the merge with the lag/cumsum island algorithm (a session
+# breaks when the gap is >= 30 min — session_window bounds are
+# half-open [ts, ts+gap)).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_session_windows_native",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS sev FROM islands
+      GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(sev) AS BIGINT) AS n_events,
+           CAST(MAX(sev) AS BIGINT) AS max_session_events
+    FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_session = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("sev"))
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("sev").alias("n_events"),
+            F.max("sev").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -581,12 +581,17 @@ def orders_period_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         odate.between(F.col("fecha_inicio"), F.col("fecha_fin")),
         "left",
     )
-    w = Window.partitionBy("o_orderkey").orderBy(
-        F.asc_nulls_last("fecha_inicio"), F.asc_nulls_last("periodo_id")
-    )
-    assigned = (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+    # LIMIT-1 disambiguation as min_by instead of a row_number window:
+    # a hash aggregate gets map-side partial combine (the BNLJ left the
+    # fact partitioning intact, so overlap duplicates collapse before
+    # the shuffle), where a window would sort-shuffle every joined row.
+    # Matched rows never carry NULL fecha_inicio, so struct-min ==
+    # (asc fecha_inicio, asc periodo_id); zero-match orders keep their
+    # single NULL row.
+    assigned = joined.groupBy("o_orderkey").agg(
+        F.min_by(
+            "periodo_id", F.struct("fecha_inicio", "periodo_id")
+        ).alias("periodo_id")
     )
     return (
         assigned.groupBy("periodo_id")

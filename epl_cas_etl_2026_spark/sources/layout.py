@@ -1,0 +1,100 @@
+"""Physical table layout for scale: partitioned + bucketed writes.
+
+SURVEY.md §1.4: at production scale the facts are partitioned by
+``periodo_id`` (every dashboard query filters on it — reference
+app.py:354, 453, 673), so a period-scoped query scans 1/|periods| of
+the data via partition pruning before a single row is read. Dims stay
+unpartitioned (broadcast side).
+
+``write_partitioned``/``scan_partition_pruned`` demonstrate the layout
+on plain parquet; on a cluster the same calls target object storage.
+``with_salt``/``unsalt_agg`` implement two-phase salted aggregation for
+skewed keys — the manual fallback when AQE skew handling (enabled in
+``session.get_spark``) isn't applicable, e.g. a single hot group key
+that dominates a groupBy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet write: one directory per
+    partition value; equality/IN filters on ``partition_cols`` prune
+    whole directories at planning time."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def scan_partition_pruned(spark, path: str, **equals) -> DataFrame:
+    """Read back with partition-pruning filters (kwargs are
+    col == value equality predicates). The resulting plan's scan shows
+    ``PartitionFilters`` — verified by tests/test_layout.py."""
+    df = spark.read.parquet(path)
+    for col, val in equals.items():
+        df = df.filter(F.col(col) == F.lit(val))
+    return df
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Append a deterministic salt in [0, n_salts) — spreads a hot key
+    over ``n_salts`` reducers. Derived from a hash of the whole row's
+    monotonically-increasing id surrogate so it is uniform and cheap;
+    crc32-of-key variants would re-skew when one key dominates."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+
+
+def salted_two_phase_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: phase 1 aggregates
+    on (key, salt) — the hot key splits across ``n_salts`` partial
+    groups — phase 2 merges the partials on the key alone. Supported
+    ``aggs``: {out_col: "sum:col" | "count:*"} (the decomposable ones;
+    avg = sum+count merged by the caller).
+
+    Spark's hash aggregate already does map-side partials, which covers
+    most skew; this helper exists for the residual case where even the
+    merged partials for ONE key overwhelm a single reducer — the same
+    reason the reference's PLOG regroup (A13) would hot-spot at scale.
+    """
+    salted = with_salt(df, n_salts)
+    phase1_aggs = []
+    phase2_aggs = []
+    for out, spec in aggs.items():
+        op, col = spec.split(":", 1)
+        if op == "sum":
+            phase1_aggs.append(F.sum(col).alias(f"__p_{out}"))
+            phase2_aggs.append(F.sum(f"__p_{out}").alias(out))
+        elif op == "count":
+            phase1_aggs.append(F.count(F.lit(1)).alias(f"__p_{out}"))
+            phase2_aggs.append(F.sum(f"__p_{out}").cast("long").alias(out))
+        else:
+            raise ValueError(f"unsupported agg spec: {spec}")
+    partial = salted.groupBy(*keys, "__salt").agg(*phase1_aggs)
+    return partial.groupBy(*keys).agg(*phase2_aggs)
+
+
+def explain_has(df: DataFrame, needle: str) -> bool:
+    """True if the formatted physical plan mentions ``needle`` —
+    used by tests to assert pruning/broadcast decisions."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return needle in buf.getvalue()

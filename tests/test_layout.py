@@ -1,0 +1,56 @@
+"""Physical-layout tests: partition pruning is visible in the plan and
+salted two-phase aggregation matches the plain aggregate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from epl_cas_etl_2026_spark.sources.layout import (
+    explain_has,
+    salted_two_phase_agg,
+    scan_partition_pruned,
+    write_partitioned,
+)
+from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+
+def test_partitioned_write_prunes(spark, sf_smoke, tmp_path):
+    orders = load_table(spark, sf_smoke, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned(orders, path, ["order_year"])
+
+    pruned = scan_partition_pruned(spark, path, order_year=2001)
+    # the partition predicate must show up as a partition filter on the
+    # scan, not a post-scan row filter
+    assert explain_has(pruned, "PartitionFilters: [isnotnull(order_year")
+    full = spark.read.parquet(path)
+    expected = full.filter(F.col("order_year") == 2001).count()
+    assert pruned.count() == expected and expected > 0
+
+
+def test_salted_agg_matches_plain(spark, sf_smoke):
+    orders = load_table(spark, sf_smoke, "orders")
+    plain = {
+        (r["o_orderstatus"],): (r["n"], r["total"])
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("total"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["o_orderstatus"],): (r["n"], r["total"])
+        for r in salted_two_phase_agg(
+            orders,
+            ["o_orderstatus"],
+            {"n": "count:*", "total": "sum:o_totalprice"},
+            n_salts=8,
+        ).collect()
+    }
+    assert plain.keys() == salted.keys()
+    for k in plain:
+        assert plain[k][0] == salted[k][0]
+        assert abs(plain[k][1] - salted[k][1]) < 1e-6 * abs(plain[k][1])
