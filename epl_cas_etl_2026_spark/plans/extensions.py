@@ -749,3 +749,80 @@ def events_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling / train-val-test splitting — the scalable
+# substitute for random sampling in a training-data pipeline: the split
+# is a pure function of the id (md5 mod 100), so it is reproducible
+# across engines, runs, and re-partitioning, and needs no shuffle or
+# stored split table.
+# ---------------------------------------------------------------------------
+def _hash_pct_sql(col: str) -> str:
+    return f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+
+
+def _hash_pct_col(c) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(c.cast("string")), 1, 15), 16, 10
+    ).cast("long") % 100
+
+
+@_register(
+    "docs_train_val_test_split",
+    f"""
+    SELECT CASE WHEN {_hash_pct_sql('doc_id')} < 80 THEN 'train'
+                WHEN {_hash_pct_sql('doc_id')} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY split ORDER BY split
+    """,
+)
+def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pct = _hash_pct_col(F.col("doc_id"))
+    split = (
+        F.when(pct < 80, F.lit("train"))
+        .when(pct < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+@_register(
+    "docs_stratified_sample",
+    f"""
+    WITH rates(lang, rate) AS (VALUES ('en', 10), ('es', 50), ('de', 50),
+                                      ('fr', 50), ('zh', 50))
+    SELECT d.lang, COUNT(*) AS n_sampled
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {_hash_pct_sql('d.doc_id')} < r.rate
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-stratum sampling rates (downsample the dominant language) —
+    # the mixture-weighting move of LLM data pipelines. Broadcast the
+    # rate table; the filter is embarrassingly parallel.
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("en", 10), ("es", 50), ("de", 50), ("fr", 50), ("zh", 50)],
+        "lang string, rate int",
+    )
+    pct = _hash_pct_col(F.col("doc_id"))
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(pct < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )

@@ -207,3 +207,54 @@ def test_period_transition(spark):
     out2 = {r["id"]: r["activo"] for r in
             period_transition(periodos, partial, sucursales).collect()}
     assert out2 == {1: True, 2: False}  # not all covered → no transition
+
+
+def test_run_incremental_sync_end_to_end(spark, tmp_path):
+    """The full run_sync lifecycle (SURVEY.md §3.2): load → re-run is a
+    no-op (T2) → late data after the watermark loads incrementally →
+    audit rows accumulate."""
+    from epl_cas_etl_2026_spark.etl.sync_job import run_incremental_sync
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    wh = str(tmp_path / "wh")
+    (landing / "p0.jsonl").write_text(
+        "\n".join(json.dumps(_submission(i)) for i in (1, 2)) + "\n"
+    )
+    sucursales = spark.createDataFrame(
+        [(10, "Centro", "1", "NL", "MTY", 1, True, "local", 25.0, -100.0, "LOC-001")],
+        schema=__import__("epl_cas_etl_2026_spark.schemas", fromlist=["SUCURSALES_SCHEMA"]).SUCURSALES_SCHEMA,
+    )
+    periodos = spark.createDataFrame(
+        [(1, "P1", "Periodo 1", dt.date(2026, 2, 1), dt.date(2026, 2, 28), True)],
+        schema=PERIODOS_SCHEMA,
+    )
+    catalog = spark.createDataFrame(
+        [(1, "CF", "CUARTO FRIO", 1), (2, "FR", "FREIDORAS", 2)],
+        schema=CATALOGO_SCHEMA,
+    )
+
+    n1 = run_incremental_sync(spark, str(landing), wh, sucursales, periodos, catalog)
+    assert n1 == 2
+    master = spark.read.parquet(f"{wh}/supervisiones_operativas")
+    assert master.count() == 2
+    row = master.filter(F.col("zenput_submission_id") == "1").collect()[0]
+    assert row["sucursal_id"] == 10 and row["periodo_id"] == 1
+    assert row["calificacion_general"] == 87.5
+
+    # idempotency: same landing content → nothing new
+    n2 = run_incremental_sync(spark, str(landing), wh, sucursales, periodos, catalog)
+    assert n2 == 0
+    assert spark.read.parquet(f"{wh}/supervisiones_operativas").count() == 2
+
+    # a later submission arrives → only it loads (watermark filter)
+    (landing / "p1.jsonl").write_text(
+        json.dumps(_submission(7, date="2026-02-12T10:00:00Z")) + "\n"
+    )
+    n3 = run_incremental_sync(spark, str(landing), wh, sucursales, periodos, catalog)
+    assert n3 == 1
+    assert spark.read.parquet(f"{wh}/supervisiones_operativas").count() == 3
+
+    audit = spark.read.parquet(f"{wh}/sync_log")
+    assert audit.count() == 3
+    assert {r["estado"] for r in audit.collect()} == {"success"}
