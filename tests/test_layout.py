@@ -54,3 +54,30 @@ def test_salted_agg_matches_plain(spark, sf_smoke):
     for k in plain:
         assert plain[k][0] == salted[k][0]
         assert abs(plain[k][1] - salted[k][1]) < 1e-6 * abs(plain[k][1])
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_smoke, tmp_path):
+    """orders ⋈ lineitem on the order key: bucketed tables join with
+    ZERO exchanges; plain parquet needs two (one per side)."""
+    from epl_cas_etl_2026_spark.sources.layout import (
+        count_exchanges,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, sf_smoke, "orders")
+    lineitem = load_table(spark, sf_smoke, "lineitem")
+
+    plain = orders.join(
+        lineitem.hint("shuffle_hash"),
+        orders.o_orderkey == lineitem.l_orderkey,
+    )
+    assert count_exchanges(plain) >= 2
+
+    write_bucketed(orders, "orders_b", "o_orderkey", 4)
+    write_bucketed(lineitem, "lineitem_b", "l_orderkey", 4)
+    ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+    bucketed = ob.join(
+        lb.hint("shuffle_hash"), ob.o_orderkey == lb.l_orderkey
+    )
+    assert count_exchanges(bucketed) == 0
+    assert bucketed.count() == plain.count()
