@@ -97,3 +97,62 @@ def frame_sample_stub(
             )
         ).alias("frame_index", "byte_offset"),
     )
+
+
+RESIZE_META_SCHEMA = (
+    "id long, fake_width int, fake_height int, target_width int, target_height int"
+)
+
+
+def resize_image_stub(
+    df: DataFrame,
+    target: tuple[int, int] = (224, 224),
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image-resize plumbing via mapInPandas: consumes the payload
+    batch-wise and emits per-image source + target dimensions. STUB:
+    real code would decode, ``Image.resize(target)``, and emit the new
+    payload; the Arrow batch shape, schema, and partition behavior here
+    are exactly what that implementation uses."""
+    tw, th = target
+    cols = [id_col, payload_col]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blens = pdf[payload_col].map(len)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "fake_width": (blens % 640).astype("int32"),
+                    "fake_height": (blens % 480).astype("int32"),
+                    "target_width": tw,
+                    "target_height": th,
+                }
+            )
+
+    return df.select(*cols).mapInPandas(batches, RESIZE_META_SCHEMA)
+
+
+def audio_chunk_stub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    chunk_bytes: int = 16,
+) -> DataFrame:
+    """Audio chunking plumbing: one input row → ceil(len/chunk_bytes)
+    chunk rows with (offset, length) — the fan-out shape of a real
+    fixed-duration audio splitter (decode stubbed; offsets are byte-
+    based here, sample-based with librosa/soundfile in production)."""
+    n_chunks = F.ceil(F.length(payload_col) / F.lit(chunk_bytes)).cast("int")
+    offsets = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * chunk_bytes
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(payload_col).alias("total_bytes"),
+        F.posexplode(offsets).alias("chunk_index", "byte_offset"),
+    ).withColumn(
+        "chunk_len",
+        F.least(F.lit(chunk_bytes), F.col("total_bytes") - F.col("byte_offset")),
+    )

@@ -16,6 +16,7 @@ that dominates a groupBy.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -112,7 +113,22 @@ def write_bucketed(
     way join WITHOUT a shuffle — the join becomes per-bucket, which at
     100 TB removes the single largest cost of a fact⋈fact join (e.g.
     orders ⋈ lineitem on the order key). Requires saveAsTable (bucket
-    metadata lives in the catalog, not the parquet footer)."""
+    metadata lives in the catalog, not the parquet footer).
+
+    Orphan-location guard: with an in-memory catalog (fresh session,
+    no Hive metastore) a previous session's table DIRECTORY can
+    survive while the catalog entry did not, and saveAsTable refuses
+    the location. Only in that orphaned state (dir exists, table not
+    in catalog) the stale directory is removed."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table_name):
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        stale = os.path.join(wh, table_name.lower())
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
     w = df.write.mode("overwrite").format("parquet")
     if sort_col:
         w = w.bucketBy(n_buckets, bucket_col).sortBy(sort_col)

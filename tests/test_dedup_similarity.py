@@ -178,3 +178,26 @@ def test_signbit_bucket_groups_similar_vectors(spark):
     by = {r["vec_id"]: r["bucket"] for r in b}
     assert by[0] == by[1]  # near-identical directions share a bucket
     assert by[0] != by[3]  # opposite vector lands elsewhere
+
+
+def test_resize_stub_batch_shape(spark, docs):
+    from epl_cas_etl_2026_spark.operators.multimodal import resize_image_stub
+
+    payload = with_binary_payload(docs, "text")
+    out = {r["id"]: r for r in resize_image_stub(payload, (128, 96)).collect()}
+    assert out[1]["target_width"] == 128 and out[1]["target_height"] == 96
+    assert out[1]["fake_width"] == len(
+        "the quick brown fox jumps over the lazy dog"
+    ) % 640
+
+
+def test_audio_chunk_fanout_covers_payload(spark, docs):
+    from epl_cas_etl_2026_spark.operators.multimodal import audio_chunk_stub
+
+    payload = with_binary_payload(docs, "text")
+    chunks = audio_chunk_stub(payload, chunk_bytes=16).filter(F.col("id") == 1)
+    rows = chunks.orderBy("chunk_index").collect()
+    total = rows[0]["total_bytes"]
+    assert sum(r["chunk_len"] for r in rows) == total      # full coverage
+    assert rows[-1]["chunk_len"] == total - rows[-1]["byte_offset"]
+    assert all(0 < r["chunk_len"] <= 16 for r in rows)
