@@ -293,3 +293,30 @@ def period_transition(
         .when(F.col("id") == F.lit(next_id), F.lit(True))
         .otherwise(F.col("activo")),
     )
+
+
+# ---------------------------------------------------------------------------
+# Admin mutation (SURVEY.md §3.3): activate exactly one period.
+# ---------------------------------------------------------------------------
+def set_active_period(periodos: DataFrame, period_id: int) -> DataFrame:
+    """app.py:165-183: `UPDATE periodos SET activo=false` then
+    `SET activo=true WHERE id=:id`, as one conditional overwrite of the
+    ~8-row dim (write back with overwrite mode; trivially cheap)."""
+    return periodos.withColumn("activo", F.col("id") == F.lit(period_id))
+
+
+def update_period_dates(
+    periodos: DataFrame, period_id: int, fecha_inicio, fecha_fin
+) -> DataFrame:
+    """app.py:185-208: edit one period's date range."""
+    return periodos.withColumn(
+        "fecha_inicio",
+        F.when(F.col("id") == period_id, F.lit(fecha_inicio).cast("date")).otherwise(
+            F.col("fecha_inicio")
+        ),
+    ).withColumn(
+        "fecha_fin",
+        F.when(F.col("id") == period_id, F.lit(fecha_fin).cast("date")).otherwise(
+            F.col("fecha_fin")
+        ),
+    )

@@ -258,3 +258,30 @@ def test_run_incremental_sync_end_to_end(spark, tmp_path):
     audit = spark.read.parquet(f"{wh}/sync_log")
     assert audit.count() == 3
     assert {r["estado"] for r in audit.collect()} == {"success"}
+
+
+def test_admin_period_mutations(spark):
+    from epl_cas_etl_2026_spark.etl.pipeline import (
+        set_active_period,
+        update_period_dates,
+    )
+
+    periodos = spark.createDataFrame(
+        [
+            (1, "P1", "Uno", dt.date(2026, 1, 1), dt.date(2026, 1, 31), True),
+            (2, "P2", "Dos", dt.date(2026, 2, 1), dt.date(2026, 2, 28), False),
+        ],
+        schema=PERIODOS_SCHEMA,
+    )
+    out = {r["id"]: r for r in set_active_period(periodos, 2).collect()}
+    assert out[1]["activo"] is False and out[2]["activo"] is True
+
+    edited = {
+        r["id"]: r
+        for r in update_period_dates(
+            periodos, 2, "2026-02-05", "2026-03-05"
+        ).collect()
+    }
+    assert edited[2]["fecha_inicio"] == dt.date(2026, 2, 5)
+    assert edited[2]["fecha_fin"] == dt.date(2026, 3, 5)
+    assert edited[1]["fecha_inicio"] == dt.date(2026, 1, 1)  # untouched
