@@ -826,3 +826,53 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone composite: the full clean-corpus pipeline in ONE lazy plan —
+# exact dedup (keep lowest doc_id per text) → quality gate → language
+# mix → deterministic split. This is the shape a 100 TB pretraining
+# corpus build takes: every stage is a set operation, the only
+# shuffles are the dedup groupBy and the final count.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_clean_corpus_pipeline",
+    f"""
+    WITH keepers AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    deduped AS (
+      SELECT d.* FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+    ),
+    gated AS (
+      SELECT * FROM deduped
+      WHERE len(string_split(text, ' ')) >= 5
+        AND length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0
+            / nullif(length(text), 0) >= 0.8
+    )
+    SELECT CASE WHEN {_hash_pct_sql('doc_id')} < 80 THEN 'train'
+                WHEN {_hash_pct_sql('doc_id')} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs
+    FROM gated GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def docs_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.dedup import keep_first_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = keep_first_exact(docs, "doc_id")
+    gated = deduped.filter(quality_class(F.col("text")) == "keep")
+    pct = _hash_pct_col(F.col("doc_id"))
+    split = (
+        F.when(pct < 80, F.lit("train"))
+        .when(pct < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        gated.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )

@@ -53,6 +53,12 @@ def get_spark(
         # executor at cluster scale.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # 14+ headline queries × multi-stage plans evict the default
+        # 100-entry compiled-codegen cache mid-benchmark; observed as
+        # multi-second Janino recompiles on re-run. Entries are small
+        # (compiled classes) — a larger cache is pure win locally and
+        # on long-lived cluster executors alike.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
