@@ -533,17 +533,20 @@ def docs_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the deterministic coarse quantizer) → exact cosine inside buckets.
 # No O(n²) pass; the oracle reproduces the identical bucketing.
 # ---------------------------------------------------------------------------
-_SIGNBITS_SQL = (
-    "(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END"
-    " + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END"
-    " + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END"
-    " + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)"
-)
+# 6 sign bits → 64 coarse buckets: the pairwise near-dup stage then
+# touches ~n²/64 candidate pairs instead of ~n²/16 — recall drops for
+# borderline pairs (LSH tradeoff, identical in both engines).
+_N_SIGNBITS = 6
+
+_SIGNBITS_SQL = "(" + " + ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+    for i in range(_N_SIGNBITS)
+) + ")"
 
 
-def _signbits_col(vec) -> F.Column:
+def _signbits_col(vec, n_bits: int = _N_SIGNBITS) -> F.Column:
     key = F.lit(0)
-    for i in range(4):
+    for i in range(n_bits):
         key = key + F.when(vec[i] >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return key
 

@@ -173,7 +173,8 @@ def test_signbit_bucket_groups_similar_vectors(spark):
         "vec_id long, embedding array<float>",
     )
     b = vecs.select(
-        "vec_id", _signbits_col(to_double(F.col("embedding"))).alias("bucket")
+        "vec_id",
+        _signbits_col(to_double(F.col("embedding")), n_bits=4).alias("bucket"),
     ).collect()
     by = {r["vec_id"]: r["bucket"] for r in b}
     assert by[0] == by[1]  # near-identical directions share a bucket
