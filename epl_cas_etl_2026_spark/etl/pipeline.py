@@ -32,13 +32,32 @@ from pyspark.sql import functions as F
 # J6 / T2 — idempotent dedup against the sink.
 # ---------------------------------------------------------------------------
 def dedup_against_sink(
-    new_rows: DataFrame, existing: DataFrame | None, key: str = "zenput_submission_id"
+    new_rows: DataFrame,
+    existing: DataFrame | None,
+    key: str = "zenput_submission_id",
+    order_col: str | None = "fecha_supervision",
 ) -> DataFrame:
     """Drop rows whose natural key already exists in the sink, and
-    in-batch duplicates (first occurrence wins). One anti-join — the
-    set-wise form of the reference's per-row existence SELECT
-    (etl_sync.py:215-217, 276-278)."""
-    batch_deduped = new_rows.dropDuplicates([key])
+    in-batch duplicates. One anti-join — the set-wise form of the
+    reference's per-row existence SELECT (etl_sync.py:215-217,
+    276-278).
+
+    In-batch survivor is DETERMINISTIC: earliest ``order_col`` (then
+    the key itself as tie-break) wins, mirroring the reference's
+    first-row-processed-wins loop. Pass ``order_col=None`` to fall
+    back to arbitrary-survivor ``dropDuplicates`` when no stable
+    ordering column exists."""
+    if order_col is not None and order_col in new_rows.columns:
+        w = Window.partitionBy(key).orderBy(
+            F.asc_nulls_last(order_col), F.col(key)
+        )
+        batch_deduped = (
+            new_rows.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        batch_deduped = new_rows.dropDuplicates([key])
     if existing is None:
         return batch_deduped
     return batch_deduped.join(
@@ -147,14 +166,30 @@ def append_idempotent(
     df: DataFrame,
     path: str,
     key: str,
+    prune_col: str | None = None,
 ) -> int:
     """S5 — idempotent append: left-anti against current sink contents
     then append (the parquet stand-in for Delta MERGE NOT MATCHED;
     reference ON CONFLICT DO NOTHING, etl_sync.py:250-254).
-    Returns rows actually written."""
+    Returns rows actually written.
+
+    Scale note: without pruning, every batch anti-joins the FULL
+    distinct sink key set — linear in sink size, which degrades as the
+    sink grows. The reference only ever collides within recent
+    extracts (etl_sync.py:215-217 checks keys from the current
+    watermark window), so when ``prune_col`` names a monotone-ish
+    column present in both batch and sink (e.g. fecha_supervision),
+    the existing-keys scan is restricted to ``prune_col >= min(batch)``
+    — a pushed-down parquet filter (row-group / partition pruning), so
+    the anti-join build side stays O(batch window), not O(sink)."""
     to_write = df
     if os.path.exists(path):
-        existing = spark.read.parquet(path).select(key).distinct()
+        existing = spark.read.parquet(path)
+        if prune_col is not None and prune_col in df.columns:
+            lo = df.agg(F.min(prune_col).alias("lo")).collect()[0]["lo"]
+            if lo is not None:
+                existing = existing.filter(F.col(prune_col) >= F.lit(lo))
+        existing = existing.select(key).distinct()
         to_write = df.join(existing, key, "left_anti")
     to_write = to_write.cache()
     n = to_write.count()
@@ -211,10 +246,18 @@ def audit_log(
     terminal state per run (same audit semantics, no UPDATE needed)."""
     from epl_cas_etl_2026_spark.schemas import SYNC_LOG_SCHEMA
 
+    import zlib
+
+    # Deterministic run id: Python's str hash() is salted per process
+    # (PYTHONHASHSEED), which would make audit ids irreproducible
+    # across runs; crc32 of the (workflow, inicio) pair is stable
+    # everywhere, like xxhash64(natural key) on the data path.
+    run_key = f"{workflow}|{inicio}".encode("utf-8")
+    run_id = zlib.crc32(run_key) % (2**62)
     row = spark.createDataFrame(
         [
             (
-                abs(hash((workflow, str(inicio)))) % (2**62),
+                run_id,
                 workflow,
                 inicio,
                 fin,
@@ -287,6 +330,10 @@ def period_transition(
     with_next = periodos.withColumn("__next_id", F.lead("id").over(w))
     next_row = with_next.filter(F.col("id") == active_id).collect()
     next_id = next_row[0]["__next_id"] if next_row else None
+    if next_id is None:
+        # reference etl_sync.py:550-553: completed but no later period
+        # defined → return WITHOUT transitioning (active stays active).
+        return periodos
     return periodos.withColumn(
         "activo",
         F.when(F.col("id") == active_id, F.lit(False))

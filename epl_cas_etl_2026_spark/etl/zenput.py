@@ -67,24 +67,20 @@ def formula_answers(submissions: DataFrame) -> DataFrame:
 
 
 def extract_calificacion_general(submissions: DataFrame) -> DataFrame:
-    """F11 — priority-ordered score extraction (etl_sync.py:160-177):
-    the overall score is the FIRST answer titled exactly
-    'PORCENTAJE %', else the first titled 'CALIFICACION PORCENTAJE %'.
-
-    Implemented as a priority rank + row_number()==1 — the set-wise
-    equivalent of the reference's two sequential scans.
+    """F11 — score extraction (etl_sync.py:160-177): the reference
+    iterates the answers array IN ORDER and, per answer, checks the
+    title against both accepted names ('PORCENTAJE %' then
+    'CALIFICACION PORCENTAJE %') — so the FIRST answer matching
+    EITHER title wins; answer position outranks the title list.
+    A null value on that first match is returned as-is (the reference
+    does not skip None here, unlike extract_areas).
     """
     ans = formula_answers(submissions)
     title_up = F.upper(F.trim(F.col("title")))
-    prioritized = ans.withColumn(
-        "prio",
-        F.when(title_up == "PORCENTAJE %", 1)
-        .when(title_up == "CALIFICACION PORCENTAJE %", 2)
-        .otherwise(None),
-    ).filter(F.col("prio").isNotNull())
-    w = Window.partitionBy("zenput_submission_id").orderBy(
-        "prio", "answer_pos"
+    prioritized = ans.filter(
+        title_up.isin("PORCENTAJE %", "CALIFICACION PORCENTAJE %")
     )
+    w = Window.partitionBy("zenput_submission_id").orderBy("answer_pos")
     best = (
         prioritized.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -113,8 +109,13 @@ def extract_detail_items(
     ans = formula_answers(submissions).withColumn(
         "norm_title", normalize_title(F.col("title"))
     )
-    # overall-score rows are not area rows
-    ans = ans.filter(F.col("norm_title") != "")
+    # overall-score rows are not area rows; the reference also skips
+    # answers with a null value (etl_sync.py:150-152 `value is None:
+    # continue`) BEFORE the first-wins dedup, so a null-valued first
+    # answer must not suppress a later valid one for the same code.
+    ans = ans.filter(
+        (F.col("norm_title") != "") & F.col("value").isNotNull()
+    )
 
     cat = catalog.select(
         F.col("id").alias("item_id"),

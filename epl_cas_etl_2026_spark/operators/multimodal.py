@@ -145,9 +145,15 @@ def audio_chunk_stub(
     fixed-duration audio splitter (decode stubbed; offsets are byte-
     based here, sample-based with librosa/soundfile in production)."""
     n_chunks = F.ceil(F.length(payload_col) / F.lit(chunk_bytes)).cast("int")
-    offsets = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * chunk_bytes
-    )
+    # Guard: an empty payload gives n_chunks = 0 and sequence(0, -1)
+    # would be DESCENDING ([0, -1]) — emit no chunk rows instead
+    # (posexplode of an empty array drops the row).
+    offsets = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1), lambda i: i * chunk_bytes
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     return df.select(
         F.col(id_col).alias("id"),
         F.length(payload_col).alias("total_bytes"),

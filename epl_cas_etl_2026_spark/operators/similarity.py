@@ -72,6 +72,161 @@ def lsh_bucket_assign(
     return embeddings.withColumn(bucket_col, key)
 
 
+def _band_keys_udf(planes: list[list[float]], n_bands: int, rows_per_band: int):
+    """Arrow-vectorized sign-bit band keys: one float64 matmul per
+    batch (V[batch×dim] @ P.T[dim×planes]), then pack each band's bits
+    into a string key. Sign decisions match the oracle's per-plane
+    list_dot_product except for dots within float summation-order
+    noise of zero (~1e-15 relative) — probability ~0 for real data.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64).T  # dim × n_planes
+
+    def keys(col):
+        if col.empty:
+            return pd.Series([], dtype=object)
+        V = np.vstack([np.asarray(a, dtype=np.float64) for a in col])
+        S = (V @ P) >= 0  # batch × n_planes
+        out = []
+        for row in S:
+            bits = "".join("1" if b else "0" for b in row)
+            out.append(
+                [
+                    bits[b * rows_per_band : (b + 1) * rows_per_band]
+                    for b in range(n_bands)
+                ]
+            )
+        return pd.Series(out)
+
+    # set resolved annotations directly: the module-level
+    # `from __future__ import annotations` would stringify inline
+    # hints and pandas_udf can't resolve them.
+    keys.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(keys, "array<string>")
+
+
+def _pair_dot_udf():
+    """Arrow-vectorized pairwise dot over two array<double> columns —
+    the exact-cosine verify over LSH candidates, one einsum per batch
+    instead of an interpreted per-element fold."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def pair_dot(a, b):
+        if a.empty:
+            return pd.Series([], dtype="float64")
+        A = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.vstack([np.asarray(x, dtype=np.float64) for x in b])
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    pair_dot.__annotations__ = {
+        "a": pd.Series,
+        "b": pd.Series,
+        "return": pd.Series,
+    }
+    return pandas_udf(pair_dot, "double")
+
+
+def band_lsh_pairs(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    n_bands: int,
+    rows_per_band: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Banded random-hyperplane LSH near-duplicate pairs — the
+    sub-quadratic embedding analogue of MinHash banding
+    (operators/dedup.py): each vector gets ``n_bands`` keys (one per
+    band of ``rows_per_band`` sign bits); two vectors are CANDIDATES
+    iff they share at least one whole band key; candidates are then
+    verified with exact cosine (normalize once per vector, one dot per
+    pair).
+
+    Scale law: a random pair collides in a band with probability
+    2^-rows_per_band, so candidate volume is ~n²·b/2^r — choose
+    r ≈ log2(n) to keep per-bucket occupancy O(1) and the candidate
+    set ~O(n·b), while recall for sim-s pairs is 1-(1-p^r)^b with
+    p = 1 - arccos(s)/π (raise b to recover recall as r grows).
+    Unlike a single fixed-width bucket key, the (r, b) knobs make the
+    candidate stage shrink with n instead of staying ~n²/const.
+
+    Physical shape: band join and pair-dedup carry only (id, band,
+    key) — normalized vectors are joined back onto the DISTINCT
+    candidate id pairs, so the shuffles stay slim. The two dense
+    stages (sign projection, pairwise verify dot) run as Arrow-batched
+    numpy — see _band_keys_udf / _pair_dot_udf.
+    """
+    assert len(planes) == n_bands * rows_per_band
+    # The sign-bit projection is the compute-heavy stage (n_planes
+    # dots per row); small local scans give 1-2 splits which would
+    # serialize it, so spread ONLY when the scan is under-parallel —
+    # at scale the scan has plenty of splits and no exchange happens.
+    sc = embeddings.sparkSession.sparkContext
+    target = min(32, sc.defaultParallelism)
+    if embeddings.rdd.getNumPartitions() < target:
+        embeddings = embeddings.repartition(target)
+    # The n_planes×dim sign-bit projection is dense linear algebra —
+    # the one stage built-in Column ops can't express efficiently
+    # (zip_with/aggregate HOFs are interpreted per element; a fully
+    # unrolled expression tree breaks the 64 KB codegen method limit
+    # and falls back to interpreted too). So this stage alone is an
+    # Arrow-batched pandas_udf doing ONE numpy matmul per batch —
+    # exactly how a production engine runs projections at 100 TB.
+    # Everything before/after stays native and codegen'd.
+    band_keys = _band_keys_udf(planes, n_bands, rows_per_band)
+    with_keys = embeddings.select(
+        F.col(id_col),
+        to_double(F.col(vec_col)).alias("__v"),
+        band_keys(F.col(vec_col)).alias("__bands"),
+    )
+    # One pass computes keys + normalized vectors; persist so the
+    # banded side and the verify side don't re-run the scan + matmul.
+    # (~n·(b keys + dim doubles) — tiny next to the input.)
+    keyed = with_keys.withColumn(
+        "__n", F.sqrt(dot(F.col("__v"), F.col("__v")))
+    ).select(
+        F.col(id_col),
+        F.transform("__v", lambda x: x / F.col("__n")).alias("nv"),
+        "__bands",
+    )
+    keyed.persist()
+    banded = keyed.select(
+        F.col(id_col), F.posexplode("__bands").alias("band", "key")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    # equi-join on (band, key): shuffles on the band key like any LSH
+    # bucket join — no all-pairs stage anywhere. The join + DISTINCT
+    # carry only id pairs (slim shuffle); vectors join back after.
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = keyed.select(F.col(id_col), "nv")
+    pairs = cand.join(
+        vecs.select(F.col(id_col).alias("id_a"), F.col("nv").alias("na")),
+        "id_a",
+    ).join(
+        vecs.select(F.col(id_col).alias("id_b"), F.col("nv").alias("nb")),
+        "id_b",
+    )
+    # filter on the RAW dot (like the oracle's WHERE), round only for
+    # output — rounding first would admit values like 0.3999997.
+    return (
+        pairs.withColumn("__sim", _pair_dot_udf()(F.col("na"), F.col("nb")))
+        .filter(F.col("__sim") >= threshold)
+        .select("id_a", "id_b", F.round("__sim", 6).alias("sim"))
+    )
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -471,7 +471,14 @@ def _markers_sql(lang: str) -> str:
     """,
 )
 def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    # Local small-file scans yield 1-2 splits, serializing the marker
+    # scoring; at scale the scan has plenty of splits and an extra
+    # exchange of the whole table would be pure waste — so the spread
+    # is GATED on actual scan parallelism instead of unconditional.
+    target = min(8, spark.sparkContext.defaultParallelism)
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     return (
         docs.withColumn("predicted_lang", lang_scores(F.col("text"), LANG_MARKERS))
         .groupBy("predicted_lang")
@@ -505,13 +512,17 @@ def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     n = 4
+    # Guard: texts shorter than n chars would make sequence(1, len-3)
+    # DESCENDING (e.g. [1, 0]) and emit spurious grams where the
+    # oracle's range() is empty — same guard as dedup.shingles_of_words.
+    seq = F.when(
+        F.length("text") >= n,
+        F.sequence(F.lit(1), F.length("text") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     grams = docs.select(
         "doc_id",
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - (n - 1)),
-                lambda i: F.col("text").substr(i, F.lit(n)),
-            )
+            F.transform(seq, lambda i: F.col("text").substr(i, F.lit(n)))
         ).alias("g"),
     )
     a = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
@@ -529,13 +540,92 @@ def docs_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup: sign-bit LSH bucket join (first 4 dims as
-# the deterministic coarse quantizer) → exact cosine inside buckets.
-# No O(n²) pass; the oracle reproduces the identical bucketing.
+# Embedding-cosine near-dup: BANDED random-hyperplane LSH (the
+# embedding analogue of MinHash banding) → exact cosine verify on the
+# candidate pairs only. b bands × r sign bits each: a random pair
+# collides in a band with prob 2^-r, so the candidate stage is
+# ~n²·b/2^r — pick r ≈ log2(n) (and raise b for recall) and it stays
+# ~O(n·b) instead of the fixed-bucket ~n²/const. The hyperplane
+# matrix is a seeded literal shared verbatim with the DuckDB twin, so
+# both engines band identically. Operator: similarity.band_lsh_pairs.
 # ---------------------------------------------------------------------------
-# 6 sign bits → 64 coarse buckets: the pairwise near-dup stage then
-# touches ~n²/64 candidate pairs instead of ~n²/16 — recall drops for
-# borderline pairs (LSH tradeoff, identical in both engines).
+_LSH_BANDS = 8
+_LSH_ROWS = 8  # sign bits per band; scale ~log2(n) at larger n
+_EMB_DIM = 64
+
+
+def _lsh_planes() -> list[list[float]]:
+    from epl_cas_etl_2026_spark.operators.similarity import hyperplanes
+
+    return [
+        [round(x, 4) for x in p]
+        for p in hyperplanes(_EMB_DIM, _LSH_BANDS * _LSH_ROWS, seed=7)
+    ]
+
+
+def _planes_sql() -> str:
+    rows = ", ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]" for p in _lsh_planes()
+    )
+    return "[" + rows + "]"
+
+
+@_register(
+    "embedding_near_dup_cosine",
+    f"""
+    WITH pl AS (SELECT {_planes_sql()} AS planes),
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    bits AS (
+      SELECT vec_id, v,
+             [CASE WHEN list_dot_product(v, p) >= 0 THEN '1' ELSE '0' END
+              FOR p IN planes] AS bits
+      FROM v, pl
+    ),
+    banded AS (
+      SELECT vec_id, b AS band,
+             array_to_string(bits[b*{_LSH_ROWS}+1:b*{_LSH_ROWS}+{_LSH_ROWS}], '') AS key
+      FROM bits, generate_series(0, {_LSH_BANDS - 1}) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM banded a JOIN banded c
+        ON a.band = c.band AND a.key = c.key AND a.vec_id < c.vec_id
+    ),
+    nb AS (
+      SELECT vec_id, [x / sqrt(list_dot_product(v, v)) FOR x IN v] AS nv
+      FROM v
+    )
+    SELECT id_a, id_b, ROUND(list_dot_product(a.nv, c.nv), 6) AS sim
+    FROM cand
+    JOIN nb a ON a.vec_id = id_a
+    JOIN nb c ON c.vec_id = id_b
+    WHERE list_dot_product(a.nv, c.nv) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.similarity import band_lsh_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return band_lsh_pairs(
+        emb,
+        planes=_lsh_planes(),
+        n_bands=_LSH_BANDS,
+        rows_per_band=_LSH_ROWS,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.4,
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: probe only the query vector's coarse bucket, exact
+# cosine inside it (the scale path next to brute-force topk above).
+# Coarse quantizer: 6 sign bits of the leading dims — fine for a
+# single-query probe (the pairwise case uses band_lsh_pairs above).
+# ---------------------------------------------------------------------------
 _N_SIGNBITS = 6
 
 _SIGNBITS_SQL = "(" + " + ".join(
@@ -551,63 +641,6 @@ def _signbits_col(vec, n_bits: int = _N_SIGNBITS) -> F.Column:
     return key
 
 
-@_register(
-    "embedding_near_dup_cosine",
-    f"""
-    WITH b AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v, {_SIGNBITS_SQL} AS bucket
-      FROM embeddings
-    ),
-    nb AS (  -- normalize ONCE per vector; pairwise work is then one dot
-      SELECT vec_id, bucket,
-             [x / sqrt(list_dot_product(v, v)) FOR x IN v] AS nv
-      FROM b
-    )
-    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-           ROUND(list_dot_product(a.nv, c.nv), 6) AS sim
-    FROM nb a JOIN nb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE list_dot_product(a.nv, c.nv) >= 0.4
-    ORDER BY id_a, id_b
-    """,
-)
-def embedding_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        to_double(F.col("embedding")).alias("v"),
-    )
-    bucketed = emb.withColumn("bucket", _signbits_col(F.col("v")))
-    # normalize once per vector (norm per PAIR would treble the float
-    # work across ~n²/buckets candidates); the norm is bound as its own
-    # column first — an inline dot(v,v) inside the transform lambda
-    # would re-evaluate per element under interpreted eval. repartition
-    # spreads the pairwise stage across cores when the scan is a single
-    # file split.
-    with_norm = bucketed.withColumn("__n", F.sqrt(dot(F.col("v"), F.col("v"))))
-    normed = with_norm.select(
-        "vec_id",
-        "bucket",
-        F.transform("v", lambda x: x / F.col("__n")).alias("nv"),
-    ).repartition("bucket")
-    a = normed.select(
-        F.col("vec_id").alias("id_a"), F.col("nv").alias("na"), "bucket"
-    )
-    b = normed.select(
-        F.col("vec_id").alias("id_b"), F.col("nv").alias("nb"), "bucket"
-    )
-    pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
-    sim = dot(F.col("na"), F.col("nb"))
-    return (
-        pairs.withColumn("sim", F.round(sim, 6))
-        .filter(sim >= 0.4)
-        .select("id_a", "id_b", "sim")
-        .orderBy("id_a", "id_b")
-    )
-
-
-# ---------------------------------------------------------------------------
-# IVF-style ANN: probe only the query vector's coarse bucket, exact
-# cosine inside it (the scale path next to brute-force topk above).
-# ---------------------------------------------------------------------------
 @_register(
     "embedding_ann_ivf_signbits",
     f"""

@@ -202,3 +202,36 @@ def test_audio_chunk_fanout_covers_payload(spark, docs):
     assert sum(r["chunk_len"] for r in rows) == total      # full coverage
     assert rows[-1]["chunk_len"] == total - rows[-1]["byte_offset"]
     assert all(0 < r["chunk_len"] <= 16 for r in rows)
+
+
+def test_audio_chunk_empty_payload_emits_no_rows(spark):
+    from epl_cas_etl_2026_spark.operators.multimodal import audio_chunk_stub
+
+    df = spark.createDataFrame([(1, ""), (2, "abc")], "doc_id long, text string")
+    payload = with_binary_payload(df, "text")
+    rows = audio_chunk_stub(payload, chunk_bytes=16).collect()
+    # empty payload → sequence(0,-1) guard → no chunk rows (not [0,-1])
+    assert {r["id"] for r in rows} == {2}
+
+
+def test_band_lsh_pairs_finds_planted_near_dup(spark):
+    from epl_cas_etl_2026_spark.operators.similarity import (
+        band_lsh_pairs,
+        hyperplanes,
+    )
+
+    base = [1.0, 0.5, -0.3, 0.8, 0.1, -0.9, 0.4, 0.2]
+    near = [x * 1.01 + 0.001 for x in base]           # cosine ≈ 1
+    anti = [-x for x in base]                          # cosine = -1
+    ortho = [0.5, -1.0, 0.3, 0.1, -0.8, 0.2, -0.4, 0.9]
+    vecs = spark.createDataFrame(
+        [(0, base), (1, near), (2, anti), (3, ortho)],
+        "vec_id long, embedding array<double>",
+    )
+    planes = hyperplanes(8, 32, seed=7)  # 4 bands × 8 bits
+    pairs = band_lsh_pairs(
+        vecs, planes, n_bands=4, rows_per_band=8, threshold=0.9
+    ).collect()
+    found = {(r["id_a"], r["id_b"]): r["sim"] for r in pairs}
+    assert (0, 1) in found and found[(0, 1)] > 0.99
+    assert all(a != 2 and b != 2 for a, b in found)  # anti never passes

@@ -285,3 +285,123 @@ def test_admin_period_mutations(spark):
     assert edited[2]["fecha_inicio"] == dt.date(2026, 2, 5)
     assert edited[2]["fecha_fin"] == dt.date(2026, 3, 5)
     assert edited[1]["fecha_inicio"] == dt.date(2026, 1, 1)  # untouched
+
+
+# ---------------------------------------------------------------------------
+# Round-2 semantic pins (ADVICE round 1).
+# ---------------------------------------------------------------------------
+def test_score_first_answer_wins_over_title_priority(spark):
+    # reference etl_sync.py:167-176 iterates answers IN ORDER, checking
+    # each against BOTH accepted titles — so a CALIFICACION variant
+    # appearing before the plain 'PORCENTAJE %' wins.
+    subs = [
+        _submission(9, answers=[
+            {"field_type": "formula", "title": "CALIFICACION PORCENTAJE %", "value": "55.0"},
+            {"field_type": "formula", "title": "PORCENTAJE %", "value": "88.0"},
+        ])
+    ]
+    feed = spark.createDataFrame([(json.dumps(s),) for s in subs], "value string")
+    scores = {
+        r["zenput_submission_id"]: r["calificacion_general"]
+        for r in extract_calificacion_general(parse_submissions(feed)).collect()
+    }
+    assert scores["9"] == 55.0
+
+
+def test_null_valued_answer_does_not_suppress_later_valid(spark):
+    # reference extract_areas skips value=None (etl_sync.py:150-152)
+    # BEFORE first-wins dedup: a null-valued first answer must not
+    # shadow a later valid answer for the same code.
+    subs = [
+        _submission(9, answers=[
+            {"field_type": "formula", "title": "FREIDORAS PORCENTAJE %", "value": None},
+            {"field_type": "formula", "title": "FREIDORAS PORCENTAJE %", "value": "42.0"},
+        ])
+    ]
+    feed = spark.createDataFrame([(json.dumps(s),) for s in subs], "value string")
+    catalog = spark.createDataFrame(
+        [(2, "FR", "FREIDORAS", 2)], CATALOGO_SCHEMA
+    )
+    details = extract_detail_items(parse_submissions(feed), catalog)
+    rows = {
+        (r["zenput_submission_id"], r["codigo"]): r["porcentaje"]
+        for r in details.collect()
+    }
+    assert rows[("9", "FR")] == 42.0
+
+
+def test_period_transition_no_next_period(spark):
+    # reference etl_sync.py:550-553: active period complete but no
+    # later period defined → return WITHOUT transitioning.
+    periodos = spark.createDataFrame(
+        [
+            (1, "P1", "Uno", dt.date(2026, 1, 1), dt.date(2026, 1, 31), False),
+            (2, "P2", "Dos", dt.date(2026, 2, 1), dt.date(2026, 2, 28), True),
+        ],
+        PERIODOS_SCHEMA,
+    )
+    sucursales = spark.createDataFrame(
+        [(1, True), (2, True)], "id int, activo boolean"
+    )
+    full_coverage = spark.createDataFrame(
+        [(1, 2), (2, 2)], "sucursal_id int, periodo_id int"
+    )
+    out = {r["id"]: r["activo"] for r in period_transition(
+        periodos, full_coverage, sucursales
+    ).collect()}
+    assert out == {1: False, 2: True}  # unchanged — P2 stays active
+
+
+def test_dedup_deterministic_survivor(spark):
+    # in-batch duplicates: earliest fecha_supervision wins (stable),
+    # not an arbitrary dropDuplicates pick.
+    rows = spark.createDataFrame(
+        [
+            ("k1", dt.datetime(2026, 2, 11, 10, 0), "late"),
+            ("k1", dt.datetime(2026, 2, 10, 9, 0), "early"),
+            ("k2", dt.datetime(2026, 2, 12, 8, 0), "only"),
+        ],
+        "zenput_submission_id string, fecha_supervision timestamp, tag string",
+    )
+    out = {
+        r["zenput_submission_id"]: r["tag"]
+        for r in dedup_against_sink(rows, None).collect()
+    }
+    assert out == {"k1": "early", "k2": "only"}
+
+
+def test_audit_run_id_deterministic(spark, tmp_path):
+    from epl_cas_etl_2026_spark.etl.pipeline import audit_log
+
+    inicio = dt.datetime(2026, 2, 10, 12, 0)
+    fin = dt.datetime(2026, 2, 10, 12, 5)
+    p1, p2 = str(tmp_path / "log1"), str(tmp_path / "log2")
+    audit_log(spark, p1, "operativas", inicio, fin, 10, "success")
+    audit_log(spark, p2, "operativas", inicio, fin, 10, "success")
+    id1 = spark.read.parquet(p1).collect()[0]["id"]
+    id2 = spark.read.parquet(p2).collect()[0]["id"]
+    assert id1 == id2  # crc32-based, not salted Python hash()
+
+
+def test_append_idempotent_prunes_sink_scan(spark, tmp_path):
+    from epl_cas_etl_2026_spark.etl.pipeline import append_idempotent
+
+    path = str(tmp_path / "sink")
+    batch1 = spark.createDataFrame(
+        [("a", dt.datetime(2026, 2, 1)), ("b", dt.datetime(2026, 2, 2))],
+        "k string, fecha_supervision timestamp",
+    )
+    assert append_idempotent(spark, batch1, path, "k", prune_col="fecha_supervision") == 2
+    batch2 = spark.createDataFrame(
+        [("b", dt.datetime(2026, 2, 2)), ("c", dt.datetime(2026, 2, 3))],
+        "k string, fecha_supervision timestamp",
+    )
+    # plan assertion: the sink scan must carry a pushed-down filter on
+    # the prune column so the anti-join build side is O(batch window)
+    existing = spark.read.parquet(path).filter(
+        F.col("fecha_supervision") >= dt.datetime(2026, 2, 2)
+    )
+    plan = existing._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "fecha_supervision" in plan
+    assert append_idempotent(spark, batch2, path, "k", prune_col="fecha_supervision") == 1
+    assert spark.read.parquet(path).count() == 3
