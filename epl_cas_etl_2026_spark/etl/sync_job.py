@@ -95,6 +95,19 @@ def run_incremental_sync(
         fresh = resolve_sucursal_fk(fresh, sucursales)
         fresh = assign_periodo(fresh, periodos)
 
+        # Pin the batch BEFORE mutating the sink. A plain persist() is
+        # NOT enough: Spark's append command refreshes the file-status
+        # cache for master_path and invalidates every cached plan that
+        # reads it — including `fresh`, whose dedup anti-join scans the
+        # master sink. The post-append recompute would then see the
+        # batch's own keys already in the sink (read-your-own-writes)
+        # and silently drop every detail row. localCheckpoint truncates
+        # the lineage so downstream stages reuse the materialized batch
+        # regardless of sink mutations. At production scale the
+        # equivalent is a staging write or Delta MERGE, which snapshots
+        # the sink version instead.
+        fresh = fresh.localCheckpoint(eager=True)
+
         master = fresh.select(
             surrogate_id(F.col("zenput_submission_id")).alias("id"),
             "zenput_submission_id",

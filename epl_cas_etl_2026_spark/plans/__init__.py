@@ -5,9 +5,9 @@ ANSI-SQL oracle twins (run by DuckDB over the same parquet).
 contract (``__spark_entry__.py``) re-exports them.
 """
 
-from epl_cas_etl_2026_spark.plans import extensions, relational
+from epl_cas_etl_2026_spark.plans import extensions, lifecycle, relational
 
-QUERIES = {**relational.QUERIES, **extensions.QUERIES}
-ORACLES = {**relational.ORACLES, **extensions.ORACLES}
+QUERIES = {**relational.QUERIES, **extensions.QUERIES, **lifecycle.QUERIES}
+ORACLES = {**relational.ORACLES, **extensions.ORACLES, **lifecycle.ORACLES}
 
 __all__ = ["QUERIES", "ORACLES"]
