@@ -22,12 +22,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Above this many input rows, an unpartitioned competition_rank —
+#: whose WindowExec collapses everything onto ONE task — refuses to
+#: run; callers must use two_phase_competition_rank instead. The
+#: dashboard shapes rank post-aggregation entities (≤ thousands), so
+#: the guard never fires there; it exists to stop a fact-grained frame
+#: from silently serializing on a single partition.
+MAX_GLOBAL_WINDOW_ROWS = 100_000
+
+
 def competition_rank(
     df: DataFrame,
     score_col: str,
     rank_col: str = "posicion",
     tiebreak: Sequence[Column] | None = None,
     partition_by: Sequence[str] | None = None,
+    max_rows_guard: int | None = MAX_GLOBAL_WINDOW_ROWS,
 ) -> DataFrame:
     """W1 + W2 — competition rank, NULLS LAST, unranked NULL tail.
 
@@ -38,20 +48,92 @@ def competition_rank(
 
     ``tiebreak`` orders *display only* — the reference ranks purely on
     the score (ties share), then orders ties by name (app.py:456).
+
+    With no ``partition_by`` the window is single-partition by design
+    (global rank) — safe only post-aggregation. ``max_rows_guard``
+    embeds a zero-cost runtime check in the same window pass (an extra
+    row_number over the sort the rank already pays for) that fails the
+    job if a fact-grained frame ever reaches this operator; those must
+    use :func:`two_phase_competition_rank`. Set ``None`` to disable.
     """
     w = Window.orderBy(F.desc_nulls_last(score_col))
     if partition_by:
         w = Window.partitionBy(*partition_by).orderBy(F.desc_nulls_last(score_col))
-    ranked = df.withColumn(
-        rank_col,
-        F.when(
-            F.col(score_col).isNotNull(), F.rank().over(w).cast("long")
-        ),
+    rank_expr = F.when(
+        F.col(score_col).isNotNull(), F.rank().over(w).cast("long")
     )
+    if partition_by is None and max_rows_guard is not None:
+        rank_expr = F.when(
+            F.row_number().over(w) > max_rows_guard,
+            F.raise_error(
+                F.lit(
+                    "competition_rank: unpartitioned window exceeded "
+                    f"{max_rows_guard} rows and would serialize on one "
+                    "task — use two_phase_competition_rank"
+                )
+            ).cast("long"),
+        ).otherwise(rank_expr)
+    ranked = df.withColumn(rank_col, rank_expr)
     order = [F.desc_nulls_last(score_col)]
     if tiebreak:
         order.extend(tiebreak)
     return ranked.orderBy(*order)
+
+
+def two_phase_competition_rank(
+    df: DataFrame,
+    score_col: str,
+    rank_col: str = "posicion",
+    num_range_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable GLOBAL competition rank — no single-partition
+    WindowExec anywhere.
+
+    Phase 1: ``repartitionByRange`` on the score (descending, NULLS
+    LAST) — equal scores co-locate, so ties never straddle partition
+    boundaries; each partition then ranks locally with a window
+    PARTITIONED by ``spark_partition_id()`` (parallel sort).
+
+    Phase 2: per-partition row counts (one tiny agg, #partitions rows)
+    become prefix-sum offsets on the driver and broadcast back; the
+    global rank is ``local_rank + offset[pid]``.
+
+    Semantics identical to :func:`competition_rank` with no
+    ``partition_by``: RANK tie gaps, NULL scores unranked. The serial
+    work is O(#partitions), not O(rows) — this is the path for
+    fact-grained frames the guard in :func:`competition_rank` rejects.
+    """
+    spark = df.sparkSession
+    n = num_range_partitions or spark.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, F.desc_nulls_last(score_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # one materialization so the counts job and the rank job see the
+    # same (sampled) range partitioning
+    parted = parted.localCheckpoint(eager=True)
+
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(n):
+        offsets.append((pid, acc))
+        acc += counts.get(pid, 0)
+    offset_df = spark.createDataFrame(offsets, "__pid int, __offset long")
+
+    w = Window.partitionBy("__pid").orderBy(F.desc_nulls_last(score_col))
+    return (
+        parted.join(F.broadcast(offset_df), "__pid")
+        .withColumn(
+            rank_col,
+            F.when(
+                F.col(score_col).isNotNull(),
+                (F.rank().over(w) + F.col("__offset")).cast("long"),
+            ),
+        )
+        .drop("__pid", "__offset")
+    )
 
 
 def intra_group_rank(

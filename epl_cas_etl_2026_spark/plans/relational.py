@@ -669,6 +669,37 @@ def top10_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W1 at fact scale — two-phase global competition rank: range
+# partition on the score + local rank + prefix offsets, so NO
+# single-partition WindowExec exists in the plan. This is the path
+# competition_rank's cardinality guard redirects fact-grained frames
+# to (plan asserted in tests/test_layout.py).
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_global_rank_two_phase",
+    """
+    SELECT o_orderkey,
+           CAST(RANK() OVER (ORDER BY o_totalprice DESC) AS BIGINT) AS posicion
+    FROM orders
+    ORDER BY posicion, o_orderkey
+    """,
+)
+def orders_global_rank_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.ranking import (
+        two_phase_competition_rank,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return (
+        two_phase_competition_rank(orders, "o_totalprice")
+        .select("o_orderkey", "posicion")
+        .orderBy("posicion", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # P2-P8 — predicate stack: IN-list, LIKE, range, projection (pushed to
 # the parquet scan; reference assembles these by string concat,
 # app.py:688-702 — here it's conditional .filter chaining).

@@ -81,3 +81,39 @@ def test_bucketed_join_skips_shuffle(spark, sf_smoke, tmp_path):
     )
     assert count_exchanges(bucketed) == 0
     assert bucketed.count() == plain.count()
+
+
+def test_two_phase_rank_no_single_partition_window(spark, sf_smoke):
+    from epl_cas_etl_2026_spark.operators.ranking import (
+        competition_rank,
+        two_phase_competition_rank,
+    )
+
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    two = two_phase_competition_rank(orders, "o_totalprice")
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    # every Window in the plan must be partitioned (no global sort onto
+    # one task); repartitionByRange + local rank + offsets instead
+    assert "SinglePartition" not in plan
+
+    # value equivalence against the single-window reference
+    single = competition_rank(
+        orders, "o_totalprice", max_rows_guard=None
+    ).select("o_orderkey", "posicion")
+    a = {r["o_orderkey"]: r["posicion"] for r in two.collect()}
+    b = {r["o_orderkey"]: r["posicion"] for r in single.collect()}
+    assert a == b
+
+
+def test_competition_rank_guard_rejects_fact_frames(spark, sf_smoke):
+    import pytest
+    from epl_cas_etl_2026_spark.operators.ranking import competition_rank
+
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    guarded = competition_rank(orders, "o_totalprice", max_rows_guard=100)
+    with pytest.raises(Exception, match="two_phase_competition_rank"):
+        guarded.collect()
