@@ -63,3 +63,57 @@ def with_next_value(
         else Window.orderBy(*order)
     )
     return df.withColumn(out_col or f"next_{value_col}", F.lead(value_col).over(w))
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+    strict: bool = True,
+) -> DataFrame:
+    """As-of join — for every left row, the single latest right row
+    with ``right_ts`` < (``strict``) or <= ``left_ts``, per key. An
+    operator Spark lacks natively, built scale-first:
+
+    union both sides → ONE shuffle+sort on (key, ts) → carry the last
+    non-null right payload forward with a running window → keep left
+    rows. Cost is a single exchange of |L|+|R| slim rows; there is no
+    range-join explosion and no per-row subquery (the reference's
+    LIMIT-1 pattern, etl_sync.py:229-233, is the quadratic shape this
+    replaces). DuckDB's native ASOF JOIN is the oracle twin.
+
+    Tie rule: at equal timestamps a strict join sorts the left row
+    FIRST so the same-instant right row is not yet visible to the
+    running window; non-strict sorts it after. Right rows that tie on
+    (key, ts) should be pre-deduplicated by the caller for a
+    deterministic pick.
+
+    ``right_payload`` columns must not collide with left's columns.
+    """
+    overlap = set(right_payload) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right_payload collides with left columns: {overlap}")
+    lt = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__is_left", F.lit(1)
+    )
+    rt = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c) for c in right_payload],
+    ).withColumn("__is_left", F.lit(0))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # strict: left before right at equal ts (desc on the flag);
+    # non-strict: right first (asc)
+    side_order = F.desc("__is_left") if strict else F.asc("__is_left")
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.asc("__ts"), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned
+    for c in right_payload:
+        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return carried.filter(F.col("__is_left") == 1).drop("__ts", "__is_left")

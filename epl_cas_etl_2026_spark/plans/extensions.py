@@ -471,16 +471,49 @@ def _markers_sql(lang: str) -> str:
     """,
 )
 def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explode → marker filter → conditional agg: tokens that match no
+    # marker (the overwhelming majority) are dropped BEFORE the
+    # shuffle, and every stage is whole-stage-codegen'd — unlike the
+    # higher-order-function argmax (functions/text.lang_scores), which
+    # is interpreted per element. Zero-hit docs are restored by a
+    # left join on the slim doc_id frame (argmax of all-zero = first
+    # language, matching the oracle's CASE ordering).
     docs = load_table(spark, sf_dir, "documents")
-    # Local small-file scans yield 1-2 splits, serializing the marker
-    # scoring; at scale the scan has plenty of splits and an extra
-    # exchange of the whole table would be pure waste — so the spread
-    # is GATED on actual scan parallelism instead of unconditional.
-    target = min(8, spark.sparkContext.defaultParallelism)
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok").isin(all_markers))
+
+    def _hits(lang: str) -> F.Column:
+        return F.sum(
+            F.when(F.col("tok").isin(*LANG_MARKERS[lang]), 1).otherwise(0)
+        )
+
+    scored = toks.groupBy("doc_id").agg(
+        _hits("core_ish").alias("s_core"),
+        _hits("ops_ish").alias("s_ops"),
+        _hits("sql_ish").alias("s_sql"),
+    )
+    full = (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            *[
+                F.coalesce(F.col(c), F.lit(0)).alias(c)
+                for c in ("s_core", "s_ops", "s_sql")
+            ]
+        )
+    )
+    predicted = (
+        F.when(
+            F.col("s_sql") > F.greatest("s_core", "s_ops"), F.lit("sql_ish")
+        )
+        .when(F.col("s_ops") > F.col("s_core"), F.lit("ops_ish"))
+        .otherwise(F.lit("core_ish"))
+    )
     return (
-        docs.withColumn("predicted_lang", lang_scores(F.col("text"), LANG_MARKERS))
+        full.withColumn("predicted_lang", predicted)
         .groupBy("predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("predicted_lang")
@@ -784,6 +817,169 @@ def events_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max("sev").alias("max_session_events"),
         )
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (an operator Spark lacks natively; operators/windows.py
+# builds it as union → one sort per key → last-non-null carry-forward,
+# no range explosion). Use case: attribution — every purchase event
+# linked to the user's latest strictly-prior click. The oracle is
+# DuckDB's NATIVE ASOF JOIN — a fully independent implementation.
+# ---------------------------------------------------------------------------
+@_register(
+    "purchase_attribution_asof",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS click_ts, MAX(event_id) AS click_event_id
+          FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, c.click_event_id,
+           ROUND((epoch_us(p.ts) - epoch_us(c.click_ts)) / 1000000.0, 3)
+             AS secs_since_click
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts > c.click_ts
+    ORDER BY p.event_id
+    """,
+)
+def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.windows import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # dedup ties on (user, ts) for a deterministic pick (max event_id)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    joined = as_of_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_event_id", "click_ts"],
+        strict=True,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "click_event_id",
+        F.round(
+            (F.unix_micros("ts") - F.unix_micros("click_ts")) / 1e6, 3
+        ).alias("secs_since_click"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all four grouping combinations in one pass (next to the
+# ROLLUP query in relational.py; replaces a 4-query dashboard fan-out).
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_status_priority_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"),
+            F.asc_nulls_first("o_orderpriority"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check — a training-corpus must-have: which
+# train docs exactly match a held-out benchmark set (fingerprint
+# equality)? Benchmark = every 97th doc (synthetic stand-in for an
+# external eval suite); broadcast its fingerprint set, left-semi join.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_contamination_check",
+    """
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    bench AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 97 = 0)
+    SELECT source,
+           COUNT(*) AS n_train_docs,
+           COUNT(*) FILTER (WHERE fp IN (SELECT fp FROM bench))
+             AS n_contaminated
+    FROM fp WHERE doc_id % 97 <> 0
+    GROUP BY source ORDER BY source
+    """,
+)
+def docs_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fp", fingerprint(F.col("text"))
+    )
+    bench = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select("fp")
+        .distinct()
+        .withColumn("__contaminated", F.lit(1))
+    )
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), "fp", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("__contaminated").alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate detection — most frequent word-5-grams across the corpus
+# (the repeated-template signal pretraining pipelines scrub). Shingles
+# stay inside the row until the frequency groupBy; only grams leave.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_top_boilerplate_ngrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT unnest([array_to_string(w[i:i+4], ' ')
+                     FOR i IN range(1, greatest(len(w) - 3, 1))]) AS gram
+      FROM toks
+    )
+    SELECT gram, COUNT(*) AS n_occurrences
+    FROM grams GROUP BY gram
+    ORDER BY n_occurrences DESC, gram LIMIT 10
+    """,
+)
+def docs_top_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.dedup import shingles_of_words
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("w")
+    )
+    grams = docs.select(
+        F.explode(shingles_of_words(F.col("w"), n=5)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(10)
     )
 
 
