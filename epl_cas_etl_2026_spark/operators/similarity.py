@@ -247,3 +247,87 @@ def ann_topk_lsh(
     return cosine_topk(
         bucketed.filter(F.col("bucket") == qkey), query_vec, k, id_col, vec_col
     )
+
+
+def _assign_udf(centroids):
+    """Arrow-batched nearest-centroid assignment: one (batch × k)
+    distance matrix per batch; ties break to the lowest cluster index
+    (numpy argmin). Centroids ride along in the closure — the Python
+    worker gets them once per task, the broadcast-variable pattern."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # k × dim
+
+    def assign(col):
+        if col.empty:
+            return pd.DataFrame({"cluster": [], "sq_dist": []})
+        V = np.vstack([np.asarray(a, dtype=np.float64) for a in col])
+        # ||v - c||² = ||v||² - 2 v·c + ||c||²
+        d2 = (
+            (V * V).sum(axis=1, keepdims=True)
+            - 2.0 * (V @ C.T)
+            + (C * C).sum(axis=1)
+        )
+        cl = d2.argmin(axis=1)
+        best = np.maximum(d2[np.arange(len(cl)), cl], 0.0)
+        return pd.DataFrame(
+            {"cluster": cl.astype("int32"), "sq_dist": best}
+        )
+
+    assign.__annotations__ = {"col": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(assign, "cluster int, sq_dist double")
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means, Spark-first: each iteration is one distributed
+    pass (Arrow-batched nearest-centroid + a (cluster, dim) mean
+    aggregation); only the k×dim centroid matrix crosses the driver
+    boundary per iteration — the data never does. Deterministic:
+    centroids init from rows id 0..k-1, argmin ties take the lowest
+    cluster. Returns (id, cluster, sq_dist) assignments."""
+    init = (
+        embeddings.filter(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(to_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in init]
+
+    for _ in range(iters):
+        assigned = embeddings.select(
+            F.col(id_col),
+            to_double(F.col(vec_col)).alias("__v"),
+            _assign_udf(centroids)(F.col(vec_col)).alias("__a"),
+        ).select(id_col, "__v", "__a.cluster", "__a.sq_dist")
+        means = (
+            assigned.select("cluster", F.posexplode("__v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "m"))
+                    ),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new_centroids = list(centroids)
+        for r in means:
+            new_centroids[r["cluster"]] = list(r["centroid"])
+        centroids = new_centroids
+
+    return embeddings.select(
+        F.col(id_col),
+        _assign_udf(centroids)(F.col(vec_col)).alias("__a"),
+    ).select(id_col, "__a.cluster", "__a.sq_dist")

@@ -984,6 +984,74 @@ def docs_top_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding centroid aggregation — the k-means inner step as one
+# distributed pass: explode (vector, dim) pairs, aggregate per
+# (cluster, dim). Stats stay in EXACT integer micro-units (sum of
+# round(x·1e6)) so the cross-engine hash can't wobble on float
+# summation order; the float centroid is sum_micro / n / 1e6.
+# Restricted to the first 8 dims to keep the gate's output compact.
+# ---------------------------------------------------------------------------
+@_register(
+    "embedding_cluster_centroids",
+    """
+    SELECT vec_id % 4 AS cluster, d AS dim,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS sum_micro
+    FROM embeddings, generate_series(1, 8) AS t(d)
+    GROUP BY cluster, dim ORDER BY cluster, dim
+    """,
+)
+def embedding_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        (F.col("vec_id") % 4).alias("cluster"),
+        F.posexplode(F.slice(to_double(F.col("embedding")), 1, 8)).alias(
+            "pos", "x"
+        ),
+    )
+    return (
+        pairs.select(
+            "cluster",
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            # FLOOR(x+0.5), not ROUND: engines disagree on round-half
+            # tie rules for doubles; this formula is identical in both
+            F.floor(F.col("x") * 1000000 + 0.5).cast("long").alias("micro"),
+        )
+        .groupBy("cluster", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("micro").alias("sum_micro"),
+        )
+        .orderBy("cluster", "dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-means over embeddings — the one genuinely ITERATIVE algorithm in
+# the surface (rows-only driver check: no closed-form SQL twin).
+# Scale shape: per iteration ONE pass over the data — centroids
+# broadcast inside an Arrow-batched argmin, then a (cluster, dim)
+# aggregation recomputes means; only k×dim floats ever reach the
+# driver. Deterministic: init = vectors 0..k-1, ties → lowest cluster.
+# ---------------------------------------------------------------------------
+@_register("embedding_kmeans_clusters", None)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.similarity import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit(emb, k=4, iters=3)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.sum("sq_dist"), 2).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic hash sampling / train-val-test splitting — the scalable
 # substitute for random sampling in a training-data pipeline: the split
 # is a pure function of the id (md5 mod 100), so it is reproducible
