@@ -107,3 +107,58 @@ def test_densified_matrix_has_every_cell(spark):
     vals = {(r["g"], r["p"]): r["cell"] for r in cells}
     assert vals[("g1", "p1")] == 10.0
     assert vals[("g2", "p2")] is None
+
+
+def test_as_of_join_strict_vs_inclusive(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from epl_cas_etl_2026_spark.operators.windows import as_of_join
+
+    t = lambda m: dt.datetime(2026, 1, 1, 12, m)
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (2, 10, t(10)), (3, 20, t(3))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, t(5)), (101, 10, t(2)), (102, 30, t(1))],
+        "r_id long, user_id long, r_ts timestamp",
+    )
+    strict = {
+        r["event_id"]: r["r_id"]
+        for r in as_of_join(
+            left, right, "user_id", "ts", "r_ts", ["r_id"], strict=True
+        ).collect()
+    }
+    # same-instant right row must NOT match under strict <
+    assert strict == {1: 101, 2: 100, 3: None}
+    inclusive = {
+        r["event_id"]: r["r_id"]
+        for r in as_of_join(
+            left, right, "user_id", "ts", "r_ts", ["r_id"], strict=False
+        ).collect()
+    }
+    # ... and MUST match under <=
+    assert inclusive == {1: 100, 2: 100, 3: None}
+
+
+def test_as_of_join_plan_single_shuffle_no_range_join(spark):
+    import datetime as dt
+
+    from epl_cas_etl_2026_spark.operators.windows import as_of_join
+
+    t = lambda m: dt.datetime(2026, 1, 1, 12, m)
+    left = spark.createDataFrame(
+        [(1, 10, t(5))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, 10, t(4))], "r_id long, user_id long, r_ts timestamp"
+    )
+    joined = as_of_join(left, right, "user_id", "ts", "r_ts", ["r_id"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # the scalable shape: a union + ONE keyed window — never a
+    # nested-loop/range join and never a single-partition window
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Window") >= 1
