@@ -47,6 +47,9 @@ HEADLINE = [
     "events_session_windows_native",
     "orders_approx_distinct",
     "orders_global_rank_two_phase",
+    "top_unshipped_orders_q3",
+    "purchase_attribution_asof",
+    "events_user_moving_sum",
 ]
 
 

@@ -984,6 +984,43 @@ def docs_top_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Window FRAME spec — 7-row moving sum per user (ROWS BETWEEN 6
+# PRECEDING AND CURRENT ROW). The rolling stat is kept in exact
+# integer cents (FLOOR(value·100+0.5)) so sliding-window
+# implementations (running-sum subtraction vs recompute) can't drift
+# apart across engines.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_user_moving_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS mov7_sum_cents
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def events_user_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.sum(cents).over(w).alias("mov7_sum_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding centroid aggregation — the k-means inner step as one
 # distributed pass: explode (vector, dim) pairs, aggregate per
 # (cluster, dim). Stats stay in EXACT integer micro-units (sum of

@@ -669,6 +669,67 @@ def top10_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J1+A5+O3 at fact scale — the TPC-H Q3 shape: 3-way dim⋈fact⋈fact
+# join (customer broadcasts; orders⋈lineitem shuffles on the join
+# key), decimal-exact revenue, TakeOrderedAndProject top-10. Both
+# date filters and the segment filter push into the parquet scans.
+# ---------------------------------------------------------------------------
+@_register(
+    "top_unshipped_orders_q3",
+    """
+    SELECT l_orderkey,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))
+                 * CAST(1 - l_discount AS DECIMAL(8,6))) AS DOUBLE), 0)
+             AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def top_unshipped_orders_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-06-01"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-06-01"
+    )
+    revenue = F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(27,6)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+        ).cast("double"),
+        0,
+    ).alias("revenue")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # W1 at fact scale — two-phase global competition rank: range
 # partition on the score + local rank + prefix offsets, so NO
 # single-partition WindowExec exists in the plan. This is the path
