@@ -71,6 +71,8 @@ def main() -> None:
     QUERIES["segment_counts"](spark, SF_DIR).collect()
     QUERIES["embedding_near_dup_cosine"](spark, "/root/testdata/sf0.001").collect()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -78,6 +80,13 @@ def main() -> None:
         rows = fn(spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         assert rows is not None
+        # Reclaim per-query internals between measurements: LSH/minhash
+        # queries persist their signature frames (intra-query reuse);
+        # letting them accumulate across 20+ queries drives old-gen GC
+        # pressure that distorts later timings. gc.collect() drops the
+        # Python refs so the ContextCleaner can also reap checkpoints.
+        spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(
