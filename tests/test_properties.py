@@ -96,3 +96,75 @@ def test_dedup_idempotent_under_redelivery(spark, keys, redeliver):
     )
     assert got_once == got_many
     assert "k0" not in got_once
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=12,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=0,
+        max_size=12,
+    ),
+    strict=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_as_of_join_matches_bruteforce(spark, lefts, rights, strict):
+    import datetime as dt
+
+    from epl_cas_etl_2026_spark.operators.windows import as_of_join
+
+    base = dt.datetime(2026, 1, 1)
+    ts = lambda m: base + dt.timedelta(minutes=m)
+    # dedup right ties on (key, ts): operator contract (deterministic
+    # pick is the caller's job) — keep max payload like the query does
+    rmap = {}
+    for k, m in rights:
+        rmap[(k, m)] = max(rmap.get((k, m), -1), m * 10 + k)
+    left_rows = [(i, k, ts(m)) for i, (k, m) in enumerate(lefts)]
+    right_rows = [(p, k, ts(m)) for (k, m), p in rmap.items()]
+    ldf = spark.createDataFrame(
+        left_rows, "event_id long, user_id long, ts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        right_rows or [(None, None, None)],
+        "r_id long, user_id long, r_ts timestamp",
+    ).filter(F.col("r_id").isNotNull())
+
+    got = {
+        r["event_id"]: r["r_id"]
+        for r in as_of_join(
+            ldf, rdf, "user_id", "ts", "r_ts", ["r_id"], strict=strict
+        ).collect()
+    }
+
+    def brute(i, k, t):
+        cands = [
+            (rt, p)
+            for (rk, rm), p in rmap.items()
+            if rk == k
+            for rt in [ts(rm)]
+            if (rt < t if strict else rt <= t)
+        ]
+        return max(cands)[1] if cands else None
+
+    expected = {i: brute(i, k, ts(m)) for i, (k, m) in enumerate(lefts)}
+    assert got == expected
+
+
+def test_kmeans_deterministic_and_total(spark):
+    from epl_cas_etl_2026_spark.operators.similarity import kmeans_fit
+    from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    a1 = kmeans_fit(emb, k=3, iters=2).collect()
+    a2 = kmeans_fit(emb, k=3, iters=2).collect()
+    assert {r["vec_id"]: r["cluster"] for r in a1} == {
+        r["vec_id"]: r["cluster"] for r in a2
+    }
+    assert len(a1) == n  # every vector assigned exactly once
+    assert all(0 <= r["cluster"] < 3 and r["sq_dist"] >= 0 for r in a1)
