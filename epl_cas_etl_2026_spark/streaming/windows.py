@@ -102,3 +102,46 @@ def incremental_zenput_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T2 as a TRUE stream: exactly-once-ish dedup on the natural key
+    with watermark-bounded state (``dropDuplicatesWithinWatermark``) —
+    the state store holds only keys inside the watermark horizon, so
+    memory is bounded no matter how long the stream runs. This is the
+    streaming twin of the batch anti-join
+    (etl/pipeline.dedup_against_sink); re-delivered records inside the
+    horizon are dropped, and the watermark contract says later
+    re-deliveries cannot arrive."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def stream_session_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native session windows on a stream: gap-merged, data-driven
+    bounds (`F.session_window`), watermark-bounded state. The batch
+    twin is the driver-gated `events_session_windows_native` query —
+    one definition of the semantics, two execution modes."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )

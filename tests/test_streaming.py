@@ -128,3 +128,74 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         assert latest["total_value"] == 7.0     # 1+2 carried into 4
     finally:
         q.stop()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from epl_cas_etl_2026_spark.streaming.windows import stream_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"key": "a", "ts": "2024-01-01T10:00:00", "v": 1.0},
+                {"key": "a", "ts": "2024-01-01T10:00:05", "v": 2.0},  # dup key
+                {"key": "b", "ts": "2024-01-01T10:01:00", "v": 3.0},
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.schema(schema).json(str(src))
+    )
+    deduped = stream_dedup(stream, ["key"], watermark="10 minutes")
+    q = run_stream_to_memory(deduped, "dedup_test", output_mode="append")
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select key from dedup_test").collect()
+        assert sorted(r["key"] for r in rows) == ["a", "b"]
+    finally:
+        q.stop()
+
+
+def test_stream_session_agg(spark, tmp_path):
+    from epl_cas_etl_2026_spark.streaming.windows import stream_session_agg
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "ts": "2024-01-01T10:00:00"},
+                {"user_id": 1, "ts": "2024-01-01T10:10:00"},  # same session
+                {"user_id": 1, "ts": "2024-01-01T12:00:00"},  # new session
+            ]
+        )
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    sess = stream_session_agg(stream, gap="30 minutes", watermark="1 hour")
+    q = run_stream_to_memory(sess, "sess_test", output_mode="append")
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select user_id, n_events from sess_test order by session_start"
+        ).collect()
+        # append mode emits only watermark-closed sessions: the first
+        # (2-event) session closed when event time advanced to 12:00
+        assert [(r["user_id"], r["n_events"]) for r in rows] == [(1, 2)]
+    finally:
+        q.stop()
