@@ -405,3 +405,20 @@ def test_append_idempotent_prunes_sink_scan(spark, tmp_path):
     assert "PushedFilters" in plan or "fecha_supervision" in plan
     assert append_idempotent(spark, batch2, path, "k", prune_col="fecha_supervision") == 1
     assert spark.read.parquet(path).count() == 3
+
+
+def test_merge_upsert_row_semantics(spark):
+    from epl_cas_etl_2026_spark.etl.pipeline import merge_upsert
+
+    sink = spark.createDataFrame(
+        [("a", 1.0, "keep"), ("b", 2.0, "old")],
+        "k string, score double, note string",
+    )
+    updates = spark.createDataFrame(
+        [("b", None, "new"), ("c", 3.0, "ins")],
+        "k string, score double, note string",
+    )
+    out = {r["k"]: (r["score"], r["note"]) for r in merge_upsert(sink, updates, "k").collect()}
+    assert out["a"] == (1.0, "keep")        # untouched
+    assert out["b"] == (None, "new")        # WHOLE row replaced (null kept)
+    assert out["c"] == (3.0, "ins")         # inserted
