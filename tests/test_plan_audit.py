@@ -1,0 +1,98 @@
+"""Physical-plan regression suite: the plan properties that make the
+headline queries scale are asserted, not assumed — a regression that
+drops a pushed filter, breaks a broadcast, or sneaks in a cartesian
+product fails here before it costs anything at scale.
+
+Assertions are deliberately loose (feature present / absent), not
+plan-string snapshots — AQE re-plans freely within them.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from epl_cas_etl_2026_spark.plans import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return (
+        QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def _pushed(plan: str) -> str:
+    return " ".join(re.findall(r"PushedFilters: \[[^\]]+\]", plan))
+
+
+# every query here must never build a cartesian product or an
+# all-pairs nested loop (the one BroadcastNestedLoopJoin we allow is
+# the tiny-build-side range join, tested separately)
+NO_CARTESIAN = [
+    "pricing_summary",
+    "top_unshipped_orders_q3",
+    "purchase_attribution_asof",
+    "docs_near_dup_pairs",
+    "embedding_near_dup_cosine",
+    "docs_contamination_check",
+    "orders_global_rank_two_phase",
+]
+
+
+@pytest.mark.parametrize("name", NO_CARTESIAN)
+def test_no_cartesian_product(spark, sf_oracle, name):
+    plan = _plan(spark, sf_oracle, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pricing_summary_scan_is_pruned(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "pricing_summary")
+    pushed = _pushed(plan)
+    assert "l_shipdate" in pushed  # date filter reaches the parquet scan
+    # projection pruning: the scan must not read money columns it
+    # doesn't need (l_tax is unused by this query)
+    m = re.search(r"ReadSchema: [^\n]*", plan)
+    assert m and "l_tax" not in m.group(0)
+
+
+def test_q3_broadcasts_and_topk(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "top_unshipped_orders_q3")
+    pushed = _pushed(plan)
+    assert "c_mktsegment" in pushed and "l_shipdate" in pushed
+    assert "BroadcastHashJoin" in plan  # dim side broadcast
+    assert "TakeOrderedAndProject" in plan  # top-k, not a full sort
+
+
+def test_asof_filters_pushed_and_window_keyed(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "purchase_attribution_asof")
+    pushed = _pushed(plan)
+    assert "purchase" in pushed and "click" in pushed
+    assert "SinglePartition" not in plan
+
+
+def test_range_join_build_side_is_broadcast(spark, sf_oracle):
+    # J7: the periods dim (~rows) must be the broadcast build side —
+    # a BroadcastNestedLoopJoin here is CORRECT (tiny side), the fact
+    # side must never shuffle for the join itself
+    plan = _plan(spark, sf_oracle, "orders_period_range_join")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_two_phase_rank_no_single_partition(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "orders_global_rank_two_phase")
+    assert "SinglePartition" not in plan
+
+
+def test_contamination_benchmark_side_broadcast(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "docs_contamination_check")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_cosine_is_take_ordered(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "embedding_topk_cosine")
+    assert "TakeOrderedAndProject" in plan
