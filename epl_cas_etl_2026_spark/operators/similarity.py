@@ -331,3 +331,60 @@ def kmeans_fit(
         F.col(id_col),
         _assign_udf(centroids)(F.col(vec_col)).alias("__a"),
     ).select(id_col, "__a.cluster", "__a.sq_dist")
+
+
+def lsh_params_for(
+    n_rows: int,
+    target_sim: float = 0.8,
+    target_recall: float = 0.9,
+    max_bands: int = 32,
+) -> tuple[int, int]:
+    """Pick (n_bands, rows_per_band) for :func:`band_lsh_pairs` from
+    the dataset size — the scale rule the fixed-bucket approach lacks:
+
+    * rows_per_band r ≈ log2(n): a random pair collides in a band
+      with prob 2^-r, so expected per-band bucket occupancy stays O(1)
+      and candidate volume ~O(n·b) instead of ~n²/const.
+    * n_bands b = smallest b with 1-(1-p^r)^b ≥ target_recall where
+      p = 1 - arccos(target_sim)/π — recall is recovered by adding
+      bands as r grows (capped at max_bands).
+    """
+    r = max(4, math.ceil(math.log2(max(n_rows, 2))))
+    p = 1.0 - math.acos(min(max(target_sim, -1.0), 1.0)) / math.pi
+    per_band = p**r
+    if per_band >= 1.0:
+        return 1, r
+    b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_band))
+    return min(max(b, 1), max_bands), r
+
+
+def band_lsh_pairs_auto(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    target_sim: float = 0.8,
+    target_recall: float = 0.9,
+    seed: int = 7,
+) -> DataFrame:
+    """:func:`band_lsh_pairs` with (b, r) chosen from the actual row
+    count — candidates shrink as n grows. One count() pass to size the
+    index; at production scale the count comes from table stats
+    instead. (The driver-gated query pins FIXED (b, r) so its DuckDB
+    twin can reproduce the banding; this is the operational entry
+    point.)"""
+    n = embeddings.count()
+    b, r = lsh_params_for(n, target_sim, target_recall)
+    planes = [
+        [round(x, 4) for x in p] for p in hyperplanes(dim, b * r, seed=seed)
+    ]
+    return band_lsh_pairs(
+        embeddings,
+        planes,
+        n_bands=b,
+        rows_per_band=r,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+    )

@@ -235,3 +235,31 @@ def test_band_lsh_pairs_finds_planted_near_dup(spark):
     found = {(r["id_a"], r["id_b"]): r["sim"] for r in pairs}
     assert (0, 1) in found and found[(0, 1)] > 0.99
     assert all(a != 2 and b != 2 for a, b in found)  # anti never passes
+
+
+def test_lsh_params_scale_with_n():
+    from epl_cas_etl_2026_spark.operators.similarity import lsh_params_for
+
+    b1, r1 = lsh_params_for(1_000)
+    b2, r2 = lsh_params_for(1_000_000)
+    b3, r3 = lsh_params_for(1_000_000_000)
+    # bits per band grow ~log2(n) → buckets per band grow with n,
+    # keeping candidate volume ~O(n·b) instead of ~n²/const
+    assert r1 < r2 < r3
+    assert 2**r3 >= 1_000_000_000 / 2
+    # recall is recovered with more bands as r grows
+    assert b1 <= b2 <= b3
+
+
+def test_band_lsh_auto_finds_planted_pair(spark):
+    from epl_cas_etl_2026_spark.operators.similarity import band_lsh_pairs_auto
+
+    base = [1.0, 0.5, -0.3, 0.8, 0.1, -0.9, 0.4, 0.2]
+    vecs = spark.createDataFrame(
+        [(0, base), (1, [x * 1.01 for x in base]), (2, [-x for x in base])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = band_lsh_pairs_auto(
+        vecs, dim=8, threshold=0.9, target_sim=0.95
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
