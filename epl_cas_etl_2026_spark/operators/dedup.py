@@ -297,3 +297,87 @@ def simhash64(text: Column, use_md5: bool = False) -> Column:
             vote > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def simhash60_udf():
+    """Arrow-batched SimHash-60 (md5-token variant) — bit-identical to
+    :func:`simhash64` ``use_md5=True`` and to the DuckDB oracle, but
+    vectorized: the expression form runs 60 interpreted HOF aggregates
+    per row, which is why the expression-based query bounds its input;
+    this one handles the full corpus. One numpy vote matrix per doc."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    idx = np.arange(60, dtype=np.int64)
+
+    def sh(col):
+        out = []
+        for text in col:
+            toks = set((text or "").split(" "))
+            votes = np.zeros(60, dtype=np.int64)
+            for t in toks:
+                h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                bits = (h >> idx) & 1
+                votes += 2 * bits - 1
+            val = 0
+            for i in range(60):
+                if votes[i] > 0:
+                    val |= 1 << i
+            out.append(val)
+        return pd.Series(out, dtype="int64")
+
+    sh.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(sh, "long")
+
+
+def simhash_near_dup_pairs(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    n_bands: int = 4,
+    band_bits: int = 15,
+):
+    """SimHash near-dup via band join: split the 60-bit hash into
+    ``n_bands`` bands; a pair is a CANDIDATE iff some whole band is
+    equal (pigeonhole: any pair with hamming < n_bands is guaranteed
+    caught), then verify bit_count(xor) <= max_hamming exactly. One
+    shuffle on the band keys — no all-pairs stage."""
+    hashed = docs.select(
+        F.col(id_col), simhash60_udf()(F.col(text_col)).alias("h")
+    )
+    hashed.persist()
+    mask = (1 << band_bits) - 1
+    banded = hashed.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("h", k * band_bits).bitwiseAND(F.lit(mask))
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = hashed.select(F.col(id_col).alias("id_a"), F.col("h").alias("ha"))
+    hb = hashed.select(F.col(id_col).alias("id_b"), F.col("h").alias("hb"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -181,6 +181,64 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SimHash near-dup over the FULL corpus: 60-bit simhash (Arrow-
+# vectorized, md5-token variant both engines reproduce), banded into
+# 4×15-bit keys (pigeonhole: hamming < 4 guaranteed caught), exact
+# bit_count(xor) verify on candidates only. One shuffle on band keys.
+# ---------------------------------------------------------------------------
+_SIMHASH_SQL = """
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b)
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (hh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hh
+          FROM (SELECT doc_id,
+                       unnest(list_distinct(string_split(text, ' '))) AS tok
+                FROM documents)
+        ), generate_series(0, 59) AS t(b)
+        GROUP BY doc_id, b
+      ) GROUP BY doc_id
+"""
+
+
+@_register(
+    "docs_simhash_near_dup",
+    f"""
+    WITH sim AS ({_SIMHASH_SQL}),
+    banded AS (
+      SELECT doc_id, k AS band, (h >> (k * 15)) & 32767 AS key
+      FROM sim, generate_series(0, 3) AS t(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM banded a JOIN banded c
+        ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa.h, sb.h)) AS INTEGER) AS hamming
+    FROM cand
+    JOIN sim sa ON sa.doc_id = id_a
+    JOIN sim sb ON sb.doc_id = id_b
+    WHERE bit_count(xor(sa.h, sb.h)) <= 8
+    ORDER BY id_a, id_b
+    """,
+)
+def docs_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        simhash_near_dup_pairs(docs, max_hamming=8)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Near-duplicate detection: MinHash signatures → LSH band buckets →
 # exact Jaccard verify. No O(n²) pass anywhere.
 # ---------------------------------------------------------------------------
