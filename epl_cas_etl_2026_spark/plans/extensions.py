@@ -183,8 +183,10 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SimHash near-dup over the FULL corpus: 60-bit simhash (Arrow-
 # vectorized, md5-token variant both engines reproduce), banded into
-# 4×15-bit keys (pigeonhole: hamming < 4 guaranteed caught), exact
-# bit_count(xor) verify on candidates only. One shuffle on band keys.
+# 4×15-bit keys, exact bit_count(xor) verify on candidates only.
+# max_hamming=3 < n_bands ⇒ the band join has GUARANTEED 100% recall
+# (pigeonhole) — unlike the probabilistic LSH paths, this one is
+# exact w.r.t. its hamming threshold. One shuffle on band keys.
 # ---------------------------------------------------------------------------
 _SIMHASH_SQL = """
       SELECT doc_id,
@@ -223,7 +225,7 @@ _SIMHASH_SQL = """
     FROM cand
     JOIN sim sa ON sa.doc_id = id_a
     JOIN sim sb ON sb.doc_id = id_b
-    WHERE bit_count(xor(sa.h, sb.h)) <= 8
+    WHERE bit_count(xor(sa.h, sb.h)) <= 3
     ORDER BY id_a, id_b
     """,
 )
@@ -232,7 +234,7 @@ def docs_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        simhash_near_dup_pairs(docs, max_hamming=8)
+        simhash_near_dup_pairs(docs, max_hamming=3)
         .withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy("id_a", "id_b")
     )
