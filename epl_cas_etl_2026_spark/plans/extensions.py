@@ -448,6 +448,67 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Funnel conversion — ordered-sequence analytics (signup → click →
+# purchase, each step strictly after the previous FIRST occurrence).
+# Three stage frames chained by broadcast-size per-user timestamps;
+# shuffles only on user_id.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_funnel_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 'step1_signup' AS step, COUNT(*) AS n_users FROM s1
+      UNION ALL SELECT 'step2_click_after_signup', COUNT(*) FROM s2
+      UNION ALL SELECT 'step3_purchase_after_click', COUNT(*) FROM s3
+    ) ORDER BY step
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame | None, prev_t: str, out_t: str):
+        step = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            step = step.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return step.groupBy("user_id").agg(F.min("ts").alias(out_t))
+
+    s1 = first_after("signup", None, "", "t1")
+    s2 = first_after("click", s1, "t1", "t2")
+    s3 = first_after("purchase", s2, "t2", "t3")
+    counts = [
+        s1.agg(F.count(F.lit(1)).alias("n_users")).withColumn(
+            "step", F.lit("step1_signup")
+        ),
+        s2.agg(F.count(F.lit(1)).alias("n_users")).withColumn(
+            "step", F.lit("step2_click_after_signup")
+        ),
+        s3.agg(F.count(F.lit(1)).alias("n_users")).withColumn(
+            "step", F.lit("step3_purchase_after_click")
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.select("step", "n_users").orderBy("step")
+
+
+# ---------------------------------------------------------------------------
 # F10 analogue — JSON navigation on the events props column.
 # ---------------------------------------------------------------------------
 @_register(
