@@ -448,6 +448,84 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact percentiles per group (sort-based distributed percentile —
+# linear interpolation, same formula in both engines). The sketch
+# path for 100 TB is approx_percentile (t-digest), engine-specific by
+# nature like HLL — the exact twin is the correctness anchor.
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_price_percentiles",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def orders_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts — users grouped by first-seen week, pivoted
+# on weeks-since-cohort (A10's pivot machinery on event data; the
+# standard activation/retention matrix).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_weekly_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch_us(MIN(ts)) / 604800000000) AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(FLOOR(epoch_us(e.ts) / 604800000000) AS BIGINT) - f.cohort_week
+               AS weeks_since
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week,
+           COUNT(DISTINCT CASE WHEN weeks_since = 0 THEN user_id END) AS w0,
+           COUNT(DISTINCT CASE WHEN weeks_since = 1 THEN user_id END) AS w1,
+           COUNT(DISTINCT CASE WHEN weeks_since = 2 THEN user_id END) AS w2,
+           COUNT(DISTINCT CASE WHEN weeks_since = 3 THEN user_id END) AS w3
+    FROM activity GROUP BY cohort_week ORDER BY cohort_week
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.floor(F.unix_micros("ts") / 604800000000)).cast("long")
+    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (week - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .distinct()
+    )
+    aggs = [
+        F.countDistinct(
+            F.when(F.col("weeks_since") == w, F.col("user_id"))
+        ).alias(f"w{w}")
+        for w in range(4)
+    ]
+    return activity.groupBy("cohort_week").agg(*aggs).orderBy("cohort_week")
+
+
+# ---------------------------------------------------------------------------
 # Funnel conversion — ordered-sequence analytics (signup → click →
 # purchase, each step strictly after the previous FIRST occurrence).
 # Three stage frames chained by broadcast-size per-user timestamps;
