@@ -448,6 +448,81 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Data-quality constraint report — expectations-style checks as ONE
+# scan + one aggregation row per table (operators/quality.py), plus a
+# referential-integrity anti-join. The kind of gate a production
+# pipeline runs before publishing a table.
+# ---------------------------------------------------------------------------
+@_register(
+    "dq_orders_constraints",
+    """
+    SELECT * FROM (
+      SELECT 'o_custkey__nulls' AS chk,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderkey__dup_rows',
+             COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus__bad_value',
+             CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice__out_of_range',
+             CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                       AND o_totalprice NOT BETWEEN 0 AND 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey__orphans',
+             (SELECT COUNT(*) FROM orders o
+              WHERE o.o_custkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+    ) ORDER BY chk
+    """,
+)
+def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.quality import (
+        allowed_values_violations,
+        check_constraints,
+        fk_violations,
+        not_null_violations,
+        range_violations,
+        unique_violations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    one_pass = check_constraints(
+        orders,
+        [
+            not_null_violations("o_custkey"),
+            unique_violations(orders, "o_orderkey"),
+            allowed_values_violations("o_orderstatus", ["O", "F", "P"]),
+            range_violations("o_totalprice", 0, 1_000_000),
+        ],
+    )
+    fk = fk_violations(orders, "o_custkey", customer, "c_custkey")
+    melted = one_pass.select(
+        F.explode(
+            F.create_map(
+                *[
+                    x
+                    for c in one_pass.columns
+                    for x in (F.lit(c), F.col(c).cast("long"))
+                ]
+            )
+        ).alias("chk", "violations")
+    )
+    fk_row = fk.select(
+        F.lit("o_custkey__orphans").alias("chk"),
+        F.col("o_custkey__orphans").cast("long").alias("violations"),
+    )
+    return melted.unionByName(fk_row).orderBy("chk")
+
+
+# ---------------------------------------------------------------------------
 # Exact percentiles per group (sort-based distributed percentile —
 # linear interpolation, same formula in both engines). The sketch
 # path for 100 TB is approx_percentile (t-digest), engine-specific by
