@@ -448,6 +448,49 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental rollup maintenance — the stored state is built by
+# MERGING two batch-level partial aggregates (pre/post a date split),
+# never re-scanning history; the oracle recomputes the rollup
+# directly over all rows. Hash-equality here PROVES merge == direct
+# (exact decimal sums merge associatively).
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_incremental_rollup",
+    """
+    SELECT o_orderpriority,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE), 2)
+             AS sum_price,
+           COUNT(*) AS n_rows
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.incremental import (
+        merge_aggs,
+        partial_aggs,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    split = "1998-01-01"
+    state = partial_aggs(
+        orders.filter(F.col("o_orderdate") < split),
+        ["o_orderpriority"],
+        ["o_totalprice"],
+    )
+    delta = partial_aggs(
+        orders.filter(F.col("o_orderdate") >= split),
+        ["o_orderpriority"],
+        ["o_totalprice"],
+    )
+    merged = merge_aggs(state, delta, ["o_orderpriority"])
+    return merged.select(
+        "o_orderpriority",
+        F.round(F.col("sum_o_totalprice").cast("double"), 2).alias("sum_price"),
+        F.col("n_rows"),
+    ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
 # Data-quality constraint report — expectations-style checks as ONE
 # scan + one aggregation row per table (operators/quality.py), plus a
 # referential-integrity anti-join. The kind of gate a production
