@@ -381,3 +381,65 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    edges,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+):
+    """Connected components by min-label propagation — the step that
+    turns near-dup PAIRS into duplicate CLUSTERS (pick one
+    representative per component to keep). Each round: every node
+    takes the min of its own label and its neighbors' labels — one
+    join + one groupBy; rounds needed = graph diameter (near-dup
+    clusters are dense, diameter is small). Per-round localCheckpoint
+    truncates the otherwise exponentially-growing iterative lineage.
+    For adversarial long-chain graphs swap in large-star/small-star
+    contraction (same join shape, O(log n) rounds).
+
+    Returns (node, component) where component = min node id reachable.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label").alias("nl")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("min_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("min_nbr", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

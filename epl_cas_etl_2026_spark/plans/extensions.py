@@ -241,6 +241,63 @@ def docs_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate CLUSTERS from near-dup pairs — connected components over
+# the simhash pair graph (min-label propagation; the dedup step that
+# picks one representative per cluster). Oracle: recursive-CTE
+# transitive closure in DuckDB — an independent algorithm arriving at
+# the same components.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_near_dup_clusters",
+    f"""
+    WITH RECURSIVE sim AS ({_SIMHASH_SQL}),
+    banded AS (
+      SELECT doc_id, k AS band, (h >> (k * 15)) & 32767 AS key
+      FROM sim, generate_series(0, 3) AS t(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM banded a JOIN banded c
+        ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sim sa ON sa.doc_id = id_a
+      JOIN sim sb ON sb.doc_id = id_b
+      WHERE bit_count(xor(sa.h, sb.h)) <= 3
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS n FROM sym),
+    reach(a, b) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.a, e.d FROM reach r JOIN sym e ON r.b = e.s
+    )
+    SELECT comp AS component, COUNT(*) AS cluster_size
+    FROM (SELECT a, MIN(b) AS comp FROM reach GROUP BY a)
+    GROUP BY comp ORDER BY comp
+    """,
+)
+def docs_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.dedup import (
+        connected_components,
+        simhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_dup_pairs(docs, max_hamming=3)
+    comps = connected_components(pairs, "id_a", "id_b")
+    return (
+        comps.groupBy(F.col("label").alias("component"))
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .orderBy("component")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Near-duplicate detection: MinHash signatures → LSH band buckets →
 # exact Jaccard verify. No O(n²) pass anywhere.
 # ---------------------------------------------------------------------------
