@@ -298,6 +298,98 @@ def docs_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup keep-best — the terminal dedup step: within each near-dup
+# cluster keep ONE representative (longest text, ties → lowest id);
+# docs in no cluster survive untouched. Output: per-lang corpus
+# before/after counts.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_dedup_keep_best",
+    f"""
+    WITH RECURSIVE sim AS ({_SIMHASH_SQL}),
+    banded AS (
+      SELECT doc_id, k AS band, (h >> (k * 15)) & 32767 AS key
+      FROM sim, generate_series(0, 3) AS t(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM banded a JOIN banded c
+        ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sim sa ON sa.doc_id = id_a
+      JOIN sim sb ON sb.doc_id = id_b
+      WHERE bit_count(xor(sa.h, sb.h)) <= 3
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS n FROM sym),
+    reach(a, b) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.a, e.d FROM reach r JOIN sym e ON r.b = e.s
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+    ranked AS (
+      SELECT d.doc_id, d.lang,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY length(d.text) DESC, d.doc_id)
+               AS rn
+      FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    kept AS (
+      SELECT doc_id, lang FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           (SELECT COUNT(*) FROM kept k WHERE k.lang = d.lang) AS n_kept
+    FROM documents d GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.dedup import (
+        connected_components,
+        simhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_dup_pairs(docs, max_hamming=3)
+    comps = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+    clustered = docs.join(comps, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc(F.length("text")), F.asc("doc_id")
+    )
+    kept_in_clusters = (
+        clustered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang")
+    )
+    unclustered = docs.join(comps, "doc_id", "left_anti").select(
+        "doc_id", "lang"
+    )
+    kept = kept_in_clusters.unionByName(unclustered)
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_counts = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        totals.join(kept_counts, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Near-duplicate detection: MinHash signatures → LSH band buckets →
 # exact Jaccard verify. No O(n²) pass anywhere.
 # ---------------------------------------------------------------------------
