@@ -69,7 +69,12 @@ def test_avg_null_injection_invariant(spark, vals, n_nulls):
         .agg(F.avg("v"))
         .collect()[0][0]
     )
-    assert a == b
+    # ulp-tolerant: the two frames partition differently, so the
+    # double summation order (and hence the last bit) may differ —
+    # the PROPERTY is that NULLs don't change the average.
+    import math
+
+    assert math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-12)
 
 
 @given(
