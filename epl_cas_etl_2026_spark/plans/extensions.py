@@ -902,6 +902,68 @@ def docs_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal fan-outs, driver-gated: video frame sampling (one row →
+# n_frames rows with byte offsets) and audio chunking (one row →
+# ceil(len/chunk) rows). Decode is stubbed (no media libs in this
+# container) but the fan-out shape, offsets, and partition behavior
+# are the real thing — the oracle recomputes every offset.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_frame_samples",
+    """
+    SELECT doc_id AS id, f AS frame_index,
+           CAST(f * (octet_length(encode(text)) // 4) AS BIGINT) AS byte_offset
+    FROM documents, generate_series(0, 3) AS t(f)
+    WHERE doc_id < 40
+    ORDER BY id, frame_index
+    """,
+)
+def docs_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.multimodal import frame_sample_stub
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    payload = with_binary_payload(docs, "text")
+    return frame_sample_stub(payload, n_frames=4).orderBy(
+        "id", "frame_index"
+    )
+
+
+@_register(
+    "docs_audio_chunks",
+    """
+    SELECT source,
+           CAST(SUM(CEIL(octet_length(encode(text)) / 16.0)) AS BIGINT)
+             AS n_chunks,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def docs_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.multimodal import audio_chunk_stub
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = audio_chunk_stub(
+        with_binary_payload(docs, "text"), chunk_bytes=16
+    )
+    per_doc = chunks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.first("total_bytes").alias("doc_bytes"),
+    )
+    docs_src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "source"
+    )
+    return (
+        per_doc.join(docs_src, "id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("doc_bytes").alias("total_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Language-ID (marker/n-gram heuristic): argmax of per-language marker
 # hits, first-max-wins on ties (lexicographic language order).
 # ---------------------------------------------------------------------------
