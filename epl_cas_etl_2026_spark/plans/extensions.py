@@ -1239,6 +1239,94 @@ def embedding_ann_ivf_signbits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multi-probe IVF ANN — probe the query's coarse bucket AND all
+# hamming-1 neighbor buckets (recall recovers without growing the
+# index): candidate set ~ (1 + n_bits)/2^n_bits of the data instead
+# of exact-bucket-only. Bucket distance via bit_count(xor).
+# ---------------------------------------------------------------------------
+@_register(
+    "embedding_ann_multiprobe",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {{signbits}} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+    FROM b, q
+    WHERE bit_count(xor(bucket, qb)) <= 1 AND vec_id <> 0
+    ORDER BY sim DESC, vec_id LIMIT 5
+    """.format(signbits="(" + " + ".join(
+        f"CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+        for i in range(6)
+    ) + ")"),
+)
+def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    bucketed = emb.withColumn("bucket", _signbits_col(F.col("v")))
+    q = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    probed = bucketed.join(
+        F.broadcast(q),
+        F.bit_count(
+            F.col("bucket").bitwiseXOR(F.col("qb")).cast("long")
+        ) <= 1,
+    ).filter(F.col("vec_id") != 0)
+    return (
+        probed.select(
+            "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratio — distinct-token share per doc (the boilerplate /
+# degenerate-text signal pretraining filters use): per-lang average
+# and count of highly repetitive docs.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_repetition_ratio",
+    """
+    WITH r AS (
+      SELECT lang,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / nullif(len(string_split(text, ' ')), 0) AS ratio
+      FROM documents
+    )
+    SELECT lang,
+           ROUND(AVG(ratio), 4) AS avg_distinct_ratio,
+           CAST(SUM(CASE WHEN ratio < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetitive
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+)
+def docs_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ratio = F.size(F.array_distinct(toks)) * 1.0 / F.nullif(
+        F.size(toks).cast("double"), F.lit(0.0)
+    )
+    return (
+        docs.withColumn("ratio", ratio)
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("ratio"), 4).alias("avg_distinct_ratio"),
+            F.sum(F.when(F.col("ratio") < 0.5, 1).otherwise(0)).alias(
+                "n_repetitive"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # F11 — priority-ordered JSON field extraction (etl_sync.py:160-177:
 # first matching title wins) re-expressed as a coalesce chain over the
 # events props document.
