@@ -145,3 +145,17 @@ def stream_session_agg(
             "n_events",
         )
     )
+
+
+def stream_enrich_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join (J5/J9 on a stream): the static
+    dim side is broadcast per micro-batch, so the stream side never
+    shuffles and no state store is involved — the streaming twin of
+    the batch broadcast FK joins. The dim is re-resolved each batch,
+    so slowly-changing dims pick up updates without restarting."""
+    return stream.join(F.broadcast(dim), on, how)

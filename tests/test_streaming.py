@@ -199,3 +199,38 @@ def test_stream_session_agg(spark, tmp_path):
         assert [(r["user_id"], r["n_events"]) for r in rows] == [(1, 2)]
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    from epl_cas_etl_2026_spark.streaming.windows import stream_enrich_static
+
+    schema = T.StructType(
+        [
+            T.StructField("loc", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = tmp_path / "enrich_in"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"loc": "L1", "ts": "2024-01-01T10:00:00"},
+                {"loc": "L9", "ts": "2024-01-01T10:01:00"},  # no dim row
+            ]
+        )
+    )
+    dim = spark.createDataFrame(
+        [("L1", "Sucursal A")], "loc string, nombre string"
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    enriched = stream_enrich_static(stream, dim, "loc")
+    q = run_stream_to_memory(enriched, "enrich_test", output_mode="append")
+    try:
+        q.processAllAvailable()
+        rows = {r["loc"]: r["nombre"] for r in spark.sql(
+            "select loc, nombre from enrich_test").collect()}
+        assert rows == {"L1": "Sucursal A", "L9": None}
+    finally:
+        q.stop()
