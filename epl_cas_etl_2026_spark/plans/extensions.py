@@ -1327,6 +1327,41 @@ def docs_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TRUE IVF ANN — learned coarse quantizer: k-means centroids cluster
+# the embeddings, the query probes only its nearest centroid's
+# inverted list, exact cosine inside it. This is the production IVF
+# shape (faiss-style); the sign-bit variants above are the
+# quantizer-free alternatives. Rows-only check: the centroids come
+# from the iterative k-means, which has no closed-form SQL twin.
+# ---------------------------------------------------------------------------
+@_register("embedding_ann_ivf_kmeans", None)
+def embedding_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.similarity import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # coarse quantizer: k=8 centroids, 2 Lloyd iterations
+    assigned = kmeans_fit(emb, k=8, iters=2)
+    lists = emb.join(assigned.select("vec_id", "cluster"), "vec_id")
+    q = lists.filter(F.col("vec_id") == 0).select(
+        to_double(F.col("embedding")).alias("qv"),
+        F.col("cluster").alias("qc"),
+    )
+    probed = lists.join(F.broadcast(q), F.col("cluster") == F.col("qc")).filter(
+        F.col("vec_id") != 0
+    )
+    return (
+        probed.select(
+            "vec_id",
+            F.round(
+                cosine(to_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
 # F11 — priority-ordered JSON field extraction (etl_sync.py:160-177:
 # first matching title wins) re-expressed as a coalesce chain over the
 # events props document.
