@@ -69,7 +69,9 @@ def main() -> None:
     # Python-worker pool (the LSH queries' pandas_udf stages), primed
     # at the smoke scale so steady-state throughput is what's measured
     QUERIES["segment_counts"](spark, SF_DIR).collect()
-    QUERIES["embedding_near_dup_cosine"](spark, "/root/testdata/sf0.001").collect()
+    # sf0.01 (not sf0.001): AQE picks the same physical join strategies
+    # as sf0.1 there, so the compiled codegen classes actually get reused
+    QUERIES["embedding_near_dup_cosine"](spark, "/root/testdata/sf0.01").collect()
 
     import gc
 
