@@ -115,6 +115,8 @@ _LIFECYCLE_ORACLE = f"""
       SELECT 'active_period_after_transition' AS metric,
              CASE WHEN (SELECT COUNT(DISTINCT loc) FROM early) = {_N_LOCS}
                   THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS value
+      UNION ALL SELECT 'admin_edit_days', 28
+      UNION ALL SELECT 'admin_set_active_ok', 1
       UNION ALL SELECT 'audit_success_runs', 3
       UNION ALL SELECT 'detail_rows', (SELECT COUNT(*) FROM feed)
       UNION ALL SELECT 'master_rows', (SELECT COUNT(*) FROM feed)
@@ -210,11 +212,33 @@ def etl_sync_lifecycle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # T6: coverage of the active period is below total → no move
         transitioned = period_transition(periodos, repaired, sucursales)
         active_after = transitioned.filter(F.col("activo")).collect()[0]["id"]
+
+        # §3.3 admin mutations through the real operators: activate
+        # exactly one period, then edit its date range
+        from epl_cas_etl_2026_spark.etl.pipeline import (
+            set_active_period,
+            update_period_dates,
+        )
+
+        admin = set_active_period(periodos, 2)
+        admin_active = admin.filter(F.col("activo")).collect()
+        admin_set_ok = int(
+            len(admin_active) == 1 and admin_active[0]["id"] == 2
+        )
+        edited = update_period_dates(
+            periodos, 2, "1998-02-01", "1998-03-01"
+        )
+        edited_row = edited.filter(F.col("id") == 2).collect()[0]
+        admin_edit_days = (
+            edited_row["fecha_fin"] - edited_row["fecha_inicio"]
+        ).days
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
     rows = [
         ("active_period_after_transition", int(active_after)),
+        ("admin_edit_days", int(admin_edit_days)),
+        ("admin_set_active_ok", int(admin_set_ok)),
         ("audit_success_runs", int(audit_success)),
         ("detail_rows", int(detail_rows)),
         ("master_rows", int(master_rows)),
