@@ -715,6 +715,77 @@ def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distributed moments: stddev + correlation per group computed from
+# EXACT decimal moments (Σx, Σx², Σxy in integer cents), then the
+# same closed-form double arithmetic on both engines — immune to the
+# engine-specific variance algorithms (Welford vs sum-of-squares)
+# that make naive STDDEV/CORR cross-engine unstable. Moments merge
+# associatively, so this is also incremental-maintenance-ready.
+# ---------------------------------------------------------------------------
+@_register(
+    "lineitem_moments_stats",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 100 + 0.5) AS HUGEINT)) AS sq,
+             SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS HUGEINT)) AS sp,
+             SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 100 + 0.5) AS HUGEINT)
+                 * CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 100 + 0.5) AS HUGEINT)) AS sqq,
+             SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS HUGEINT)
+                 * CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS HUGEINT)) AS spp,
+             SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 100 + 0.5) AS HUGEINT)
+                 * CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS HUGEINT)) AS sqp
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(SQRT((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n)
+                 / (n - 1)) / 100, 4) AS stddev_qty,
+           ROUND(SQRT((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n)
+                 / (n - 1)) / 100, 2) AS stddev_price,
+           ROUND((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / n)
+                 / SQRT((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n)
+                        * (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n)),
+                 6) AS corr_qty_price
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def lineitem_moments_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qc = F.floor(F.col("l_quantity") * 100 + 0.5).cast("decimal(38,0)")
+    pc = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("decimal(38,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qc).alias("sq"),
+        F.sum(pc).alias("sp"),
+        F.sum(qc * qc).alias("sqq"),
+        F.sum(pc * pc).alias("spp"),
+        F.sum(qc * pc).alias("sqp"),
+    )
+    n = F.col("n").cast("double")
+    sq, sp = F.col("sq").cast("double"), F.col("sp").cast("double")
+    sqq, spp, sqp = (
+        F.col("sqq").cast("double"),
+        F.col("spp").cast("double"),
+        F.col("sqp").cast("double"),
+    )
+    var_q = (sqq - sq * sq / n) / (n - 1)
+    var_p = (spp - sp * sp / n) / (n - 1)
+    cov_num = sqp - sq * sp / n
+    return m.select(
+        "l_returnflag",
+        F.col("n"),
+        F.round(F.sqrt(var_q) / 100, 4).alias("stddev_qty"),
+        F.round(F.sqrt(var_p) / 100, 2).alias("stddev_price"),
+        F.round(
+            cov_num
+            / F.sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)),
+            6,
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
 # Exact percentiles per group (sort-based distributed percentile —
 # linear interpolation, same formula in both engines). The sketch
 # path for 100 TB is approx_percentile (t-digest), engine-specific by
