@@ -21,7 +21,11 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from epl_cas_etl_2026_spark.functions.scalars import color_class, territorio
+from epl_cas_etl_2026_spark.functions.scalars import (
+    color_class,
+    det_avg_sql,
+    territorio,
+)
 from epl_cas_etl_2026_spark.operators.ranking import competition_rank, intra_group_rank
 from epl_cas_etl_2026_spark.operators.windows import (
     latest_per_key,
@@ -726,6 +730,80 @@ def top_unshipped_orders_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL API surface — the engine is equally drivable through
+# spark.sql over registered views (sources/parquet.register_views);
+# this query is authored as raw Spark SQL end-to-end. Also the only
+# supplier-dim aggregation in the surface.
+# ---------------------------------------------------------------------------
+@_register(
+    "supplier_acctbal_by_nation",
+    f"""
+    SELECT n_name,
+           COUNT(*) AS n_suppliers,
+           {det_avg_sql('s_acctbal')} AS avg_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def supplier_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               COUNT(*) AS n_suppliers,
+               CAST(ROUND(AVG(CAST(s_acctbal AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS avg_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6+J at fact⋈dim scale — the TPC-H Q14 shape: promo revenue share.
+# part (2k-200k rows) broadcasts under the session threshold; the
+# lineitem side never shuffles. Decimal-exact revenue both engines.
+# ---------------------------------------------------------------------------
+@_register(
+    "promo_revenue_share_q14",
+    """
+    SELECT ROUND(CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(27,6))
+                      * CAST(1 - l_discount AS DECIMAL(8,6))
+                 ELSE 0 END)
+               / SUM(CAST(l_extendedprice AS DECIMAL(27,6))
+                     * CAST(1 - l_discount AS DECIMAL(8,6))) AS DOUBLE), 4)
+             AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+)
+def promo_revenue_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-02-01")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(27,6)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,6)")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+                / F.sum(rev)
+            ).cast("double"),
+            4,
+        ).alias("promo_revenue_pct")
     )
 
 
