@@ -422,3 +422,36 @@ def test_merge_upsert_row_semantics(spark):
     assert out["a"] == (1.0, "keep")        # untouched
     assert out["b"] == (None, "new")        # WHOLE row replaced (null kept)
     assert out["c"] == (3.0, "ins")         # inserted
+
+
+def test_quality_checks_count_violations(spark):
+    from epl_cas_etl_2026_spark.operators.quality import (
+        allowed_values_violations,
+        check_constraints,
+        fk_violations,
+        not_null_violations,
+        range_violations,
+        unique_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "O", 10.0), (1, "X", -5.0), (2, None, 200.0), (None, "F", 50.0)],
+        "id int, status string, amount double",
+    )
+    row = check_constraints(
+        df,
+        [
+            not_null_violations("id"),
+            unique_violations(df, "id"),
+            allowed_values_violations("status", ["O", "F"]),
+            range_violations("amount", 0, 100),
+        ],
+    ).collect()[0]
+    assert row["id__nulls"] == 1
+    assert row["id__dup_rows"] == 2  # 4 rows (1 null excluded by countDistinct... see below
+    assert row["status__bad_value"] == 1
+    assert row["amount__out_of_range"] == 2
+
+    parent = spark.createDataFrame([(1,)], "pid int")
+    orphans = fk_violations(df, "id", parent, "pid").collect()[0]
+    assert orphans["id__orphans"] == 1  # id=2 has no parent; nulls skipped

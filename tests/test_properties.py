@@ -173,3 +173,38 @@ def test_kmeans_deterministic_and_total(spark):
     }
     assert len(a1) == n  # every vector assigned exactly once
     assert all(0 <= r["cluster"] < 3 and r["sq_dist"] >= 0 for r in a1)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=12,
+    ),
+    cut=st.integers(min_value=0, max_value=12),
+)
+@settings(**_SETTINGS)
+def test_incremental_merge_equals_direct(spark, vals, cut):
+    from epl_cas_etl_2026_spark.operators.incremental import (
+        merge_aggs,
+        partial_aggs,
+    )
+
+    rows = [(k, float(v)) for k, v in vals]
+    cut = min(cut, len(rows))
+    full = spark.createDataFrame(rows, "k string, v double")
+    p1 = spark.createDataFrame(rows[:cut] or [("zz", 0.0)], "k string, v double").filter("k != 'zz'")
+    p2 = spark.createDataFrame(rows[cut:] or [("zz", 0.0)], "k string, v double").filter("k != 'zz'")
+    direct = {
+        r["k"]: (str(r["sum_v"]), r["n_rows"])
+        for r in partial_aggs(full, ["k"], ["v"]).collect()
+    }
+    merged = {
+        r["k"]: (str(r["sum_v"]), r["n_rows"])
+        for r in merge_aggs(
+            partial_aggs(p1, ["k"], ["v"]),
+            partial_aggs(p2, ["k"], ["v"]),
+            ["k"],
+        ).collect()
+    }
+    assert direct == merged  # decimal sums merge EXACTLY, not approximately
