@@ -864,6 +864,84 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Set operations beyond UNION (engine breadth past the reference's
+# surface): INTERSECT and EXCEPT with proper bag→set semantics.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_user_set_ops",
+    """
+    SELECT * FROM (
+      SELECT 'clicked_and_purchased' AS cohort, COUNT(*) AS n_users FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+      UNION ALL
+      SELECT 'clicked_never_purchased', COUNT(*) FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+    ) ORDER BY cohort
+    """,
+)
+def events_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clickers.intersect(buyers).agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).withColumn("cohort", F.lit("clicked_and_purchased"))
+    # subtract = EXCEPT DISTINCT (set semantics) — exceptAll would be
+    # bag difference and keep a user with more clicks than purchases
+    only = clickers.subtract(buyers).agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).withColumn("cohort", F.lit("clicked_never_purchased"))
+    return both.unionByName(only).select("cohort", "n_users").orderBy("cohort")
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide → long): the inverse of the A10 pivot, via the native
+# melt operator — round-trips the segment matrix back to long form.
+# ---------------------------------------------------------------------------
+@_register(
+    "region_segment_unpivot",
+    """
+    WITH wide AS (
+      SELECT r_name,
+             SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BUILDING,
+             SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS MACHINERY
+      FROM region
+      JOIN nation ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      GROUP BY r_name
+    )
+    SELECT r_name, seg, CAST(n AS BIGINT) AS n
+    FROM wide UNPIVOT (n FOR seg IN (BUILDING, MACHINERY))
+    ORDER BY r_name, seg
+    """,
+)
+def region_segment_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    wide = (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(
+                F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+            ).alias("BUILDING"),
+            F.sum(
+                F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0)
+            ).alias("MACHINERY"),
+        )
+    )
+    return wide.unpivot(
+        "r_name", ["BUILDING", "MACHINERY"], "seg", "n"
+    ).orderBy("r_name", "seg")
+
+
+# ---------------------------------------------------------------------------
 # Funnel conversion — ordered-sequence analytics (signup → click →
 # purchase, each step strictly after the previous FIRST occurrence).
 # Three stage frames chained by broadcast-size per-user timestamps;
