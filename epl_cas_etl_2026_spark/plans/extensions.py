@@ -1889,6 +1889,127 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing — assign docs to fixed-capacity context windows by
+# cumulative token count (deterministic doc_id order): bin id =
+# floor(cumsum_before / capacity). One window cumsum, no driver loop;
+# the streaming-friendly stand-in for greedy first-fit packing (whose
+# strict sequential dependence doesn't distribute). Reports packing
+# efficiency: bins, fill, docs per bin.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_pack_sequences",
+    """
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tok,
+             CAST(FLOOR((SUM(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                  / 2048) AS BIGINT) AS bin
+      FROM toks
+    ),
+    bins AS (
+      SELECT bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+      FROM packed GROUP BY bin
+    )
+    SELECT COUNT(*) AS n_bins,
+           CAST(MIN(n_docs) AS BIGINT) AS min_docs_per_bin,
+           CAST(MAX(n_docs) AS BIGINT) AS max_docs_per_bin,
+           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens
+    FROM bins
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # NOTE: global-ordered cumsum = single-partition window; at scale
+    # use two_phase-style per-partition cumsums + offsets (the same
+    # prefix-offset trick as two_phase_competition_rank) or pack
+    # within shard boundaries. Bounded here by the corpus row count.
+    packed = toks.withColumn(
+        "bin",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048).cast(
+            "long"
+        ),
+    )
+    bins = packed.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+    )
+    return bins.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.min("n_docs").cast("long").alias("min_docs_per_bin"),
+        F.max("n_docs").cast("long").alias("max_docs_per_bin"),
+        F.sum("bin_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Long-document chunking with overlap — token windows of size W with
+# stride W-O (the context-window chunker): one row → ceil fan-out via
+# a guarded sequence, chunk token counts exact.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_chunk_with_overlap",
+    """
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, n_tok, c AS chunk_index,
+             LEAST(64, n_tok - c * 48) AS chunk_tokens
+      FROM toks, generate_series(0, 1000) AS t(c)
+      WHERE c * 48 < n_tok AND (c = 0 OR c * 48 + 16 < n_tok)
+    )
+    SELECT COUNT(*) AS n_chunks,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(chunk_tokens) AS BIGINT) AS total_chunk_tokens,
+           CAST(MAX(chunk_index) + 1 AS BIGINT) AS max_chunks_per_doc
+    FROM chunks
+    """,
+)
+def docs_chunk_with_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    window_tokens, overlap = 64, 16
+    stride = window_tokens - overlap
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    # chunk c starts at c*stride; emit while the start is inside the
+    # doc AND (first chunk, or the chunk adds > overlap new tokens)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("n_tok") - F.lit(overlap)) / F.lit(stride)).cast("int"),
+    )
+    idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = toks.select(
+        "doc_id",
+        "n_tok",
+        F.explode(idx).alias("chunk_index"),
+    ).withColumn(
+        "chunk_tokens",
+        F.least(
+            F.lit(window_tokens),
+            F.col("n_tok") - F.col("chunk_index") * stride,
+        ),
+    )
+    return chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("chunk_tokens").cast("long").alias("total_chunk_tokens"),
+        (F.max("chunk_index") + 1).cast("long").alias("max_chunks_per_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic hash sampling / train-val-test splitting — the scalable
 # substitute for random sampling in a training-data pipeline: the split
 # is a pure function of the id (md5 mod 100), so it is reproducible
