@@ -117,3 +117,48 @@ def as_of_join(
     for c in right_payload:
         carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return carried.filter(F.col("__is_left") == 1).drop("__ts", "__is_left")
+
+
+def two_phase_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    num_range_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global cumulative sum — no single-partition window:
+    range-partition on the order column, cumsum locally per partition
+    (window PARTITIONED by spark_partition_id), then add prefix
+    offsets built from the per-partition totals (#partitions rows on
+    the driver). The same prefix-offset shape as
+    two_phase_competition_rank; serial work is O(#partitions)."""
+    spark = df.sparkSession
+    n = num_range_partitions or spark.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, F.asc(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    parted = parted.localCheckpoint(eager=True)
+    totals = {
+        r["__pid"]: r["t"]
+        for r in parted.groupBy("__pid")
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(n):
+        offsets.append((pid, acc))
+        acc += totals.get(pid, 0) or 0
+    offset_df = spark.createDataFrame(offsets, "__pid int, __offset long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.asc(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parted.join(F.broadcast(offset_df), "__pid")
+        .withColumn(
+            out_col,
+            (F.sum(value_col).over(w) + F.col("__offset")).cast("long"),
+        )
+        .drop("__pid", "__offset")
+    )

@@ -1921,22 +1921,17 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.windows import two_phase_cumsum
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tok")
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    # NOTE: global-ordered cumsum = single-partition window; at scale
-    # use two_phase-style per-partition cumsums + offsets (the same
-    # prefix-offset trick as two_phase_competition_rank) or pack
-    # within shard boundaries. Bounded here by the corpus row count.
-    packed = toks.withColumn(
+    # distributed global cumsum (range partition + local window +
+    # prefix offsets) — NO single-partition window in the plan
+    packed = two_phase_cumsum(toks, "doc_id", "n_tok").withColumn(
         "bin",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048).cast(
-            "long"
-        ),
+        F.floor((F.col("cumsum") - F.col("n_tok")) / 2048).cast("long"),
     )
     bins = packed.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_docs"),

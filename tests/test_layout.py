@@ -117,3 +117,18 @@ def test_competition_rank_guard_rejects_fact_frames(spark, sf_smoke):
     guarded = competition_rank(orders, "o_totalprice", max_rows_guard=100)
     with pytest.raises(Exception, match="two_phase_competition_rank"):
         guarded.collect()
+
+
+def test_two_phase_cumsum_no_single_partition(spark, sf_smoke):
+    from epl_cas_etl_2026_spark.operators.windows import two_phase_cumsum
+
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", F.lit(1).alias("one")
+    )
+    cs = two_phase_cumsum(orders, "o_orderkey", "one")
+    plan = cs._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    rows = {r["o_orderkey"]: r["cumsum"] for r in cs.collect()}
+    ordered = sorted(rows)
+    # cumsum of all-ones over the global order == 1..n
+    assert [rows[k] for k in ordered] == list(range(1, len(ordered) + 1))
