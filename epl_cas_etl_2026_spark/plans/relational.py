@@ -808,6 +808,97 @@ def promo_revenue_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A1+P5 at fact scale — the TPC-H Q6 shape: pure scan + pushed range
+# predicates + one scalar decimal sum. The whole query is a single
+# codegen'd map stage + a one-row final agg.
+# ---------------------------------------------------------------------------
+@_register(
+    "forecast_revenue_q6",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))
+                 * CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE), 2)
+             AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.02, 0.05)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(27,6)")
+                * F.col("l_discount").cast("decimal(8,6)")
+            ).cast("double"),
+            2,
+        ).alias("revenue_delta")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5+A7+J at fact scale — the TPC-H Q18 shape: HAVING-filtered
+# aggregate used as a semi-join filter back onto the facts (large-
+# quantity orders and their customers).
+# ---------------------------------------------------------------------------
+@_register(
+    "large_orders_q18",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 270
+    )
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE), 2)
+             AS total_qty
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY o_custkey, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """,
+)
+def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 270)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_qty")
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # W1 at fact scale — two-phase global competition rank: range
 # partition on the score + local rank + prefix offsets, so NO
 # single-partition WindowExec exists in the plan. This is the path
