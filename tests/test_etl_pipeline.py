@@ -455,3 +455,31 @@ def test_quality_checks_count_violations(spark):
     parent = spark.createDataFrame([(1,)], "pid int")
     orphans = fk_violations(df, "id", parent, "pid").collect()[0]
     assert orphans["id__orphans"] == 1  # id=2 has no parent; nulls skipped
+
+
+def test_sync_error_path_audits_and_reraises(spark, tmp_path):
+    import pytest as _pytest
+
+    from epl_cas_etl_2026_spark.etl.sync_job import run_incremental_sync
+    from epl_cas_etl_2026_spark.schemas import CATALOGO_SCHEMA
+
+    wh = str(tmp_path / "wh")
+    sucursales = spark.createDataFrame(
+        [(1, "S", "L1", True)],
+        "id int, nombre string, zenput_location_id string, activo boolean",
+    )
+    periodos = spark.createDataFrame(
+        [(1, "P1", "Uno", dt.date(2026, 1, 1), dt.date(2026, 12, 31), True)],
+        PERIODOS_SCHEMA,
+    )
+    catalog = spark.createDataFrame([(1, "CF", "CUARTO FRIO", 1)], CATALOGO_SCHEMA)
+    # nonexistent landing dir → the read fails; the job must still
+    # write an 'error' audit row and re-raise for the scheduler
+    # (reference etl_sync.py:397-404)
+    with _pytest.raises(Exception):
+        run_incremental_sync(
+            spark, str(tmp_path / "missing"), wh, sucursales, periodos, catalog
+        )
+    audit = spark.read.parquet(f"{wh}/sync_log").collect()
+    assert len(audit) == 1 and audit[0]["estado"] == "error"
+    assert audit[0]["registros_nuevos"] == 0
