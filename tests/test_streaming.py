@@ -234,3 +234,50 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         assert rows == {"L1": "Sucursal A", "L9": None}
     finally:
         q.stop()
+
+
+def test_incremental_corpus_stream(spark, tmp_path):
+    from epl_cas_etl_2026_spark.streaming.corpus import (
+        incremental_corpus_stream,
+    )
+
+    landing = tmp_path / "docs_in"
+    landing.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    (landing / "b1.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": good, "lang": "en", "source": "s1"},
+                {"doc_id": 2, "text": good, "lang": "en", "source": "s1"},  # dup
+                {"doc_id": 3, "text": "tiny", "lang": "en", "source": "s1"},  # gated
+            ]
+        )
+    )
+    q = incremental_corpus_stream(spark, str(landing), corpus, ckpt)
+    q.awaitTermination(60)
+    out1 = spark.read.parquet(corpus)
+    assert [r["doc_id"] for r in out1.collect()] == [1]
+
+    # a later file: one new doc + a cross-batch duplicate of doc 1
+    (landing / "b2.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 9, "text": good, "lang": "en", "source": "s2"},  # dup of 1
+                {"doc_id": 10, "text": good + " with brand new words too",
+                 "lang": "en", "source": "s2"},
+            ]
+        )
+    )
+    q2 = incremental_corpus_stream(spark, str(landing), corpus, ckpt)
+    q2.awaitTermination(60)
+    out2 = spark.read.parquet(corpus)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 10]
+
+    # re-run with nothing new: checkpoint + anti-join → no growth
+    q3 = incremental_corpus_stream(spark, str(landing), corpus, ckpt)
+    q3.awaitTermination(60)
+    assert spark.read.parquet(corpus).count() == 2
