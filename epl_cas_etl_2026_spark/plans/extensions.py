@@ -942,6 +942,39 @@ def region_segment_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sketch-path percentiles — approx_percentile (mergeable quantile
+# sketch): the 100 TB path next to the exact sort-based twin
+# (orders_price_percentiles). Like the HLL query, sketch estimates
+# are engine-specific → rows-only driver check; the exact twin is the
+# correctness anchor, and this query self-reports its error vs exact.
+# ---------------------------------------------------------------------------
+@_register("orders_price_approx_quantiles", None)
+def orders_price_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    approx = F.approx_percentile(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+    )
+    exact_p50 = F.percentile("o_totalprice", F.lit(0.5))
+    exact_p90 = F.percentile("o_totalprice", F.lit(0.9))
+    return orders.agg(
+        F.round(approx[0], 2).alias("approx_p50"),
+        F.round(approx[1], 2).alias("approx_p90"),
+        F.round(exact_p50, 2).alias("exact_p50"),
+        F.round(exact_p90, 2).alias("exact_p90"),
+    ).select(
+        "approx_p50",
+        "approx_p90",
+        "exact_p50",
+        "exact_p90",
+        F.round(
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            / F.col("exact_p50"),
+            6,
+        ).alias("p50_rel_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Funnel conversion — ordered-sequence analytics (signup → click →
 # purchase, each step strictly after the previous FIRST occurrence).
 # Three stage frames chained by broadcast-size per-user timestamps;
