@@ -14,7 +14,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from epl_cas_etl_2026_spark.functions.text import (
-    alpha_ratio,
     bpe_token_count,
     fingerprint,
     lang_scores,
