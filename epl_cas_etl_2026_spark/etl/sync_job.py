@@ -119,8 +119,16 @@ def run_incremental_sync(
             F.col("lat_entrega"),
             F.col("lon_entrega"),
         )
+        # prune_col: collisions only ever come from the current extract
+        # window (etl_sync.py:215-217), so the sink-side key scan is
+        # restricted to the batch's date range — a pushed parquet
+        # filter keeps the anti-join build side O(batch), not O(sink)
         n_new = append_idempotent(
-            spark, master, master_path, "zenput_submission_id"
+            spark,
+            master,
+            master_path,
+            "zenput_submission_id",
+            prune_col="fecha_supervision",
         )
 
         details = extract_detail_items(fresh, catalog).select(
