@@ -483,3 +483,27 @@ def test_sync_error_path_audits_and_reraises(spark, tmp_path):
     audit = spark.read.parquet(f"{wh}/sync_log").collect()
     assert len(audit) == 1 and audit[0]["estado"] == "error"
     assert audit[0]["registros_nuevos"] == 0
+
+
+def test_submission_without_answers_survives(spark):
+    # reference uses sub.get('answers', []) — a missing/null answers
+    # array must not drop the submission from the master load, just
+    # leave its score null and emit no detail rows
+    sub = {
+        "id": 42,
+        "smetadata": {
+            "location": {"id": "LOC-001"},
+            "created_by": {"display_name": "Ana"},
+            "date_submitted": "2026-02-10T14:30:00Z",
+            "lat": 1.0,
+            "lon": 2.0,
+        },
+        # no "answers" key at all
+    }
+    feed = spark.createDataFrame([(json.dumps(sub),)], "value string")
+    parsed = parse_submissions(feed)
+    assert parsed.count() == 1
+    scored = extract_calificacion_general(parsed).collect()
+    assert scored[0]["calificacion_general"] is None
+    catalog = spark.createDataFrame([(1, "CF", "CUARTO FRIO", 1)], CATALOGO_SCHEMA)
+    assert extract_detail_items(parsed, catalog).count() == 0
