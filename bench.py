@@ -50,6 +50,9 @@ HEADLINE = [
     "top_unshipped_orders_q3",
     "purchase_attribution_asof",
     "events_user_moving_sum",
+    "docs_simhash_near_dup",
+    "large_orders_q18",
+    "lineitem_moments_stats",
 ]
 
 
