@@ -734,6 +734,35 @@ def top_unshipped_orders_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S6 — catalog listing (reference information_schema probe,
+# app.py:1298-1301) through spark.catalog.listTables(); the oracle
+# pins the expected registered relations.
+# ---------------------------------------------------------------------------
+@_register(
+    "catalog_tables",
+    """
+    SELECT * FROM (VALUES ('customer'), ('documents'), ('embeddings'),
+      ('events'), ('lineitem'), ('nation'), ('orders'), ('part'),
+      ('region'), ('supplier')) AS t(table_name)
+    ORDER BY table_name
+    """,
+)
+def catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.schemas import TESTDATA_TABLES
+    from epl_cas_etl_2026_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    listed = [
+        (t.name,)
+        for t in spark.catalog.listTables()
+        if t.name in TESTDATA_TABLES
+    ]
+    return spark.createDataFrame(listed, "table_name string").orderBy(
+        "table_name"
+    )
+
+
+# ---------------------------------------------------------------------------
 # SQL API surface — the engine is equally drivable through
 # spark.sql over registered views (sources/parquet.register_views);
 # this query is authored as raw Spark SQL end-to-end. Also the only
