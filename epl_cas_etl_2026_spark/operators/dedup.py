@@ -346,6 +346,12 @@ def simhash_near_dup_pairs(
     equal (pigeonhole: any pair with hamming < n_bands is guaranteed
     caught), then verify bit_count(xor) <= max_hamming exactly. One
     shuffle on the band keys — no all-pairs stage."""
+    # spread the hashing stage when the local scan is a single split
+    # (at scale the scan has plenty of splits — no exchange happens)
+    sc = docs.sparkSession.sparkContext
+    target = min(32, sc.defaultParallelism)
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     hashed = docs.select(
         F.col(id_col), simhash60_udf()(F.col(text_col)).alias("h")
     )
