@@ -22,6 +22,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Snapshot diff — the data-ops primitive behind reconciliation
+    and CDC backfills: one full-outer join on the key classifies every
+    row as added / removed / changed / unchanged (changed = any
+    compare column differs, null-safe). Returns one count row.
+    Shuffle profile: one exchange per side on the key."""
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    in_old = F.col(f"o.{key}").isNotNull()
+    in_new = F.col(f"n.{key}").isNotNull()
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    status = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 def partial_aggs(
     df: DataFrame,
     keys: Sequence[str],

@@ -596,6 +596,54 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Snapshot diff — reconcile two versions of a table: one full-outer
+# join classifies every key as added / removed / changed / unchanged.
+# Versions simulated from orders key ranges with a planted "change"
+# (status flipped for every 10th overlapping key).
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s FROM orders
+      WHERE o_orderkey < 150
+    ),
+    new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS s
+      FROM orders WHERE o_orderkey >= 50 AND o_orderkey < 200
+    )
+    SELECT CASE WHEN o.k IS NULL THEN 'added'
+                WHEN n.k IS NULL THEN 'removed'
+                WHEN o.s IS DISTINCT FROM n.s THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           COUNT(*) AS n_rows
+    FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    GROUP BY status ORDER BY status
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.incremental import dataset_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") < 150).select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s")
+    )
+    new = (
+        orders.filter(
+            (F.col("o_orderkey") >= 50) & (F.col("o_orderkey") < 200)
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("s"),
+        )
+    )
+    return dataset_diff(old, new, "k", ["s"]).orderBy("status")
+
+
+# ---------------------------------------------------------------------------
 # Incremental rollup maintenance — the stored state is built by
 # MERGING two batch-level partial aggregates (pre/post a date split),
 # never re-scanning history; the oracle recomputes the rollup
