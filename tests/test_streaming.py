@@ -281,3 +281,59 @@ def test_incremental_corpus_stream(spark, tmp_path):
     q3 = incremental_corpus_stream(spark, str(landing), corpus, ckpt)
     q3.awaitTermination(60)
     assert spark.read.parquet(corpus).count() == 2
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from epl_cas_etl_2026_spark.streaming.joins import stream_interval_join
+
+    pschema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("p_ts", T.TimestampType()),
+            T.StructField("p_id", T.LongType()),
+        ]
+    )
+    cschema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("c_ts", T.TimestampType()),
+            T.StructField("c_id", T.LongType()),
+        ]
+    )
+    pdir, cdir = tmp_path / "p_in", tmp_path / "c_in"
+    pdir.mkdir(); cdir.mkdir()
+    (pdir / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "p_ts": "2024-01-01T10:30:00", "p_id": 100},
+                {"user_id": 2, "p_ts": "2024-01-01T10:40:00", "p_id": 101},
+            ]
+        )
+    )
+    (cdir / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                # in the lookback hour before user 1's purchase
+                {"user_id": 1, "c_ts": "2024-01-01T10:00:00", "c_id": 7},
+                # same instant as purchase → strictly-before excludes it
+                {"user_id": 2, "c_ts": "2024-01-01T10:40:00", "c_id": 8},
+                # too old for user 1 (> 1h before)
+                {"user_id": 1, "c_ts": "2024-01-01T09:00:00", "c_id": 9},
+            ]
+        )
+    )
+    purchases = spark.readStream.schema(pschema).json(str(pdir))
+    clicks = spark.readStream.schema(cschema).json(str(cdir))
+    joined = stream_interval_join(
+        purchases, clicks, "user_id", "p_ts", "c_ts", lookback="1 hour"
+    ).select("p_id", "c_id")
+    q = run_stream_to_memory(joined, "ssj_test", output_mode="append")
+    try:
+        q.processAllAvailable()
+        rows = {(r["p_id"], r["c_id"]) for r in spark.sql(
+            "select p_id, c_id from ssj_test").collect()}
+        assert rows == {(100, 7)}
+    finally:
+        q.stop()
