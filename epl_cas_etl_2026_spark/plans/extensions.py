@@ -1516,6 +1516,53 @@ def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stopword ratio — share of function words per doc (with length and
+# repetition, the classic fluency signal: natural prose has a stable
+# stopword share, keyword spam and tables don't). Same explode →
+# filter → conditional-agg shape as language-ID.
+# ---------------------------------------------------------------------------
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@_register(
+    "docs_stopword_stats",
+    f"""
+    WITH r AS (
+      SELECT lang,
+             len(list_filter(string_split(text, ' '),
+                             x -> list_contains([{_STOPWORDS_SQL}], x))) * 1.0
+               / nullif(len(string_split(text, ' ')), 0) AS ratio
+      FROM documents
+    )
+    SELECT lang,
+           ROUND(AVG(ratio), 4) AS avg_stopword_ratio,
+           CAST(SUM(CASE WHEN ratio < 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_stopword
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+)
+def docs_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*_STOPWORDS))
+    )
+    ratio = n_stop * 1.0 / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+    return (
+        docs.withColumn("ratio", ratio)
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("ratio"), 4).alias("avg_stopword_ratio"),
+            F.sum(F.when(F.col("ratio") < 0.05, 1).otherwise(0)).alias(
+                "n_low_stopword"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition ratio — distinct-token share per doc (the boilerplate /
 # degenerate-text signal pretraining filters use): per-lang average
 # and count of highly repetitive docs.
