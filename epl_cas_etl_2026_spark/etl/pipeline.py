@@ -212,7 +212,11 @@ def merge_upsert(
 
     Shuffle profile: one exchange per side on the key — identical to
     what Delta MERGE's join executes underneath. For append-only
-    no-update flows use the cheaper ``append_idempotent``."""
+    no-update flows use the cheaper ``append_idempotent``.
+
+    Contract: ``updates`` must be unique on ``key`` (like MERGE's
+    source relation — duplicate source keys would multiply rows);
+    dedup upstream with ``dedup_against_sink``/``dropDuplicates``."""
     cols = sink.columns
     assert set(updates.columns) == set(cols), "merge requires same schema"
     s = sink.alias("s")

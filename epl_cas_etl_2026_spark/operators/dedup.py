@@ -403,7 +403,11 @@ def connected_components(
     clusters are dense, diameter is small). Per-round localCheckpoint
     truncates the otherwise exponentially-growing iterative lineage.
     For adversarial long-chain graphs swap in large-star/small-star
-    contraction (same join shape, O(log n) rounds).
+    contraction (same join shape, O(log n) rounds). If ``max_iter``
+    rounds pass without convergence (early-stop on zero changed
+    labels), the labels of chains longer than max_iter are still
+    partially merged — raise max_iter for such graphs; near-dup
+    cluster graphs converge in a handful of rounds.
 
     Returns (node, component) where component = min node id reachable.
     """

@@ -12,8 +12,14 @@
   assignment is deterministic and re-computable on read — the scale
   path when queries are many.
 
-All vector math is ``zip_with``/``aggregate`` expressions (JVM,
-codegen) — no UDF in the hot path.
+Per-row vector math is ``zip_with``/``aggregate`` expressions (JVM).
+The DENSE stages — many-plane sign projections, pairwise verify dots,
+k-means assignment — are Arrow-batched numpy (`pandas_udf`): dense
+linear algebra is the one shape built-in Column ops can't express
+efficiently (higher-order functions interpret per element; fully
+unrolled expression trees break the 64 KB codegen method limit), and
+batch matmul is how production engines run it. Everything relational
+around them stays native and codegen'd.
 """
 
 from __future__ import annotations
@@ -299,6 +305,11 @@ def kmeans_fit(
         .select(to_double(F.col(vec_col)).alias("v"))
         .collect()
     )
+    if len(init) != k:
+        raise ValueError(
+            f"kmeans_fit init needs rows with {id_col} 0..{k - 1}; "
+            f"found {len(init)}"
+        )
     centroids = [list(r["v"]) for r in init]
 
     for _ in range(iters):
