@@ -132,3 +132,21 @@ def test_two_phase_cumsum_no_single_partition(spark, sf_smoke):
     ordered = sorted(rows)
     # cumsum of all-ones over the global order == 1..n
     assert [rows[k] for k in ordered] == list(range(1, len(ordered) + 1))
+
+
+def test_ivf_index_partitioned_probe_prunes(spark, sf_smoke, tmp_path):
+    from epl_cas_etl_2026_spark.operators.similarity import kmeans_fit
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    assigned = kmeans_fit(emb, k=4, iters=1).select("vec_id", "cluster")
+    index = emb.join(assigned, "vec_id")
+    path = str(tmp_path / "ivf_index")
+    write_partitioned(index, path, ["cluster"])
+
+    # probing one coarse cluster must be a partition-pruned scan —
+    # the IVF promise: the query touches 1/k of the data at the scan
+    probe = scan_partition_pruned(spark, path, cluster=2)
+    assert explain_has(probe, "PartitionFilters: [isnotnull(cluster")
+    full = spark.read.parquet(path)
+    expected = full.filter(F.col("cluster") == 2).count()
+    assert probe.count() == expected and expected > 0
