@@ -1339,8 +1339,8 @@ def docs_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # matrix is a seeded literal shared verbatim with the DuckDB twin, so
 # both engines band identically. Operator: similarity.band_lsh_pairs.
 # ---------------------------------------------------------------------------
-_LSH_BANDS = 8
-_LSH_ROWS = 8  # sign bits per band; scale ~log2(n) at larger n
+_LSH_BANDS = 16
+_LSH_ROWS = 12  # sign bits per band ≈ log2(n) at the bench scale (n=2k)
 _EMB_DIM = 64
 
 
