@@ -53,6 +53,9 @@ HEADLINE = [
     "docs_simhash_near_dup",
     "large_orders_q18",
     "lineitem_moments_stats",
+    # round-2 late additions: disjunctive pushdown, per-user anomaly scan
+    "disjunctive_revenue_q19",
+    "events_user_zscore_outliers",
 ]
 
 

@@ -2265,3 +2265,165 @@ def docs_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture weighting: the data-mixing step of a pretraining
+# corpus build — given a total token budget (half the corpus here),
+# give each source an equal token share and derive the per-source
+# sampling rate that hits it. One shuffle (groupBy source); the
+# global-total window runs over the tiny post-agg frame (n_sources
+# rows). Rates are computed from exact integer token counts with one
+# double division, identical in both engines.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_mixture_weights",
+    """
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT *,
+             SUM(tokens) OVER () AS total_tokens,
+             COUNT(*) OVER () AS n_sources
+      FROM per_src
+    )
+    SELECT source, n_docs, tokens,
+           ROUND(LEAST(1.0, (CAST(total_tokens AS DOUBLE) * 0.5 / n_sources)
+                            / CAST(tokens AS DOUBLE)), 6) AS sample_rate,
+           CAST(FLOOR(CAST(tokens AS DOUBLE)
+                * ROUND(LEAST(1.0, (CAST(total_tokens AS DOUBLE) * 0.5
+                                    / n_sources)
+                              / CAST(tokens AS DOUBLE)), 6)) AS BIGINT)
+             AS expected_tokens
+    FROM tot ORDER BY source
+    """,
+)
+def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("tokens"),
+    )
+    w = Window.partitionBy()  # post-agg: n_sources rows
+    tot = per_src.withColumn(
+        "total_tokens", F.sum("tokens").over(w)
+    ).withColumn("n_sources", F.count(F.lit(1)).over(w))
+    target = F.col("total_tokens").cast("double") * 0.5 / F.col("n_sources")
+    rate = F.round(
+        F.least(F.lit(1.0), target / F.col("tokens").cast("double")), 6
+    )
+    return (
+        tot.select(
+            "source",
+            "n_docs",
+            "tokens",
+            rate.alias("sample_rate"),
+            F.floor(F.col("tokens").cast("double") * rate)
+            .cast("long")
+            .alias("expected_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixed-k-per-stratum sample: the "inspect 5 docs per
+# source" audit query. Ordering by md5(doc_id) is a seeded shuffle
+# both engines reproduce bit-identically; row_number runs per-source
+# (parallel windows), never global. Complements the rate-based
+# docs_stratified_sample.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_per_source_sample",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_sampled, SUM(n_chars) AS sample_chars
+    FROM ranked WHERE rn <= 5
+    GROUP BY source ORDER BY source
+    """,
+)
+def docs_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sample_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user z-score outliers — anomaly flagging over event values.
+# Population moments per user via ONE window shuffle (no join-back
+# pass); the outlier test |v-mean| > 2*sigma is evaluated as the
+# integer inequality (q*n - S)^2 > 4*(n*Sxx - S^2) on milli-quantized
+# values, so both engines compare EXACT integers — no sqrt, no
+# float-variance drift (same discipline as lineitem_moments_stats).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_user_zscore_outliers",
+    """
+    WITH q AS (
+      SELECT user_id,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 1000 + 0.5) AS HUGEINT) AS qv
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, qv,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             SUM(qv) OVER (PARTITION BY user_id) AS s,
+             SUM(qv * qv) OVER (PARTITION BY user_id) AS sxx
+      FROM q
+    )
+    SELECT user_id, MAX(n) AS n_events,
+           SUM(CASE WHEN (qv * n - s) * (qv * n - s)
+                         > 4 * (n * sxx - s * s)
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM m GROUP BY user_id
+    HAVING n_outliers > 0
+    ORDER BY user_id
+    """,
+)
+def events_user_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    qv = F.floor(F.col("value") * 1000 + 0.5).cast("decimal(38,0)")
+    w = Window.partitionBy("user_id")
+    m = ev.select("user_id", qv.alias("qv")).select(
+        "user_id",
+        "qv",
+        F.count(F.lit(1)).over(w).cast("decimal(38,0)").alias("n"),
+        F.sum("qv").over(w).alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).over(w).alias("sxx"),
+    )
+    dev = F.col("qv") * F.col("n") - F.col("s")
+    var4 = (
+        F.lit(4).cast("decimal(38,0)")
+        * (F.col("n") * F.col("sxx") - F.col("s") * F.col("s"))
+    )
+    return (
+        m.groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.sum(F.when(dev * dev > var4, 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+        )
+        .filter(F.col("n_outliers") > 0)
+        .orderBy("user_id")
+    )

@@ -928,6 +928,72 @@ def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P5+P8 disjunctive OR-of-ANDs at fact scale — the TPC-H Q19 shape.
+# The disjunction spans BOTH tables, so it can only run post-join; the
+# classic optimization (done here explicitly, as every production Q19
+# plan does) hoists the per-table envelope of the OR blocks into
+# redundant conjuncts — p_brand IN (...), p_size/l_quantity range — so
+# the parquet scans prune (PushedFilters) before the join instead of
+# feeding every row to the disjunction. part broadcasts under the
+# session threshold; the lineitem side never shuffles.
+# ---------------------------------------------------------------------------
+@_register(
+    "disjunctive_revenue_q19",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))
+                          * CAST(1 - l_discount AS DECIMAL(8,6))) AS DOUBLE),
+                 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand IN ('Brand#12', 'Brand#23', 'Brand#3')
+      AND l_quantity BETWEEN 1 AND 30
+      AND p_size BETWEEN 1 AND 35
+      AND ((p_brand = 'Brand#12' AND p_size <= 15
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#23' AND p_size <= 25
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#3' AND p_size <= 35
+            AND l_quantity BETWEEN 20 AND 30))
+    """,
+)
+def disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    # per-table envelopes — these are what reach the scans as
+    # PushedFilters; the cross-table disjunction below runs post-join
+    li = li.filter(F.col("l_quantity").between(1, 30))
+    part = part.filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+        & F.col("p_size").between(1, 35)
+    )
+    block = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size") <= 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size") <= 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(27,6)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(block)
+        .agg(F.round(revenue.cast("double"), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # W1 at fact scale — two-phase global competition rank: range
 # partition on the score + local rank + prefix offsets, so NO
 # single-partition WindowExec exists in the plan. This is the path
@@ -1412,3 +1478,50 @@ def orders_priority_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("health_probe", "SELECT 1 AS ok")
 def health_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SELECT 1 AS ok")
+
+
+# ---------------------------------------------------------------------------
+# A5+W6 — year-over-year growth: aggregate to a yearly series (exact
+# integer cents), then LAG over the tiny post-aggregation frame.
+# The global window touches <=10 rows AFTER the shuffle-reducing
+# hash-agg — the same post-agg-only-global-window discipline as
+# competition_rank (operators/ranking.py cardinality guard).
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_yoy_growth",
+    """
+    WITH yearly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+             SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                      AS HUGEINT)) AS cents
+      FROM orders GROUP BY order_year
+    )
+    SELECT order_year,
+           ROUND(CAST(cents AS DOUBLE) / 100, 2) AS revenue,
+           ROUND((CAST(cents AS DOUBLE)
+                  - CAST(LAG(cents) OVER (ORDER BY order_year) AS DOUBLE))
+                 * 100.0
+                 / CAST(LAG(cents) OVER (ORDER BY order_year) AS DOUBLE),
+                 4) AS yoy_pct
+    FROM yearly ORDER BY order_year
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("decimal(38,0)")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(F.sum(cents).alias("cents"))
+    w = Window.orderBy("order_year")  # post-agg: <=10 rows
+    cur = F.col("cents").cast("double")
+    prev = F.lag("cents").over(w).cast("double")
+    return (
+        yearly.select(
+            "order_year",
+            F.round(cur / 100, 2).alias("revenue"),
+            F.round((cur - prev) * 100.0 / prev, 4).alias("yoy_pct"),
+        )
+        .orderBy("order_year")
+    )
