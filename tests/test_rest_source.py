@@ -143,3 +143,45 @@ def test_datasource_feeds_parse_submissions(spark, tmp_path):
     assert parsed.count() == 42
     row = parsed.filter(parsed.zenput_submission_id == "7").collect()[0]
     assert row["zenput_location_id"] == "LOC-2"
+
+
+def test_datasource_stream_reads_only_delta(spark, tmp_path):
+    """S3 engine-native: the stream source's record offset lives in
+    the ENGINE checkpoint; a second availableNow run after the feed
+    grows picks up only the delta."""
+    from epl_cas_etl_2026_spark.sources.rest_datasource import register
+
+    feed = tmp_path / "stream_feed.jsonl"
+    _write_feed(str(feed), 30)
+    register(spark)
+    stream = (
+        spark.readStream.format("zenput_rest")
+        .option("endpoint", f"file://{feed}")
+        .option("page_size", "10")
+        .load()
+    )
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(sink).count() == 30
+
+    # feed grows by 12 records; same checkpoint -> only the delta
+    _write_feed(str(feed), 42)
+    run()
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 42  # 30 + the 12-record delta, no re-reads
+    import json as _json
+
+    ids = sorted(_json.loads(r.value)["id"] for r in rows)
+    assert ids == list(range(42))
