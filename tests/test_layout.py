@@ -150,3 +150,43 @@ def test_ivf_index_partitioned_probe_prunes(spark, sf_smoke, tmp_path):
     full = spark.read.parquet(path)
     expected = full.filter(F.col("cluster") == 2).count()
     assert probe.count() == expected and expected > 0
+
+
+def test_runtime_bloom_filter_injects_on_fact_fact_join(spark, sf_smoke):
+    """Row-level runtime filtering for fact⋈fact joins: a selective
+    filter on one fact side injects a bloom filter (`might_contain`)
+    into the OTHER side's scan, pruning shuffle input before the join.
+    Injection is size-gated by Catalyst (application side must scan
+    >10 GB by default) — exactly right at 100 TB, never firing on
+    these small local scans — so the test lowers the gate to prove
+    the session leaves the feature enabled and the plan rewrites."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join regime the feature targets
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold",
+            "0",
+        )
+        orders = load_table(spark, sf_smoke, "orders").filter(
+            "o_orderdate >= '2000-07-01' AND o_orderdate < '2000-08-01'"
+        )
+        li = load_table(spark, sf_smoke, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert explain_has(j, "might_contain")
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold"
+        )
