@@ -105,6 +105,8 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # like-for-like vs BENCH_r01 (its headline summed exactly these 14)
+    r1_subset = round(sum(timings[n] for n in HEADLINE[:14] if n in timings), 3)
     print(
         json.dumps(
             {
@@ -112,6 +114,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
+                "r1_subset_sec": r1_subset,
                 "sf": sf_from_dir(SF_DIR),
             }
         )
