@@ -208,3 +208,106 @@ def test_incremental_merge_equals_direct(spark, vals, cut):
         ).collect()
     }
     assert direct == merged  # decimal sums merge EXACTLY, not approximately
+
+
+# ---------------------------------------------------------------------------
+# New-op properties: z-score outlier inequality matches the float
+# definition; mixture weights respect their invariants; the per-key
+# sample is input-order invariant.
+# ---------------------------------------------------------------------------
+values = st.lists(
+    st.floats(min_value=0.0, max_value=1000.0, allow_nan=False, width=32),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(vals=values)
+@settings(**_SETTINGS)
+def test_zscore_integer_inequality_matches_float_definition(spark, vals):
+    """(q*n - S)^2 > 4*(n*Sxx - S^2) over milli-quantized values is
+    the same set as |v-mean| > 2*sigma_pop over those quantized
+    values, computed in floats — the integer form just removes the
+    cross-engine drift."""
+    import math
+
+    q = [math.floor(v * 1000 + 0.5) for v in vals]
+    n = len(q)
+    mean = sum(q) / n
+    var = sum((x - mean) ** 2 for x in q) / n
+    expect = sum(1 for x in q if (x - mean) ** 2 > 4 * var)
+
+    df = spark.createDataFrame(
+        [(1, float(v)) for v in vals], "user_id long, value double"
+    )
+    from pyspark.sql import Window
+
+    qv = F.floor(F.col("value") * 1000 + 0.5).cast("decimal(38,0)")
+    w = Window.partitionBy("user_id")
+    m = df.select("user_id", qv.alias("qv")).select(
+        "user_id",
+        "qv",
+        F.count(F.lit(1)).over(w).cast("decimal(38,0)").alias("n"),
+        F.sum("qv").over(w).alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).over(w).alias("sxx"),
+    )
+    dev = F.col("qv") * F.col("n") - F.col("s")
+    var4 = F.lit(4).cast("decimal(38,0)") * (
+        F.col("n") * F.col("sxx") - F.col("s") * F.col("s")
+    )
+    got = m.filter(dev * dev > var4).count()
+    assert got == expect
+
+
+@given(
+    toks=st.lists(
+        st.integers(min_value=1, max_value=10_000), min_size=1, max_size=6
+    )
+)
+@settings(**_SETTINGS)
+def test_mixture_weight_invariants(spark, toks):
+    """Rates stay in (0, 1]; expected tokens never exceed actual; a
+    source under its equal share keeps rate 1 (never upsampled)."""
+    rows = [(f"s{i}", "x " * t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        from epl_cas_etl_2026_spark.plans.extensions import (
+            docs_mixture_weights,
+        )
+
+        out = docs_mixture_weights(spark, d).collect()
+    total = sum(r.tokens for r in out)
+    share = total * 0.5 / len(out)
+    for r in out:
+        assert 0 < r.sample_rate <= 1.0
+        assert r.expected_tokens <= r.tokens
+        if r.tokens <= share:
+            assert r.sample_rate == 1.0
+
+
+@given(seed=st.randoms())
+@settings(**_SETTINGS)
+def test_per_source_sample_is_input_order_invariant(spark, seed):
+    """The md5-seeded k-per-stratum sample picks the same docs no
+    matter how the input is ordered (determinism the md5 sort key
+    buys; a LIMIT-style sample would not survive this)."""
+    rows = [(i, f"s{i % 3}", (i * 7) % 50 + 10) for i in range(30)]
+    shuffled = rows[:]
+    seed.shuffle(shuffled)
+    import tempfile
+
+    from epl_cas_etl_2026_spark.plans.extensions import docs_per_source_sample
+
+    def run(data):
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                data, "doc_id long, source string, n_chars long"
+            ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+            return [
+                tuple(r) for r in docs_per_source_sample(spark, d).collect()
+            ]
+
+    assert run(rows) == run(shuffled)
