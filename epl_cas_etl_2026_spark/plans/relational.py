@@ -1525,3 +1525,87 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# J1 at multi-fact scale with a DUAL-ROLE dimension — the TPC-H Q7
+# shape: trade volume between nation pairs, where nation joins TWICE
+# under different roles (supplier's vs customer's). Both nation sides
+# broadcast; the only shuffles are the two fact⋈fact joins
+# (lineitem⋈orders on orderkey, then ⋈customer on custkey) and the
+# final pair aggregation. The disjunctive pair filter prunes at the
+# broadcast-join output before the wide joins.
+# ---------------------------------------------------------------------------
+@_register(
+    "nation_trade_volume_q7",
+    """
+    SELECT supp_nation, cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))
+                          * CAST(1 - l_discount AS DECIMAL(8,6)))
+                      AS DOUBLE), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             l_shipdate, l_extendedprice, l_discount
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+          OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_trade_volume_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    ).filter(F.col("supp_nation").isin("NATION_3", "NATION_9"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    ).filter(F.col("cust_nation").isin("NATION_3", "NATION_9"))
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_9")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_9")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(27,6)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(revenue.cast("double"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
