@@ -150,3 +150,50 @@ def count_exchanges(df: DataFrame) -> int:
         for line in buf.getvalue().splitlines()
         if line.strip().startswith("(") and ") Exchange" in line
     )
+
+
+def read_evolving(spark, path: str, **options) -> DataFrame:
+    """Read a parquet dataset whose schema evolved across write
+    generations (columns added over time — the normal state of a
+    long-lived 100 TB table). ``mergeSchema`` unions the per-file
+    footers: old files surface the new columns as NULL, and column
+    pruning still reaches every generation (footer-level, per file).
+    Cost note: schema merge reads every footer once at planning time —
+    on a huge table pin the contract schema with ``.schema(...)``
+    instead; this entry point is for the exploration/backfill path."""
+    return spark.read.option("mergeSchema", "true").parquet(path, **options)
+
+
+def compact_small_files(
+    df: DataFrame,
+    path: str,
+    target_file_rows: int,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the maintenance job every streaming /
+    incremental sink needs (thousands of per-batch files destroy scan
+    planning and NameNode/listing time at scale). Rewrites ``df`` to
+    ``path`` with ~``target_file_rows`` rows per file via
+    ``maxRecordsPerFile`` as the hard cap plus a round-robin
+    ``repartition`` to the target file count, so files come out evenly
+    sized (coalesce would pack unevenly and overflow the cap). The
+    one shuffle is the point of a compaction job. Returns the number
+    of files written."""
+    import os
+
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_file_rows))  # ceil
+    writer = (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_file_rows)
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+    return sum(
+        1
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -190,3 +190,45 @@ def test_runtime_bloom_filter_injects_on_fact_fact_join(spark, sf_smoke):
             "spark.sql.optimizer.runtime.bloomFilter"
             ".applicationSideScanSizeThreshold"
         )
+
+
+def test_read_evolving_merges_schema_generations(spark, tmp_path):
+    """Columns added in later write generations surface as NULL for
+    old files; pruning still works per generation."""
+    from epl_cas_etl_2026_spark.sources.layout import read_evolving
+
+    path = str(tmp_path / "evolving")
+    gen1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    gen1.write.parquet(path + "/gen=1")
+    gen2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    )
+    gen2.write.parquet(path + "/gen=2")
+
+    df = read_evolving(spark, path)
+    assert set(df.columns) == {"id", "name", "score", "gen"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_compact_small_files(spark, tmp_path):
+    """A fragmented sink (many tiny files) compacts to ~ceil(n/target)
+    files without losing rows."""
+    from epl_cas_etl_2026_spark.sources.layout import compact_small_files
+
+    src = str(tmp_path / "fragmented")
+    df = spark.range(1000).withColumn("v", F.col("id") % 7)
+    df.repartition(50).write.parquet(src)  # 50 tiny files
+    import os
+
+    n_src_files = sum(
+        1 for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    assert n_src_files >= 40
+
+    dst = str(tmp_path / "compacted")
+    n_files = compact_small_files(
+        spark.read.parquet(src), dst, target_file_rows=400
+    )
+    assert n_files == 3  # ceil(1000/400)
+    assert spark.read.parquet(dst).count() == 1000
