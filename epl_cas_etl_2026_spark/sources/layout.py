@@ -197,3 +197,33 @@ def compact_small_files(
         for f in files
         if f.endswith(".parquet")
     )
+
+
+def salted_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join for a KNOWN-hot key distribution: the
+    fact side gets a uniform salt, the dim side is replicated
+    ``n_salts``× (explode over the salt range), and the join runs on
+    (key, salt) — the hot key's rows spread over ``n_salts`` reducers
+    instead of one straggler. AQE's skew-join split handles this
+    reactively per stage; the explicit salt is the proactive form for
+    repeatable pipelines (and the only option when the skewed join
+    feeds an operator AQE can't re-split, e.g. a window on the key).
+
+    The dim side is replicated, so keep it the smaller input (at
+    dim×n_salts sizes near the broadcast threshold, broadcasting the
+    unsalted dim is strictly better — this helper targets the middle
+    ground: dim too big to broadcast, fact skewed on the key)."""
+    salted_fact = with_salt(fact, n_salts)
+    salt_range = F.explode(
+        F.sequence(F.lit(0), F.lit(n_salts - 1))
+    ).alias("__salt")
+    salted_dim = dim.select("*", salt_range).withColumn(
+        "__salt", F.col("__salt").cast("bigint")
+    )
+    return salted_fact.join(salted_dim, [key, "__salt"], how).drop("__salt")

@@ -232,3 +232,27 @@ def test_compact_small_files(spark, tmp_path):
     )
     assert n_files == 3  # ceil(1000/400)
     assert spark.read.parquet(dst).count() == 1000
+
+
+def test_salted_skew_join_matches_plain_join(spark, sf_smoke):
+    """Skew-salted join == plain join (same rows), with the join keys
+    carrying the salt so a hot key spreads over n_salts reducers."""
+    from epl_cas_etl_2026_spark.sources.layout import salted_skew_join
+
+    orders = load_table(spark, sf_smoke, "orders")
+    cust = load_table(spark, sf_smoke, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = (
+        orders.join(cust, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_skew_join(orders, cust, "o_custkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
