@@ -68,3 +68,63 @@ def running_totals_with_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# The same operator on Spark 4's transformWithStateInPandas — the
+# successor API: typed state variables (ValueState here; ListState /
+# MapState / timers / TTL also exist) managed per key by the engine,
+# so state schema evolution and eviction policy live with the store,
+# not hand-rolled in the update function. Kept alongside the
+# applyInPandasWithState form above as the migration path.
+# ---------------------------------------------------------------------------
+try:
+    # the TWS driver worker needs protobuf at RUNTIME (state-server
+    # protocol); this container ships PySpark 4 without it, so gate on
+    # both — the operator is exercised wherever protobuf exists.
+    import google.protobuf  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(
+            self, key, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_totals_tws(events: DataFrame) -> DataFrame:
+        """`running_totals_with_state` on the transformWithState API —
+        identical semantics, engine-managed typed state. Deployment
+        requires the RocksDB state store provider
+        (spark.sql.streaming.stateStore.providerClass) — the only
+        provider TWS supports — and protobuf in the Python env."""
+        return events.groupBy("event_type").transformWithStateInPandas(
+            statefulProcessor=_RunningTotalsProcessor(),
+            outputStructType=RUNNING_TOTAL_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover - pre-4.0 PySpark / no protobuf
+    running_totals_tws = None  # type: ignore[assignment]

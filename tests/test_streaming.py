@@ -337,3 +337,40 @@ def test_stream_stream_interval_join(spark, tmp_path):
         assert rows == {(100, 7)}
     finally:
         q.stop()
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Same running totals on Spark 4's transformWithStateInPandas —
+    typed ValueState carried across micro-batches by the engine.
+    Requires the RocksDB state store provider and protobuf in the
+    Python env (the TWS worker's state-server protocol) — skipped
+    where either is missing."""
+    import pytest
+
+    from epl_cas_etl_2026_spark.streaming.stateful import running_totals_tws
+
+    if running_totals_tws is None:
+        pytest.skip("transformWithState needs PySpark >= 4.0 + protobuf")
+
+    src = tmp_path / "tws_in"
+    src.mkdir()
+    _write_events(
+        src / "b1.json",
+        [("2024-01-01T10:00:00", "click", 1.0), ("2024-01-01T10:01:00", "click", 2.0)],
+    )
+    stream = stream_events_from_dir(spark, str(src), EVENT_SCHEMA)
+    out = running_totals_tws(stream)
+    q = run_stream_to_memory(out, "tws_test", output_mode="update")
+    try:
+        q.processAllAvailable()
+        _write_events(src / "b2.json", [("2024-01-01T10:02:00", "click", 4.0)])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select * from tws_test order by n_events desc"
+        ).collect()
+        latest = rows[0]
+        assert latest["event_type"] == "click"
+        assert latest["n_events"] == 3
+        assert latest["total_value"] == 7.0
+    finally:
+        q.stop()
