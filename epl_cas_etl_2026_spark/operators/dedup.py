@@ -357,8 +357,16 @@ def simhash_near_dup_pairs(
     )
     hashed.persist()
     mask = (1 << band_bits) - 1
+    # Unlike the vector-LSH paths (which keep the band join slim and
+    # join the WIDE payload back onto the deduped pairs), the whole
+    # payload here is the 8-byte hash itself — carrying it through the
+    # band join costs one extra long per row and ELIMINATES the two
+    # post-candidate hash joins; the exact verify runs before the
+    # pair-dedup (bit_count is ~free, repeated at most n_bands times
+    # per pair, and the early hamming filter shrinks the dedup input).
     banded = hashed.select(
         F.col(id_col),
+        F.col("h"),
         F.posexplode(
             F.array(
                 *[
@@ -368,24 +376,21 @@ def simhash_near_dup_pairs(
             )
         ).alias("band", "key"),
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
-    cand = (
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("h").alias("ha"), "band", "key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("h").alias("hb"), "band", "key"
+    )
+    return (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    ha = hashed.select(F.col(id_col).alias("id_a"), F.col("h").alias("ha"))
-    hb = hashed.select(F.col(id_col).alias("id_b"), F.col("h").alias("hb"))
-    return (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
         .withColumn(
             "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
