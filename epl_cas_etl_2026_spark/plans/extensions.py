@@ -2375,6 +2375,9 @@ def docs_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer inequality (q*n - S)^2 > 4*(n*Sxx - S^2) on milli-quantized
 # values, so both engines compare EXACT integers — no sqrt, no
 # float-variance drift (same discipline as lineitem_moments_stats).
+# Bounds: terms peak at ~(q_max*n)^2 — with milli-quantized values
+# <=1e6 the 38-digit decimal holds to ~1e13 rows per key; beyond
+# that, drop quantization to centi (x100) or split the key.
 # ---------------------------------------------------------------------------
 @_register(
     "events_user_zscore_outliers",
