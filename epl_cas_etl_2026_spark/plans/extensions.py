@@ -2470,3 +2470,43 @@ def orders_grouping_sets_marginals(
                  o_orderpriority NULLS FIRST
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Decile binning via ntile — the remaining rank-family window surface
+# (rank/dense/row_number/lag/lead/ntile). Runs per-segment (parallel
+# windows, never global); the ORDER BY carries c_custkey as a
+# tiebreak because ntile on a non-total order is engine-dependent at
+# equal keys. min/max per bin are exact — no float-sum drift.
+# ---------------------------------------------------------------------------
+@_register(
+    "customer_acctbal_deciles",
+    """
+    WITH binned AS (
+      SELECT c_mktsegment, c_acctbal,
+             NTILE(10) OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer
+    )
+    SELECT c_mktsegment, decile,
+           COUNT(*) AS n_customers,
+           ROUND(MIN(c_acctbal), 2) AS lo,
+           ROUND(MAX(c_acctbal), 2) AS hi
+    FROM binned
+    GROUP BY c_mktsegment, decile
+    ORDER BY c_mktsegment, decile
+    """,
+)
+def customer_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+        .orderBy("c_mktsegment", "decile")
+    )
