@@ -15,30 +15,45 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 from epl_cas_etl_2026_spark.schemas import TESTDATA_TABLES
 
-# Tables whose parquet footers carry TIMESTAMP(NANOS) columns, which
-# Spark's reader rejects by default (PARQUET_TYPE_ILLEGAL). We read
-# them as int64 nanos (legacy conf) and truncate to a µs timestamp —
-# the exact semantics DuckDB applies when it coerces ns → its µs
-# TIMESTAMP, so the oracle comparison stays value-identical.
-_NANOS_TS_TABLES = {"events": ["ts"]}
+# Tables whose parquet timestamp columns need canonicalizing to a
+# session-zoned µs TIMESTAMP before the plans touch them. The physical
+# encoding has varied across testdata generations:
+#   * TIMESTAMP(NANOS): Spark's reader rejects it by default
+#     (PARQUET_TYPE_ILLEGAL) — read as int64 nanos (legacy conf) and
+#     truncate to µs, the exact coercion DuckDB applies for ns → its
+#     µs TIMESTAMP, so the oracle comparison stays value-identical.
+#   * TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+#     TIMESTAMP_NTZ, which time-arithmetic builtins (unix_micros,
+#     window(), watermarks) reject — reinterpret the naive value as
+#     UTC instant (session tz pinned to UTC, matching DuckDB's naive
+#     TIMESTAMP semantics), yielding plain TIMESTAMP.
+_CANON_TS_TABLES = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (S1: full-table scan source)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    nanos_cols = _NANOS_TS_TABLES.get(name)
-    if nanos_cols:
+    ts_cols = _CANON_TS_TABLES.get(name)
+    if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        for c in nanos_cols:
-            if isinstance(df.schema[c].dataType, LongType):
+        for c in ts_cols:
+            dt = df.schema[c].dataType
+            if isinstance(dt, LongType):
                 # integer DIV keeps full int64 precision (a double
                 # division would round above 2^53 ns ≈ 104 days)
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+            elif isinstance(dt, TimestampNTZType):
+                # NTZ→LTZ is wall-clock identity only under UTC; pin
+                # the session tz (driver sessions are vanilla) so the
+                # reinterpretation — and every later toPandas render —
+                # matches DuckDB's naive reading of the same file.
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
+                df = df.withColumn(c, F.col(c).cast(TimestampType()))
         return df
     return spark.read.parquet(path)
 
