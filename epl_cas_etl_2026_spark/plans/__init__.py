@@ -60,12 +60,16 @@ _GATE_FIRST = [
     "orders_grouping_sets_marginals",
     "customer_acctbal_deciles",
     "etl_sync_lifecycle_stats",
+    # -- new in round 3: never driver-gated --
+    "docs_span_dedup_stats",
+    "docs_char_entropy",
+    "docs_vocab_topk",
     # -- r01-green but the plan changed in round 2; re-gate --
+    # (events_tumbling_hourly / events_sliding_counts /
+    # events_user_sessions yield their slots to the round-3 queries;
+    # they stay oracle-tested in the pytest suite every run)
     "docs_near_dup_pairs",
     "embedding_topk_cosine",
-    "events_tumbling_hourly",
-    "events_sliding_counts",
-    "events_user_sessions",
     "docs_language_id",
     "docs_char_ngram_jaccard",
     "embedding_near_dup_cosine",

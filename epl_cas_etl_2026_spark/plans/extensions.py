@@ -2510,3 +2510,154 @@ def customer_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level dedup (word 8-gram): the scalable approximation of
+# suffix-array span dedup for training corpora — a span is "duplicated"
+# iff its 8-gram occurs in more than one distinct document. Reported as
+# per-source span counts + integer-exact per-mille duplicated ratio.
+# Shuffle profile at 100 TB: explode stays in the scan stage; ONE
+# shuffle on gram for the distinct-doc count; the gram⋈gram join reuses
+# that same hash partitioning (no second exchange on the big side under
+# AQE); the final per-source rollup is map-side-combined and tiny.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_span_dedup_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest([array_to_string(w[i:i+7], ' ')
+                     FOR i IN range(1, greatest(len(w) - 6, 1))]) AS gram
+      FROM toks
+    ),
+    gd AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gram
+    )
+    SELECT source,
+           COUNT(*) AS n_spans,
+           SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS dup_spans,
+           CAST((2000 * SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS dup_permille
+    FROM grams JOIN gd USING (gram)
+    GROUP BY source ORDER BY source
+    """,
+)
+def docs_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.dedup import shingles_of_words
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("w")
+    )
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(shingles_of_words(F.col("w"), n=8)).alias("gram"),
+    )
+    gram_docs = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    joined = grams.join(gram_docs, "gram")
+    dup = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return (
+        joined.groupBy("source")
+        .agg(
+            n.alias("n_spans"),
+            dup.alias("dup_spans"),
+            # integer half-up per-mille: no float division, no .5-boundary
+            # drift between engines
+            F.expr(
+                "CAST((2000 * SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)"
+                " + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)"
+            ).alias("dup_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal: pooled per-language Shannon entropy
+# of the character distribution (low entropy ⇒ repetitive/boilerplate
+# corpora; a standard cheap perplexity proxy). Two shuffles, both on
+# tiny keys: (lang, char) counts — ≤ |alphabet| rows per lang after the
+# map-side combine — then the ≤40-term entropy sum per lang.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_char_entropy",
+    """
+    WITH ch AS (
+      SELECT lang, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    cc AS (SELECT lang, c, COUNT(*) AS cnt FROM ch GROUP BY lang, c),
+    tot AS (SELECT lang, SUM(cnt) AS n FROM cc GROUP BY lang)
+    SELECT cc.lang,
+           CAST(MAX(n) AS BIGINT) AS n_chars,
+           COUNT(*) AS alphabet_size,
+           ROUND(-SUM((cnt * 1.0 / n) * log2(cnt * 1.0 / n)), 6)
+             AS char_entropy_bits
+    FROM cc JOIN tot ON cc.lang = tot.lang
+    GROUP BY cc.lang ORDER BY cc.lang
+    """,
+)
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "lang", F.explode(F.split(F.col("text"), "")).alias("c")
+    )
+    cc = chars.groupBy("lang", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cc.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt") / F.col("n")
+    return (
+        cc.join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).alias("alphabet_size"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("char_entropy_bits"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary induction (tokenizer-training step 0): global word
+# frequency table, top-20 with stable rank. At 100 TB this is one
+# map-side-combined groupBy on word + TakeOrderedAndProject — the exact
+# shape BPE/unigram trainers run first over a corpus.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_vocab_topk",
+    """
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    c AS (
+      SELECT word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY word
+    )
+    SELECT word, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS BIGINT)
+             AS vocab_rank
+    FROM c ORDER BY n DESC, word LIMIT 20
+    """,
+)
+def docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+    # rank assigned AFTER the top-k cut: the single-partition window
+    # only ever sees 20 rows (TakeOrderedAndProject upstream), never
+    # the full vocabulary.
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return counts.withColumn(
+        "vocab_rank", F.row_number().over(w).cast("long")
+    ).orderBy("vocab_rank")
