@@ -96,3 +96,30 @@ def test_contamination_benchmark_side_broadcast(spark, sf_oracle):
 def test_topk_cosine_is_take_ordered(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "embedding_topk_cosine")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_span_dedup_no_cartesian_and_single_gram_exchange(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "docs_span_dedup_stats")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the gram⋈gram-count join must be an equi hash join on gram, and
+    # the grams side's exchange must be the SAME hashpartitioning the
+    # count aggregation used (no second independent shuffle scheme)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    exchanges = re.findall(r"hashpartitioning\((\w+)#", plan)
+    assert all(c == "gram" for c in exchanges if c in ("gram",)), exchanges
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "docs_vocab_topk")
+    # top-20 must be TakeOrderedAndProject (partial per-partition top-k,
+    # no global sort of the vocabulary), and the rank window must run
+    # AFTER the cut so its single partition only ever holds 20 rows
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_char_entropy_scan_prunes_text_early(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "docs_char_entropy")
+    # only lang + text are needed from the scan
+    m = re.search(r"ReadSchema: [^\n]*", plan)
+    assert m and "doc_id" not in m.group(0) and "source" not in m.group(0)

@@ -311,3 +311,52 @@ def test_per_source_sample_is_input_order_invariant(spark, seed):
             ]
 
     assert run(rows) == run(shuffled)
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Materialize a tiny documents table (driver schema) for the
+    corpus-analysis queries, which read {sf_dir}/documents.parquet."""
+    d = str(tmp_path / "docs_sf")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_span_dedup_zero_without_shared_grams_then_rises(spark, tmp_path):
+    from epl_cas_etl_2026_spark.plans.extensions import docs_span_dedup_stats
+
+    # 2 docs, disjoint vocabularies → no shared 8-gram span
+    a = " ".join(f"a{i}" for i in range(12))
+    b = " ".join(f"b{i}" for i in range(12))
+    d = _write_docs(spark, tmp_path, [(a, "s0"), (b, "s0")])
+    row = docs_span_dedup_stats(spark, d).collect()[0]
+    assert row.dup_spans == 0 and row.dup_permille == 0
+
+    # duplicate doc a verbatim → every one of a's spans is duplicated
+    d2 = _write_docs(spark, tmp_path, [(a, "s0"), (a, "s0"), (b, "s1")])
+    rows = {r.source: r for r in docs_span_dedup_stats(spark, d2).collect()}
+    assert rows["s0"].dup_permille == 1000  # all spans shared between the twins
+    assert rows["s1"].dup_spans == 0
+
+
+def test_char_entropy_known_distributions(spark, tmp_path):
+    from epl_cas_etl_2026_spark.plans.extensions import docs_char_entropy
+
+    # single repeated char → 0 bits; uniform 2-symbol → exactly 1 bit
+    d = _write_docs(spark, tmp_path, [("aaaaaaaa", "s0")])
+    assert docs_char_entropy(spark, d).collect()[0].char_entropy_bits == 0.0
+    d2 = _write_docs(spark, tmp_path, [("abababab", "s0")])
+    assert docs_char_entropy(spark, d2).collect()[0].char_entropy_bits == 1.0
+
+
+def test_vocab_topk_counts_and_rank_are_stable(spark, tmp_path):
+    from epl_cas_etl_2026_spark.plans.extensions import docs_vocab_topk
+
+    # 'x' 3×, 'y' 2×, 'z' 1× across docs; ties broken by word
+    d = _write_docs(
+        spark, tmp_path, [("x y x", "s0"), ("y x z", "s1")]
+    )
+    got = [(r.word, r.n, r.vocab_rank) for r in docs_vocab_topk(spark, d).collect()]
+    assert got == [("x", 3, 1), ("y", 2, 2), ("z", 1, 3)]
