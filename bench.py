@@ -61,6 +61,10 @@ HEADLINE = [
     # round-2 late additions: disjunctive pushdown, per-user anomaly scan
     "disjunctive_revenue_q19",
     "events_user_zscore_outliers",
+    # round-3 additions: span-level dedup, entropy quality, vocab induction
+    "docs_span_dedup_stats",
+    "docs_char_entropy",
+    "docs_vocab_topk",
 ]
 
 
