@@ -427,6 +427,18 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+
+    def _label_sum(frame):
+        # exact decimal sum — labels only ever DECREASE (least of own
+        # and neighbor min), so the sum strictly decreases iff any
+        # label changed; comparing sums detects convergence without
+        # the old-vs-new join + count (a full extra shuffle join per
+        # round). decimal(38,0) keeps it exact for 64-bit ids.
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr = (
             sym.join(
@@ -448,13 +460,9 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
