@@ -64,6 +64,8 @@ _GATE_FIRST = [
     "docs_span_dedup_stats",
     "docs_char_entropy",
     "docs_vocab_topk",
+    "embedding_dup_clusters",
+    "docs_shard_assignment",
     # -- r01-green but the plan changed in round 2; re-gate --
     # (events_tumbling_hourly / events_sliding_counts /
     # events_user_sessions yield their slots to the round-3 queries;
@@ -74,8 +76,6 @@ _GATE_FIRST = [
     "docs_char_ngram_jaccard",
     "embedding_near_dup_cosine",
     "embedding_ann_ivf_signbits",
-    "events_priority_json",
-    "events_json_extract",
     "docs_multimodal_meta",
     # -- anchor: flagship, green in r01+r02 --
     "rank_nations_by_custbal",

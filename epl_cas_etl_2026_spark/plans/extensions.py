@@ -2661,3 +2661,107 @@ def docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn(
         "vocab_rank", F.row_number().over(w).cast("long")
     ).orderBy("vocab_rank")
+
+
+# ---------------------------------------------------------------------------
+# Embedding duplicate CLUSTERS: connected components over the
+# banded-hyperplane-LSH near-dup pairs (the embedding counterpart of
+# docs_dedup_keep_best's simhash clusters) — the dedup step that picks
+# one representative per group of near-identical embeddings before
+# training. Distributed min-label propagation; the oracle reproduces
+# the identical banding + exact-cosine pairs, then closes them with a
+# recursive CTE.
+# ---------------------------------------------------------------------------
+def _register_embedding_dup_clusters() -> None:
+    inner = ORACLES["embedding_near_dup_cosine"]
+    oracle = f"""
+    WITH RECURSIVE p AS ({inner}),
+    sym AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+    nodes AS (SELECT DISTINCT s AS n FROM sym),
+    reach(a, b) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.a, e.d FROM reach r JOIN sym e ON r.b = e.s
+    ),
+    comp AS (SELECT a AS vec_id, MIN(b) AS component FROM reach GROUP BY a)
+    SELECT component, COUNT(*) AS n_members
+    FROM comp GROUP BY component ORDER BY component
+    """
+
+    @_register("embedding_dup_clusters", oracle)
+    def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from epl_cas_etl_2026_spark.operators.dedup import connected_components
+        from epl_cas_etl_2026_spark.operators.similarity import band_lsh_pairs
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        pairs = band_lsh_pairs(
+            emb,
+            planes=_lsh_planes(),
+            n_bands=_LSH_BANDS,
+            rows_per_band=_LSH_ROWS,
+            id_col="vec_id",
+            vec_col="embedding",
+            threshold=0.4,
+        )
+        comps = connected_components(pairs, "id_a", "id_b")
+        return (
+            comps.groupBy(F.col("label").alias("component"))
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .orderBy("component")
+        )
+
+
+_register_embedding_dup_clusters()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus sharding (the training-shuffle primitive):
+# shard = md5(doc_id) mod N — a pure per-row expression, so shard
+# assignment is reproducible across engines/runs and needs NO global
+# sort; the only shuffle is the per-shard stat rollup (at 100 TB the
+# write itself would be partitionBy(shard), embarrassingly parallel).
+# The hex→int step uses instr/substr arithmetic both engines evaluate
+# identically (no engine-specific hex-parse builtin required).
+# ---------------------------------------------------------------------------
+_SHARD_N = 8
+# first 4 hex chars of md5 → 16-bit int, identical SQL in both engines
+_HEX16 = (
+    "((instr('0123456789abcdef', substr({m}, 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr({m}, 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr({m}, 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr({m}, 4, 1)) - 1))"
+)
+
+
+@_register(
+    "docs_shard_assignment",
+    f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST({_HEX16.format(m="md5(CAST(doc_id AS VARCHAR))")} % {_SHARD_N}
+                  AS BIGINT) AS shard
+      FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+)
+def docs_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.expr(
+        f"CAST({_HEX16.format(m='md5(CAST(doc_id AS STRING))')} % {_SHARD_N}"
+        " AS BIGINT)"
+    )
+    return (
+        docs.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
