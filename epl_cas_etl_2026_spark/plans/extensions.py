@@ -2765,3 +2765,52 @@ def docs_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Relative-standing windows (W-family breadth): percent_rank and
+# cume_dist per market segment — the distributional twins of ntile
+# deciles. Per-partition windows only (segment-keyed), never global.
+# Doubles are exact here: both expressions are ratios of small
+# integers (rank arithmetic), so 6-dp rounding is engine-stable.
+# ---------------------------------------------------------------------------
+@_register(
+    "customer_balance_standing",
+    """
+    WITH w AS (
+      SELECT c_mktsegment, c_custkey,
+             PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS pr,
+             CUME_DIST() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS cd
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(pr), 6) AS mean_percent_rank,
+           ROUND(MAX(cd), 6) AS max_cume_dist,
+           CAST(SUM(CASE WHEN cd <= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+             AS bottom_quartile_n
+    FROM w GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def customer_balance_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    standing = cust.select(
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        standing.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("pr"), 6).alias("mean_percent_rank"),
+            F.round(F.max("cd"), 6).alias("max_cume_dist"),
+            F.sum(F.when(F.col("cd") <= 0.25, 1).otherwise(0))
+            .cast("long")
+            .alias("bottom_quartile_n"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -123,3 +123,24 @@ def test_char_entropy_scan_prunes_text_early(spark, sf_oracle):
     # only lang + text are needed from the scan
     m = re.search(r"ReadSchema: [^\n]*", plan)
     assert m and "doc_id" not in m.group(0) and "source" not in m.group(0)
+
+
+def test_gate_window_integrity():
+    """The driver records only the first 50 queries(): the curated
+    window must stay exactly 50 unique, registered, oracle-consistent
+    names, with the flagship anchor inside it."""
+    from epl_cas_etl_2026_spark.plans import ORACLES, QUERIES, _GATE_FIRST
+
+    assert len(_GATE_FIRST) == 50
+    assert len(set(_GATE_FIRST)) == 50
+    assert set(_GATE_FIRST) <= set(QUERIES)
+    assert list(QUERIES)[:50] == _GATE_FIRST
+    assert "rank_nations_by_custbal" in _GATE_FIRST
+    # every windowed query without an oracle is a known rows-only op
+    rows_only = set(_GATE_FIRST) - set(ORACLES)
+    assert rows_only <= {
+        "orders_price_approx_quantiles",
+        "embedding_ann_ivf_kmeans",
+        "orders_approx_distinct",
+        "embedding_kmeans_clusters",
+    }
