@@ -507,3 +507,28 @@ def test_submission_without_answers_survives(spark):
     assert scored[0]["calificacion_general"] is None
     catalog = spark.createDataFrame([(1, "CF", "CUARTO FRIO", 1)], CATALOGO_SCHEMA)
     assert extract_detail_items(parsed, catalog).count() == 0
+
+
+def test_parse_quarantine_routes_malformed_rows(spark):
+    from epl_cas_etl_2026_spark.etl.zenput import (
+        parse_submissions_with_quarantine,
+    )
+
+    good_doc = (
+        '{"id": 7, "smetadata": {"location": {"id": "L1"},'
+        ' "created_by": {"display_name": "Ana"},'
+        ' "date_submitted": "2026-03-01T10:00:00", "lat": 1.0, "lon": 2.0},'
+        ' "answers": []}'
+    )
+    rows = [
+        (good_doc,),
+        ("{not json at all",),            # syntactically broken
+        ('{"answers": []}',),             # valid JSON, no natural key
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+    good, quarantine = parse_submissions_with_quarantine(raw)
+    g = good.collect()
+    q = quarantine.collect()
+    assert [r.zenput_submission_id for r in g] == ["7"]
+    assert g[0].supervisor == "Ana"
+    assert len(q) == 2 and all(r.raw_json for r in q)
