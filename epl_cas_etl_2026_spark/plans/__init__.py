@@ -66,12 +66,12 @@ _GATE_FIRST = [
     "docs_vocab_topk",
     "embedding_dup_clusters",
     "docs_shard_assignment",
+    "docs_column_profile",
     # -- r01-green but the plan changed in round 2; re-gate --
     # (events_tumbling_hourly / events_sliding_counts /
     # events_user_sessions yield their slots to the round-3 queries;
     # they stay oracle-tested in the pytest suite every run)
     "docs_near_dup_pairs",
-    "embedding_topk_cosine",
     "docs_language_id",
     "docs_char_ngram_jaccard",
     "embedding_near_dup_cosine",

@@ -2814,3 +2814,69 @@ def customer_balance_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style column profiling (data-catalog stats): one scan
+# computes per-column null count / distinct count / min / max, then the
+# single aggregate row is stacked into (column, stat) rows — the
+# engine-side equivalent of ANALYZE TABLE ... COMPUTE STATISTICS FOR
+# COLUMNS, and the first step of any corpus intake audit. Values are
+# stringified so heterogeneous columns share one schema.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_column_profile",
+    """
+    WITH a AS (
+      SELECT
+        COUNT(*) AS n_rows,
+        SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lang_nulls,
+        COUNT(DISTINCT lang) AS lang_distinct,
+        CAST(MIN(lang) AS VARCHAR) AS lang_min,
+        CAST(MAX(lang) AS VARCHAR) AS lang_max,
+        SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS source_nulls,
+        COUNT(DISTINCT source) AS source_distinct,
+        CAST(MIN(source) AS VARCHAR) AS source_min,
+        CAST(MAX(source) AS VARCHAR) AS source_max,
+        SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_chars_nulls,
+        COUNT(DISTINCT n_chars) AS n_chars_distinct,
+        CAST(MIN(n_chars) AS VARCHAR) AS n_chars_min,
+        CAST(MAX(n_chars) AS VARCHAR) AS n_chars_max
+      FROM documents
+    )
+    SELECT 'lang' AS col, n_rows, lang_nulls AS n_nulls,
+           lang_distinct AS n_distinct, lang_min AS min_value,
+           lang_max AS max_value FROM a
+    UNION ALL
+    SELECT 'n_chars', n_rows, n_chars_nulls, n_chars_distinct,
+           n_chars_min, n_chars_max FROM a
+    UNION ALL
+    SELECT 'source', n_rows, source_nulls, source_distinct,
+           source_min, source_max FROM a
+    ORDER BY col
+    """,
+)
+def docs_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    profiled = ["lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in profiled:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}_distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}_min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}_max"),
+        ]
+    one = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_nulls, {c}_distinct, {c}_min, {c}_max" for c in profiled
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(profiled)}, {stack_args})"
+            " as (col, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        "n_rows",
+    ).select(
+        "col", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    ).orderBy("col")
