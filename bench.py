@@ -61,10 +61,16 @@ HEADLINE = [
     # round-2 late additions: disjunctive pushdown, per-user anomaly scan
     "disjunctive_revenue_q19",
     "events_user_zscore_outliers",
-    # round-3 additions: span-level dedup, entropy quality, vocab induction
+    # round-3 additions: span-level dedup, entropy quality, vocab
+    # induction, embedding dup clusters (CC), sharding, column profile,
+    # relative-standing windows
     "docs_span_dedup_stats",
     "docs_char_entropy",
     "docs_vocab_topk",
+    "embedding_dup_clusters",
+    "docs_shard_assignment",
+    "docs_column_profile",
+    "customer_balance_standing",
 ]
 
 
@@ -128,6 +134,8 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # like-for-like vs BENCH_r01 (its headline summed exactly these 14)
     r1_subset = round(sum(timings[n] for n in HEADLINE[:14] if n in timings), 3)
+    # like-for-like vs BENCH_r02 (its 28-query headline scope)
+    r2_subset = round(sum(timings[n] for n in HEADLINE[:28] if n in timings), 3)
     print(
         json.dumps(
             {
@@ -137,6 +145,7 @@ def main() -> None:
                 "queries": timings,
                 "n_queries": len(timings),
                 "r1_subset_sec": r1_subset,
+                "r2_subset_sec": r2_subset,
                 "sf": sf_from_dir(SF_DIR),
             }
         )

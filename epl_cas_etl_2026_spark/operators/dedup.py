@@ -420,6 +420,10 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # materialize ONCE: every round joins against sym, and without
+        # this the whole upstream edge pipeline (LSH banding + verify)
+        # re-executes per round — the dominant cost of the loop.
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -450,6 +454,11 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nl").alias("min_nbr"))
         )
+        # NOTE: pointer jumping (label-of-label path halving) was
+        # measured here and reverted: the extra self-join adds more
+        # per-round scheduler jobs than the saved rounds return
+        # (6 rounds × 1 join beat 4 rounds × 2 joins). For adversarial
+        # long-chain graphs, large-star/small-star is the right upgrade.
         new_labels = (
             labels.join(nbr, labels["node"] == nbr["a"], "left")
             .select(
