@@ -230,11 +230,16 @@ def test_zscore_integer_inequality_matches_float_definition(spark, vals):
     values, computed in floats — the integer form just removes the
     cross-engine drift."""
     import math
+    from fractions import Fraction
 
     q = [math.floor(v * 1000 + 0.5) for v in vals]
     n = len(q)
-    mean = sum(q) / n
-    var = sum((x - mean) ** 2 for x in q) / n
+    # the definition evaluated in EXACT rational arithmetic: plain
+    # floats miscount inputs that land exactly on the |v-mean| == 2σ
+    # boundary (hypothesis found [0,0,1.28125,0,0], where (x-mean)²
+    # equals 4·var exactly and float error flips the strict >)
+    mean = Fraction(sum(q), n)
+    var = Fraction(sum((x - mean) ** 2 for x in q), n)
     expect = sum(1 for x in q if (x - mean) ** 2 > 4 * var)
 
     df = spark.createDataFrame(
