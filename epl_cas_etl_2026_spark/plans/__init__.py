@@ -67,16 +67,16 @@ _GATE_FIRST = [
     "embedding_dup_clusters",
     "docs_shard_assignment",
     "docs_column_profile",
+    "returned_item_revenue_q10",
+    "local_supplier_volume_q5",
     # -- r01-green but the plan changed in round 2; re-gate --
     # (events_tumbling_hourly / events_sliding_counts /
     # events_user_sessions yield their slots to the round-3 queries;
     # they stay oracle-tested in the pytest suite every run)
     "docs_near_dup_pairs",
-    "docs_language_id",
     "docs_char_ngram_jaccard",
     "embedding_near_dup_cosine",
     "embedding_ann_ivf_signbits",
-    "docs_multimodal_meta",
     # -- anchor: flagship, green in r01+r02 --
     "rank_nations_by_custbal",
 ]

@@ -1609,3 +1609,144 @@ def nation_trade_volume_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(revenue.cast("double"), 2).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue per customer over one quarter,
+# top 20. Fact⋈fact join on orderkey (shuffle), every dim side
+# broadcast; decimal-exact revenue; TakeOrderedAndProject for the
+# LIMIT. Reference parity: the dashboard's "worst branches by score"
+# ranking (app.py top/bottom entity lists) is this same
+# fact-filter → enrich → rank-limit shape.
+# ---------------------------------------------------------------------------
+@_register(
+    "returned_item_revenue_q10",
+    """
+    SELECT c_custkey, c_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))
+                 * CAST(1 - l_discount AS DECIMAL(8,6))) AS DOUBLE), 0)
+             AS revenue,
+           ROUND(c_acctbal, 2) AS c_acctbal,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def returned_item_revenue_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    revenue = F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(27,6)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+        ).cast("double"),
+        0,
+    ).alias("revenue")
+    return (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select(
+                "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+            )),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: local-supplier volume per nation for one region-year —
+# the classic 6-way star join where supplier and customer must share a
+# nation (the extra equi-condition on the fact path). region/nation/
+# supplier/customer broadcast; the only shuffle joins orders⋈lineitem.
+# ---------------------------------------------------------------------------
+@_register(
+    "local_supplier_volume_q5",
+    """
+    SELECT n_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))
+                 * CAST(1 - l_discount AS DECIMAL(8,6))) AS DOUBLE), 0)
+             AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    asia_nations = nation.join(
+        F.broadcast(region.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    revenue = F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(27,6)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+        ).cast("double"),
+        0,
+    ).alias("revenue")
+    return (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(revenue)
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
