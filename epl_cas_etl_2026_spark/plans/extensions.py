@@ -2281,7 +2281,7 @@ def docs_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH per_src AS (
       SELECT source, COUNT(*) AS n_docs,
-             SUM(len(string_split(text, ' '))) AS tokens
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
       FROM documents GROUP BY source
     ),
     tot AS (
@@ -2346,7 +2346,8 @@ def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          doc_id) AS rn
       FROM documents
     )
-    SELECT source, COUNT(*) AS n_sampled, SUM(n_chars) AS sample_chars
+    SELECT source, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sample_chars
     FROM ranked WHERE rn <= 5
     GROUP BY source ORDER BY source
     """,
@@ -2395,9 +2396,9 @@ def docs_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM q
     )
     SELECT user_id, MAX(n) AS n_events,
-           SUM(CASE WHEN (qv * n - s) * (qv * n - s)
-                         > 4 * (n * sxx - s * s)
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN (qv * n - s) * (qv * n - s)
+                              > 4 * (n * sxx - s * s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM m GROUP BY user_id
     HAVING n_outliers > 0
     ORDER BY user_id
@@ -2539,7 +2540,8 @@ def customer_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_spans,
-           SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS dup_spans,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_spans,
            CAST((2000 * SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) + COUNT(*))
                 // (2 * COUNT(*)) AS BIGINT) AS dup_permille
     FROM grams JOIN gd USING (gram)
@@ -2830,15 +2832,18 @@ def customer_balance_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH a AS (
       SELECT
         COUNT(*) AS n_rows,
-        SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lang_nulls,
+        CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS lang_nulls,
         COUNT(DISTINCT lang) AS lang_distinct,
         CAST(MIN(lang) AS VARCHAR) AS lang_min,
         CAST(MAX(lang) AS VARCHAR) AS lang_max,
-        SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS source_nulls,
+        CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS source_nulls,
         COUNT(DISTINCT source) AS source_distinct,
         CAST(MIN(source) AS VARCHAR) AS source_min,
         CAST(MAX(source) AS VARCHAR) AS source_max,
-        SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_chars_nulls,
+        CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_chars_nulls,
         COUNT(DISTINCT n_chars) AS n_chars_distinct,
         CAST(MIN(n_chars) AS VARCHAR) AS n_chars_min,
         CAST(MAX(n_chars) AS VARCHAR) AS n_chars_max

@@ -35,6 +35,12 @@ def _norm(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "\x00NULL"  # pandas surfaces SQL NULL as NaN
+        if v.is_integer():
+            # Keep float identity visible: the driver's hash distinguishes
+            # bigint 1553 from double/HUGEINT-as-float 1553.0, so the local
+            # comparator must too (round-3 verdict: %.9g masked exactly the
+            # dtype-class mismatches the driver flagged).
+            return f"{v:.1f}"
         return f"{v:.9g}"
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
