@@ -1,0 +1,165 @@
+"""Mechanical driver-gate rotation policy.
+
+The external correctness gate records rows for the FIRST 50 entries of
+``queries()`` per round. With >100 registered queries, which 50 run
+under the hard gate each round is decided HERE, by a uniform rule over
+recorded facts — never by a hand-curated name list:
+
+priority 0  never hash-green in any committed CORRECTNESS_r*.json
+priority 1  hash-green before, but the (plan source + oracle SQL)
+            fingerprint differs from the ledger entry recorded at its
+            last green row — the plan changed and must re-gate
+priority 2  hash-green with an unchanged plan, but only against an
+            older testdata generation (the driver regenerated parquet
+            between rounds; old rows are expired evidence)
+priority 3  hash-green against the current data generation with an
+            unchanged plan — re-validated oldest-round first
+
+Ties break on registration order (module import order), so coverage
+rotates mechanically: once a priority-2 query earns a current-gen row
+it drops to priority 3 and the next registration-order block floats
+into the window the following round.
+
+Facts come from two places:
+
+- ``CORRECTNESS_r*.json`` at the repo root — the driver's own records
+  (committed each round; parsed, never edited).
+- ``gate_ledger.json`` next to this module — per-query fingerprints
+  taken at each query's last green row, the current data-generation id,
+  and a fingerprint of the sf0.01 testdata so a regeneration is
+  detected loudly instead of silently expiring evidence. Regenerate
+  with ``python tools/update_gate_ledger.py`` at round start, BEFORE
+  editing any plan (tests/test_plan_audit.py pins staleness).
+
+Every fact-read degrades gracefully (missing file → conservative
+classification), so the driver's import of ``__spark_entry__`` can
+never fail on a ledger problem: with no facts at all, every query is
+priority 0 and the order is plain registration order.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import inspect
+import json
+import os
+import re
+from typing import Callable, Mapping
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO_ROOT = os.path.dirname(os.path.dirname(_HERE))
+LEDGER_PATH = os.path.join(_HERE, "gate_ledger.json")
+
+GATE_CAP = 50  # observed driver cap: first 50 queries() entries/round
+
+
+def fingerprint_query(fn: Callable, oracle_sql: str | None) -> str:
+    """Identity of a query's semantics as gated: its Spark-side source
+    plus its oracle SQL. Either changing means prior green rows no
+    longer vouch for the current code."""
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):  # builtins / exec'd code — be loud-ish
+        src = repr(fn)
+    h = hashlib.sha256()
+    h.update(src.encode())
+    h.update(b"\x00")
+    h.update((oracle_sql or "").encode())
+    return h.hexdigest()
+
+
+def testdata_fingerprint(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Cheap, stable id of a testdata generation: table names + file
+    sizes. A driver-side regeneration virtually always changes sizes;
+    the ledger pins this so stale-data evidence is detected by a test
+    instead of discovered in a verdict."""
+    h = hashlib.sha256()
+    try:
+        for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+            h.update(os.path.basename(path).encode())
+            h.update(str(os.path.getsize(path)).encode())
+    except OSError:
+        return "unavailable"
+    return h.hexdigest()
+
+
+def load_ledger(path: str = LEDGER_PATH) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def load_correctness_rounds(repo_root: str = _REPO_ROOT) -> dict[int, dict]:
+    """Parse every committed CORRECTNESS_r*.json → {round: {query: row}}."""
+    rounds: dict[int, dict] = {}
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                rounds[int(m.group(1))] = json.load(f)
+        except (OSError, ValueError):
+            continue
+    return rounds
+
+
+def _is_green(row: Mapping, has_oracle: bool) -> bool:
+    """A row vouches for a query iff the hash matched — or, for a query
+    that (still) has no oracle, a rows-only record is the strongest
+    evidence the gate can produce for it."""
+    if row.get("hash_match") is True:
+        return True
+    return (
+        not has_oracle
+        and row.get("err") == "no_oracle"
+        and row.get("spark_rows") is not None
+    )
+
+
+def classify(
+    queries: Mapping[str, Callable],
+    oracles: Mapping[str, str],
+    ledger: dict | None = None,
+    rounds: dict[int, dict] | None = None,
+) -> dict[str, tuple]:
+    """Return {name: (priority, last_green_round, reg_index)} — the sort
+    key that defines the gate window."""
+    ledger = load_ledger() if ledger is None else ledger
+    rounds = load_correctness_rounds() if rounds is None else rounds
+    gen_by_round = {
+        int(k): v for k, v in ledger.get("data_gen_by_round", {}).items()
+    }
+    current_gen = ledger.get("current_data_gen", "g0")
+    fingerprints = ledger.get("fingerprints", {})
+
+    keys: dict[str, tuple] = {}
+    for reg_index, (name, fn) in enumerate(queries.items()):
+        has_oracle = name in oracles
+        green_rounds = [
+            r
+            for r, rows in rounds.items()
+            if name in rows and _is_green(rows[name], has_oracle)
+        ]
+        if not green_rounds:
+            keys[name] = (0, 0, reg_index)
+            continue
+        last_green = max(green_rounds)
+        current_fp = fingerprint_query(fn, oracles.get(name))
+        if fingerprints.get(name) != current_fp:
+            keys[name] = (1, 0, reg_index)
+        elif gen_by_round.get(last_green, current_gen) != current_gen:
+            keys[name] = (2, 0, reg_index)
+        else:
+            keys[name] = (3, last_green, reg_index)
+    return keys
+
+
+def gate_order(
+    queries: Mapping[str, Callable], oracles: Mapping[str, str]
+) -> list[str]:
+    keys = classify(queries, oracles)
+    return sorted(queries, key=keys.__getitem__)

@@ -106,8 +106,13 @@ def test_span_dedup_no_cartesian_and_single_gram_exchange(spark, sf_oracle):
     # the grams side's exchange must be the SAME hashpartitioning the
     # count aggregation used (no second independent shuffle scheme)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    # exchanges must stay in the gram family (gram for the count agg +
+    # join, gram-prefixed (gram, doc_id) for the distinct expansion)
+    # apart from the final tiny per-source rollup — any other scheme
+    # means the join stopped reusing the aggregation's partitioning
     exchanges = re.findall(r"hashpartitioning\((\w+)#", plan)
-    assert all(c == "gram" for c in exchanges if c in ("gram",)), exchanges
+    assert "gram" in exchanges, exchanges
+    assert set(exchanges) <= {"gram", "source"}, exchanges
 
 
 def test_vocab_topk_is_take_ordered(spark, sf_oracle):
@@ -125,22 +130,56 @@ def test_char_entropy_scan_prunes_text_early(spark, sf_oracle):
     assert m and "doc_id" not in m.group(0) and "source" not in m.group(0)
 
 
-def test_gate_window_integrity():
-    """The driver records only the first 50 queries(): the curated
-    window must stay exactly 50 unique, registered, oracle-consistent
-    names, with the flagship anchor inside it."""
-    from epl_cas_etl_2026_spark.plans import ORACLES, QUERIES, _GATE_FIRST
+def test_gate_window_follows_policy_rule():
+    """The driver records only the first 50 queries(): the ordering
+    must be exactly what the mechanical policy computes — a priority
+    sort over recorded facts — so no query can be hand-curated into or
+    out of the gated window."""
+    from epl_cas_etl_2026_spark.plans import ORACLES, QUERIES
+    from epl_cas_etl_2026_spark.plans import _ALL_ORACLES, _ALL_QUERIES
+    from epl_cas_etl_2026_spark.plans.gate_policy import (
+        GATE_CAP,
+        classify,
+        gate_order,
+    )
 
-    assert len(_GATE_FIRST) == 50
-    assert len(set(_GATE_FIRST)) == 50
-    assert set(_GATE_FIRST) <= set(QUERIES)
-    assert list(QUERIES)[:50] == _GATE_FIRST
-    assert "rank_nations_by_custbal" in _GATE_FIRST
-    # every windowed query without an oracle is a known rows-only op
-    rows_only = set(_GATE_FIRST) - set(ORACLES)
-    assert rows_only <= {
-        "orders_price_approx_quantiles",
-        "embedding_ann_ivf_kmeans",
-        "orders_approx_distinct",
-        "embedding_kmeans_clusters",
-    }
+    order = list(QUERIES)
+    assert order == gate_order(_ALL_QUERIES, _ALL_ORACLES)
+    assert set(order) == set(_ALL_QUERIES)
+    assert set(ORACLES) == set(_ALL_ORACLES)
+
+    # priority is monotone along the dict: no lower-priority query may
+    # precede a higher-priority one (the rule never-green ≻ plan-changed
+    # ≻ data-stale ≻ current-green is what guarantees changed or
+    # unproven plans cannot be rotated out of the driver's window)
+    keys = classify(_ALL_QUERIES, _ALL_ORACLES)
+    classes = [keys[n][0] for n in order]
+    assert classes == sorted(classes)
+
+    # every query needing (re-)gating sits before every current-green
+    # one; if ≤ GATE_CAP need gating, all of them are inside the window
+    needing = [n for n in order if keys[n][0] <= 2]
+    if len(needing) <= GATE_CAP:
+        assert set(needing) <= set(order[:GATE_CAP])
+
+
+def test_gate_ledger_matches_current_testdata():
+    """A driver-side testdata regeneration expires prior green rows;
+    the ledger pins the generation fingerprint so that happening
+    without a ledger refresh fails HERE instead of silently leaving
+    stale evidence in the rotation (round-3 verdict, gap #3c)."""
+    from epl_cas_etl_2026_spark.plans.gate_policy import (
+        load_ledger,
+        testdata_fingerprint,
+    )
+
+    ledger = load_ledger()
+    assert ledger, "gate_ledger.json missing — run tools/update_gate_ledger.py"
+    actual = testdata_fingerprint()
+    if actual == "unavailable":
+        pytest.skip("testdata not present on this host")
+    assert ledger.get("testdata_fingerprint") == actual, (
+        "testdata regenerated since the ledger was written — run "
+        "tools/update_gate_ledger.py so prior-generation green rows "
+        "expire and re-enter the gate window"
+    )
