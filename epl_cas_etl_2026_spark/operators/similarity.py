@@ -292,13 +292,15 @@ def kmeans_fit(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    return_centroids: bool = False,
+):
     """Lloyd's k-means, Spark-first: each iteration is one distributed
     pass (Arrow-batched nearest-centroid + a (cluster, dim) mean
     aggregation); only the k×dim centroid matrix crosses the driver
     boundary per iteration — the data never does. Deterministic:
     centroids init from rows id 0..k-1, argmin ties take the lowest
-    cluster. Returns (id, cluster, sq_dist) assignments."""
+    cluster. Returns (id, cluster, sq_dist) assignments, plus the
+    final k×dim centroid list when ``return_centroids``."""
     init = (
         embeddings.filter(F.col(id_col) < k)
         .orderBy(id_col)
@@ -338,10 +340,11 @@ def kmeans_fit(
             new_centroids[r["cluster"]] = list(r["centroid"])
         centroids = new_centroids
 
-    return embeddings.select(
+    assigned = embeddings.select(
         F.col(id_col),
         _assign_udf(centroids)(F.col(vec_col)).alias("__a"),
     ).select(id_col, "__a.cluster", "__a.sq_dist")
+    return (assigned, centroids) if return_centroids else assigned
 
 
 def lsh_params_for(

@@ -995,29 +995,48 @@ def region_segment_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are engine-specific → rows-only driver check; the exact twin is the
 # correctness anchor, and this query self-reports its error vs exact.
 # ---------------------------------------------------------------------------
-@_register("orders_price_approx_quantiles", None)
+@_register(
+    "orders_price_approx_quantiles",
+    """
+    SELECT
+      CAST(FLOOR(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) * 100
+                 + 0.5) AS BIGINT) AS exact_p50_cents,
+      CAST(FLOOR(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) * 100
+                 + 0.5) AS BIGINT) AS exact_p90_cents,
+      TRUE AS p50_within_1pct,
+      TRUE AS p90_within_1pct
+    FROM orders
+    """,
+)
 def orders_price_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch estimates are engine-specific, so the gated columns are
+    engine-independent: the EXACT interpolated percentiles (cent-
+    quantized via the cross-engine FLOOR(x*100+0.5) rule; both engines
+    use the continuous (n-1)*p convention) plus booleans asserting the
+    mergeable quantile sketch (accuracy 1/10000 — the 100 TB path)
+    landed within 1% relative of exact. A sketch drifting out of its
+    error bound now turns the row red instead of being unobservable."""
     orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
     approx = F.approx_percentile(
-        "o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+        price, F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
     )
-    exact_p50 = F.percentile("o_totalprice", F.lit(0.5))
-    exact_p90 = F.percentile("o_totalprice", F.lit(0.9))
+    exact_p50 = F.percentile(price, F.lit(0.5))
+    exact_p90 = F.percentile(price, F.lit(0.9))
     return orders.agg(
-        F.round(approx[0], 2).alias("approx_p50"),
-        F.round(approx[1], 2).alias("approx_p90"),
-        F.round(exact_p50, 2).alias("exact_p50"),
-        F.round(exact_p90, 2).alias("exact_p90"),
+        approx[0].alias("a50"),
+        approx[1].alias("a90"),
+        exact_p50.alias("e50"),
+        exact_p90.alias("e90"),
     ).select(
-        "approx_p50",
-        "approx_p90",
-        "exact_p50",
-        "exact_p90",
-        F.round(
-            F.abs(F.col("approx_p50") - F.col("exact_p50"))
-            / F.col("exact_p50"),
-            6,
-        ).alias("p50_rel_error"),
+        F.floor(F.col("e50") * 100 + 0.5).cast("long").alias("exact_p50_cents"),
+        F.floor(F.col("e90") * 100 + 0.5).cast("long").alias("exact_p90_cents"),
+        (F.abs(F.col("a50") - F.col("e50")) <= 0.01 * F.col("e50")).alias(
+            "p50_within_1pct"
+        ),
+        (F.abs(F.col("a90") - F.col("e90")) <= 0.01 * F.col("e90")).alias(
+            "p90_within_1pct"
+        ),
     )
 
 
@@ -1674,8 +1693,20 @@ def events_priority_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weaker rows-only check); the exact twin `orders_multi_distinct`
 # pins correctness.
 # ---------------------------------------------------------------------------
-@_register("orders_approx_distinct", None)
+@_register(
+    "orders_approx_distinct",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS approx_within_5pct
+    FROM orders
+    """,
+)
 def orders_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL estimate itself is engine-specific, so the gated columns
+    are the exact count (oracle-recomputed) plus a boolean asserting
+    the rsd=0.01 sketch landed within 5% of exact — a sketch gone bad
+    turns the row red instead of hiding behind a rows-only check."""
     orders = load_table(spark, sf_dir, "orders")
     # Two SEPARATE aggregations, then a 1×1 cross join: combining
     # approx_count_distinct(rsd=0.01) with count(DISTINCT) in one agg
@@ -1690,13 +1721,13 @@ def orders_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     exact = orders.agg(F.countDistinct("o_custkey").alias("exact_customers"))
-    return sketch.crossJoin(exact).withColumn(
-        "rel_error",
-        F.round(
+    return sketch.crossJoin(exact).select(
+        "n_orders",
+        "exact_customers",
+        (
             F.abs(F.col("approx_customers") - F.col("exact_customers"))
-            / F.col("exact_customers"),
-            4,
-        ),
+            <= 0.05 * F.col("exact_customers")
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -2008,19 +2039,58 @@ def embedding_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregation recomputes means; only k×dim floats ever reach the
 # driver. Deterministic: init = vectors 0..k-1, ties → lowest cluster.
 # ---------------------------------------------------------------------------
-@_register("embedding_kmeans_clusters", None)
+@_register(
+    "embedding_kmeans_clusters",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_assigned,
+           CAST(4 AS BIGINT) AS n_clusters,
+           CAST(0 AS BIGINT) AS argmin_violations
+    FROM embeddings
+    """,
+)
 def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from epl_cas_etl_2026_spark.operators.similarity import kmeans_fit
+    """K-means is iterative — no single SQL statement reproduces the
+    centroids — so the gated output is the invariant set any correct
+    run satisfies, which the oracle CAN recompute: every vector gets
+    exactly one assignment (n_points / n_assigned vs COUNT(*)), and
+    the assignment is the argmin over the final centroids, re-checked
+    through an INDEPENDENT code path — a Catalyst aggregate/zip_with
+    distance expression (JVM) against the Arrow-batched numpy
+    assignment (similarity.py:_assign_udf). Cross-implementation
+    disagreement shows up as argmin_violations > 0 → hash red.
+    Raw per-cluster stats stay available via embedding_cluster_centroids."""
+    from epl_cas_etl_2026_spark.operators.similarity import kmeans_fit, to_double
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_fit(emb, k=4, iters=3)
-    return (
-        assigned.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.sum("sq_dist"), 2).alias("inertia"),
+    assigned, centroids = kmeans_fit(emb, k=4, iters=3, return_centroids=True)
+    v = to_double(F.col("embedding"))
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        .orderBy("cluster")
+        for c in centroids
+    ]
+    checked = assigned.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id",
+        "sq_dist",
+        F.least(*dists).alias("best_expr"),
+    )
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count_distinct("vec_id").alias("n_assigned"),
+        F.lit(4).cast("long").alias("n_clusters"),
+        F.sum(
+            # the UDF's chosen distance must equal the expression-side
+            # minimum up to float reassociation noise
+            F.when(F.col("sq_dist") > F.col("best_expr") + 1e-6, 1).otherwise(0)
+        ).cast("long").alias("argmin_violations"),
     )
 
 
