@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
 from epl_cas_etl_2026_spark.functions.text import words
 
@@ -442,7 +443,17 @@ def connected_components(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
-    prev_sum = _label_sum(labels)
+    # The sum trick is only sound for integral node ids: casting e.g. a
+    # string id to decimal yields NULL, both sums come back None, and
+    # None == None would declare convergence after one round — silently
+    # wrong components. Non-integral ids use a changed-row check over
+    # the already-checkpointed round result instead (no extra join; one
+    # early-exit count job per round).
+    use_sum = isinstance(
+        labels.schema["label"].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    prev_sum = _label_sum(labels) if use_sum else None
     for _ in range(max_iter):
         nbr = (
             sym.join(
@@ -459,19 +470,27 @@ def connected_components(
         # per-round scheduler jobs than the saved rounds return
         # (6 rounds × 1 join beat 4 rounds × 2 joins). For adversarial
         # long-chain graphs, large-star/small-star is the right upgrade.
-        new_labels = (
+        cand = (
             labels.join(nbr, labels["node"] == nbr["a"], "left")
             .select(
                 "node",
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce("min_nbr", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = _label_sum(new_labels)
-        labels = new_labels
-        if new_sum == prev_sum:
+        labels = cand.select("node", "label")
+        if use_sum:
+            new_sum = _label_sum(labels)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = (
+                cand.filter(F.col("label") != F.col("__old")).limit(1).count()
+                == 0
+            )
+        if converged:
             break
-        prev_sum = new_sum
     return labels

@@ -35,7 +35,18 @@ _CANON_TS_TABLES = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one testdata table (S1: full-table scan source)."""
+    """Scan one testdata table (S1: full-table scan source).
+
+    Pins the session timezone to UTC on EVERY call, not just when the
+    events table's NTZ column needs reinterpreting: a conditional pin
+    made timestamp-literal parsing and rendering in unrelated queries
+    depend on whether/when events had been loaded in the same session —
+    an order-dependent nondeterminism. get_spark sessions already pin
+    UTC at construction; this covers the driver's vanilla sessions
+    deterministically. UTC matches DuckDB's naive TIMESTAMP semantics
+    over the same parquet.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     ts_cols = _CANON_TS_TABLES.get(name)
     if ts_cols:
@@ -48,11 +59,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # division would round above 2^53 ns ≈ 104 days)
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
             elif isinstance(dt, TimestampNTZType):
-                # NTZ→LTZ is wall-clock identity only under UTC; pin
-                # the session tz (driver sessions are vanilla) so the
-                # reinterpretation — and every later toPandas render —
-                # matches DuckDB's naive reading of the same file.
-                spark.conf.set("spark.sql.session.timeZone", "UTC")
+                # NTZ→LTZ is wall-clock identity only under UTC
                 df = df.withColumn(c, F.col(c).cast(TimestampType()))
         return df
     return spark.read.parquet(path)

@@ -263,3 +263,34 @@ def test_band_lsh_auto_finds_planted_pair(spark):
         vecs, dim=8, threshold=0.9, target_sim=0.95
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_connected_components_long_chain_integral_ids(spark):
+    from epl_cas_etl_2026_spark.operators.dedup import connected_components
+
+    # a 6-node path: full propagation needs several rounds; early
+    # convergence would leave the tail in a different component
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, max_iter=20).collect()
+    }
+    assert got == {i: 0 for i in range(6)}
+
+
+def test_connected_components_string_ids(spark):
+    """Non-numeric node ids: the decimal-cast sum convergence trick
+    yields NULL sums (None == None → one-round false convergence); the
+    operator must fall back to a changed-row check and still fully
+    propagate labels down a chain."""
+    from epl_cas_etl_2026_spark.operators.dedup import connected_components
+
+    names = ["a", "b", "c", "d", "e", "f"]
+    edges = spark.createDataFrame(
+        list(zip(names, names[1:])), "id_a string, id_b string"
+    )
+    comp = connected_components(edges, max_iter=20).collect()
+    got = {r["node"]: r["label"] for r in comp}
+    assert got == {n: "a" for n in names}
