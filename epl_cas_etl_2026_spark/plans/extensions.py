@@ -1430,6 +1430,65 @@ def embedding_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Auto-sized banded LSH — gates the OPERATIONAL entry point
+# (band_lsh_pairs_auto + lsh_params_for), not just the fixed-(b, r)
+# banding above. The (b, r) sizing rule is closed-form, so the DuckDB
+# twin recomputes it from COUNT(*) alone: r = max(4, ceil(log2 n)),
+# b = min(32, ceil(ln(1-recall)/ln(1-p^r))) with p = 1-acos(s)/pi —
+# a cross-engine check of the scale law itself. The emitted pair set
+# depends on the random hyperplanes (not SQL-reproducible), so the
+# row instead pins precision: every emitted pair's exact cosine
+# cleared the threshold (recall stays a property-test concern — it is
+# probabilistic by design).
+# ---------------------------------------------------------------------------
+@_register(
+    "embedding_lsh_auto_params",
+    """
+    WITH c AS (SELECT COUNT(*) AS n FROM embeddings),
+    s AS (
+      SELECT n,
+             GREATEST(4, CAST(CEIL(LOG2(GREATEST(n, 2))) AS BIGINT)) AS r
+      FROM c
+    ),
+    p AS (SELECT n, r, POWER(1.0 - ACOS(0.8) / PI(), r) AS pb FROM s)
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           CAST(LEAST(32, GREATEST(1,
+                CAST(CEIL(LN(1.0 - 0.9) / LN(1.0 - pb)) AS BIGINT)))
+             AS BIGINT) AS n_bands,
+           CAST(r AS BIGINT) AS rows_per_band,
+           TRUE AS precision_ok
+    FROM p
+    """,
+)
+def embedding_lsh_auto_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.similarity import (
+        band_lsh_pairs_auto,
+        lsh_params_for,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    b, r = lsh_params_for(n, target_sim=0.8, target_recall=0.9)
+    pairs = band_lsh_pairs_auto(
+        emb,
+        dim=64,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.4,
+        target_sim=0.8,
+        target_recall=0.9,
+    )
+    return pairs.agg(
+        F.lit(n).cast("long").alias("n_vectors"),
+        F.lit(b).cast("long").alias("n_bands"),
+        F.lit(r).cast("long").alias("rows_per_band"),
+        F.coalesce(F.min("sim") >= 0.4 - 1e-6, F.lit(True)).alias(
+            "precision_ok"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-style ANN: probe only the query vector's coarse bucket, exact
 # cosine inside it (the scale path next to brute-force topk above).
 # Coarse quantizer: 6 sign bits of the leading dims — fine for a

@@ -365,3 +365,32 @@ def test_vocab_topk_counts_and_rank_are_stable(spark, tmp_path):
     )
     got = [(r.word, r.n, r.vocab_rank) for r in docs_vocab_topk(spark, d).collect()]
     assert got == [("x", 3, 1), ("y", 2, 2), ("z", 1, 3)]
+
+
+# ---------------------------------------------------------------------------
+# LSH auto-sizing laws (pure function — no Spark; hypothesis sweeps the
+# parameter space the gated embedding_lsh_auto_params row cannot):
+# rows_per_band follows the r = max(4, ceil(log2 n)) occupancy rule,
+# and bands are monotone non-decreasing in target_recall (more recall
+# can never mean fewer bands).
+# ---------------------------------------------------------------------------
+@given(
+    n=st.integers(min_value=2, max_value=10**9),
+    sim=st.floats(min_value=0.5, max_value=0.95),
+    rec_lo=st.floats(min_value=0.5, max_value=0.98),
+    rec_hi=st.floats(min_value=0.5, max_value=0.98),
+)
+@settings(max_examples=200, deadline=None)
+def test_lsh_params_laws(n, sim, rec_lo, rec_hi):
+    import math
+
+    from epl_cas_etl_2026_spark.operators.similarity import lsh_params_for
+
+    if rec_lo > rec_hi:
+        rec_lo, rec_hi = rec_hi, rec_lo
+    b_lo, r_lo = lsh_params_for(n, target_sim=sim, target_recall=rec_lo)
+    b_hi, r_hi = lsh_params_for(n, target_sim=sim, target_recall=rec_hi)
+    expected_r = max(4, math.ceil(math.log2(n)))
+    assert r_lo == r_hi == expected_r
+    assert 1 <= b_lo <= 32 and 1 <= b_hi <= 32
+    assert b_lo <= b_hi  # more recall never costs fewer bands
