@@ -272,6 +272,89 @@ def near_dup_pairs(
     )
 
 
+def near_dup_pairs_incremental(
+    new_docs: DataFrame,
+    index_sigs: DataFrame,
+    all_texts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+    use_md5: bool = False,
+) -> DataFrame:
+    """Incremental near-dup: check a NEW batch against a persisted
+    MinHash signature index without re-hashing the existing corpus —
+    the daily-ingest shape of dedup at 100 TB (re-running
+    :func:`near_dup_pairs` over corpus+batch re-shingles everything;
+    here only the batch is hashed and the index (n_hashes longs/doc,
+    ~128 B) is banded straight from storage).
+
+    ``index_sigs`` is the stored signature table (schema: id, h0..h15 —
+    exactly :func:`minhash_signature_agg`'s output, same hash params).
+    Candidates come from banding the batch against index ∪ batch, so
+    batch-internal duplicates are found too. Returns (id_a, id_b,
+    jaccard ≥ threshold) where at least one side is from the batch,
+    verified with exact word-set Jaccard against ``all_texts``.
+    """
+    n_bands = n_hashes // band_size
+    new_sigs = minhash_signature_agg(
+        new_docs, id_col, text_col, n_hashes, shingle_n, use_md5
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "-", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(band_keys).alias("band", "band_key"),
+        )
+
+    new_banded = banded(new_sigs).persist()
+    all_banded = banded(index_sigs).unionByName(new_banded)
+    # equi-join on (band, key): the new side is the small batch, the
+    # index side streams from storage — same slim-shuffle shape as the
+    # batch pipeline, but the hash work is O(batch), not O(corpus)
+    cands = (
+        new_banded.alias("a")
+        .join(
+            all_banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("id_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("id_b"),
+        )
+        .distinct()
+    )
+    texts = all_texts.select(F.col(id_col), F.col(text_col))
+    ta = texts.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__text_a")
+    )
+    tb = texts.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__text_b")
+    )
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(jaccard_words(F.col("__text_a"), F.col("__text_b")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash64(text: Column, use_md5: bool = False) -> Column:
     """64-bit SimHash over word tokens (bit-vote of token hashes).
     Near-identical docs differ in few bits (Hamming distance).

@@ -392,7 +392,7 @@ def docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-duplicate detection: MinHash signatures → LSH band buckets →
 # exact Jaccard verify. No O(n²) pass anywhere.
 # ---------------------------------------------------------------------------
-_NEARDUP_ORACLE = """
+_NEARDUP_BODY = """
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
@@ -435,14 +435,60 @@ _NEARDUP_ORACLE = """
     JOIN words wb ON wb.doc_id = id_b
     WHERE len(list_intersect(wa.ws, wb.ws)) * 1.0
           / nullif(len(list_distinct(wa.ws || wb.ws)), 0) >= 0.5
-    ORDER BY id_a, id_b
 """
+
+_NEARDUP_ORACLE = _NEARDUP_BODY + "\n    ORDER BY id_a, id_b\n"
+
+# incremental variant: same banding + verify, pairs restricted to
+# those touching the "new batch" (doc_id % 10 = 9 — an arbitrary but
+# deterministic 10% membership both engines compute identically)
+_NEARDUP_INCR_ORACLE = (
+    _NEARDUP_BODY
+    + "\n      AND (id_a % 10 = 9 OR id_b % 10 = 9)"
+    + "\n    ORDER BY id_a, id_b\n"
+)
 
 
 @_register("docs_near_dup_pairs", _NEARDUP_ORACLE)
 def docs_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return near_dup_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.5,
+        n_hashes=16,
+        band_size=4,
+        shingle_n=3,
+        use_md5=True,
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup — the daily-ingest shape: a new batch (10% of
+# docs, membership doc_id % 10 = 9) is checked against the existing
+# corpus via its PERSISTED MinHash signature index; only the batch is
+# re-shingled/hashed. Oracle = the batch oracle restricted to pairs
+# touching the batch (identical banding math), so the incremental path
+# is pinned to produce exactly the batch semantics for those pairs.
+# ---------------------------------------------------------------------------
+@_register("docs_incremental_near_dup", _NEARDUP_INCR_ORACLE)
+def docs_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.dedup import (
+        minhash_signature_agg,
+        near_dup_pairs_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % 10) == 9
+    # the signature index would be a stored table in production; built
+    # here from the "old" corpus with the same hash params
+    index_sigs = minhash_signature_agg(
+        docs.filter(~is_new), "doc_id", "text", 16, 3, use_md5=True
+    )
+    return near_dup_pairs_incremental(
+        docs.filter(is_new),
+        index_sigs,
         docs,
         id_col="doc_id",
         text_col="text",
@@ -2751,6 +2797,73 @@ def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log2(p)), 6).alias("char_entropy_bits"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal scoring — the perplexity-style quality filter of
+# a corpus build: fit the corpus unigram distribution, score every doc
+# by mean -log2 p(word), aggregate per source. Gibberish (rare-word
+# soup) scores high, boilerplate scores low. Two real shuffles at any
+# scale: groupBy(word) for the LM (map-side combined) and groupBy(doc)
+# for the per-doc mean; the vocab joins back as a broadcast. Per-doc
+# means are quantized to integer millibits (FLOOR(x*1000+0.5) — the
+# cross-engine float rule) so every output column is integer-exact.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_unigram_surprisal",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    vocab AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab),
+    perdoc AS (
+      SELECT doc_id, source,
+             CAST(FLOOR((-SUM(log2(cnt * 1.0 / total)) / COUNT(*)) * 1000
+                        + 0.5) AS BIGINT) AS q
+      FROM toks JOIN vocab USING (word), tot
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(q) AS BIGINT) AS sum_millibits,
+           CAST(MIN(q) AS BIGINT) AS min_millibits,
+           CAST(MAX(q) AS BIGINT) AS max_millibits
+    FROM perdoc GROUP BY source ORDER BY source
+    """,
+)
+def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    # corpus total as a proper partial-agg scalar (a SUM() OVER ()
+    # window here would single-partition the vocab — fine for a toy
+    # alphabet, wrong at a 10M-word real vocabulary)
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    surp = -F.log2(F.col("cnt").cast("double") / F.col("total"))
+    perdoc = (
+        toks.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.floor((F.sum(surp) / F.count(F.lit(1))) * 1000 + 0.5)
+            .cast("long")
+            .alias("q")
+        )
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("q").cast("long").alias("sum_millibits"),
+            F.min("q").cast("long").alias("min_millibits"),
+            F.max("q").cast("long").alias("max_millibits"),
+        )
+        .orderBy("source")
     )
 
 

@@ -294,3 +294,41 @@ def test_connected_components_string_ids(spark):
     comp = connected_components(edges, max_iter=20).collect()
     got = {r["node"]: r["label"] for r in comp}
     assert got == {n: "a" for n in names}
+
+
+def test_incremental_near_dup_matches_batch_restriction(spark):
+    """The incremental path (batch hashed, corpus served from its
+    signature index) must produce exactly the batch pipeline's pairs
+    restricted to pairs touching the batch."""
+    from epl_cas_etl_2026_spark.operators.dedup import (
+        minhash_signature_agg,
+        near_dup_pairs,
+        near_dup_pairs_incremental,
+    )
+
+    rows = [
+        (i, f"w{i} common text shared tokens alpha beta gamma delta e{i % 3}")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    is_new = (F.col("doc_id") % 4) == 3
+
+    batch = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in near_dup_pairs(
+            docs, "doc_id", "text", threshold=0.5, n_hashes=16, band_size=4
+        ).collect()
+        if r["id_a"] % 4 == 3 or r["id_b"] % 4 == 3
+    }
+    incr = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in near_dup_pairs_incremental(
+            docs.filter(is_new),
+            minhash_signature_agg(docs.filter(~is_new), "doc_id", "text", 16, 3),
+            docs,
+            threshold=0.5,
+            n_hashes=16,
+            band_size=4,
+        ).collect()
+    }
+    assert batch and incr == batch
