@@ -74,6 +74,12 @@ HEADLINE = [
     "docs_shard_assignment",
     "docs_column_profile",
     "customer_balance_standing",
+    # round-4 additions (appended AFTER the frozen prefix slices the
+    # r1/r2/r3 subset subtotals are computed from): incremental-index
+    # dedup, unigram-LM surprisal scoring, auto-sized banded LSH
+    "docs_incremental_near_dup",
+    "docs_unigram_surprisal",
+    "embedding_lsh_auto_params",
 ]
 
 
