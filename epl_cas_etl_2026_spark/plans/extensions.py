@@ -2093,6 +2093,72 @@ def events_user_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Int8 symmetric quantization of the embedding column — the standard
+# 4× storage compression of a vector store (scale = 127/max|x| per
+# vector, q = clamp(round(x·scale))) — with reconstruction-error
+# audit stats per embedding model version. Everything is elementwise
+# IEEE arithmetic (identical in both engines: no reassociation, no
+# libm beyond abs/floor) and errors quantize to integer micros, so
+# the gate compares exact integers. Scale shape: a pure map over the
+# vectors (no shuffle) + one scalar-sized final aggregate.
+# ---------------------------------------------------------------------------
+@_register(
+    "embedding_quantization_error",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+             127.0 / GREATEST(list_max([abs(CAST(x AS DOUBLE))
+                                        FOR x IN embedding]), 1e-12) AS s
+      FROM embeddings
+    ),
+    err AS (
+      SELECT vec_id,
+             [CAST(FLOOR(abs(
+                  LEAST(127, GREATEST(-127, FLOOR(x * s + 0.5))) / s - x
+              ) * 1000000 + 0.5) AS BIGINT) FOR x IN v] AS e
+      FROM q
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(list_sum(e)) AS BIGINT) AS sum_err_micros,
+           CAST(MAX(list_max(e)) AS BIGINT) AS max_err_micros
+    FROM err
+    """,
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    s = F.lit(127.0) / F.greatest(
+        F.array_max(F.transform(v, F.abs)), F.lit(1e-12)
+    )
+    # q/s - x per element, |err| in integer micros; FLOOR(x+0.5) is the
+    # cross-engine rounding rule (ROUND differs on half-way negatives)
+    e = F.transform(
+        v,
+        lambda x: F.floor(
+            F.abs(
+                F.least(
+                    F.lit(127.0), F.greatest(F.lit(-127.0), F.floor(x * s + 0.5))
+                )
+                / s
+                - x
+            )
+            * 1000000
+            + 0.5
+        ).cast("long"),
+    )
+    per_vec = emb.select(
+        F.aggregate(e, F.lit(0).cast("long"), lambda a, x: a + x).alias("se"),
+        F.array_max(e).alias("me"),
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("se").cast("long").alias("sum_err_micros"),
+        F.max("me").cast("long").alias("max_err_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding centroid aggregation — the k-means inner step as one
 # distributed pass: explode (vector, dim) pairs, aggregate per
 # (cluster, dim). Stats stay in EXACT integer micro-units (sum of
