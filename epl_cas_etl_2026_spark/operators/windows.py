@@ -73,10 +73,14 @@ def as_of_join(
     right_ts: str,
     right_payload: Sequence[str],
     strict: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join — for every left row, the single latest right row
-    with ``right_ts`` < (``strict``) or <= ``left_ts``, per key. An
-    operator Spark lacks natively, built scale-first:
+    """As-of join — for every left row, the single nearest right row
+    per key: ``direction="backward"`` (default) takes the latest right
+    with ``right_ts`` < (``strict``) or <= ``left_ts``;
+    ``direction="forward"`` takes the EARLIEST right with ``right_ts``
+    > (``strict``) or >= ``left_ts`` (time-to-next-event analytics).
+    An operator Spark lacks natively, built scale-first:
 
     union both sides → ONE shuffle+sort on (key, ts) → carry the last
     non-null right payload forward with a running window → keep left
@@ -105,12 +109,18 @@ def as_of_join(
         *[F.col(c) for c in right_payload],
     ).withColumn("__is_left", F.lit(0))
     unioned = lt.unionByName(rt, allowMissingColumns=True)
-    # strict: left before right at equal ts (desc on the flag);
-    # non-strict: right first (asc)
+    # strict: left before right at equal ts (desc on the flag) so the
+    # same-instant right row is not yet visible; non-strict: right
+    # first (asc). Forward is the mirror image: traverse time
+    # DESCENDING and the "last non-null seen" is the nearest LATER row
+    # — same single exchange, same tie rule.
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    ts_order = F.asc("__ts") if direction == "backward" else F.desc("__ts")
     side_order = F.desc("__is_left") if strict else F.asc("__is_left")
     w = (
         Window.partitionBy(on)
-        .orderBy(F.asc("__ts"), side_order)
+        .orderBy(ts_order, side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned

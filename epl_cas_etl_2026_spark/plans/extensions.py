@@ -1947,6 +1947,59 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Forward as-of join — time-to-convert: for every click, the NEXT
+# purchase by the same user (mirror of the backward attribution join
+# above; same single union+sort exchange, time traversed descending).
+# DuckDB's native ASOF with a < inequality is the oracle twin.
+# ---------------------------------------------------------------------------
+@_register(
+    "click_to_purchase_asof",
+    """
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS purchase_ts, MAX(event_id) AS purchase_event_id
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id, p.purchase_event_id,
+           ROUND((epoch_us(p.purchase_ts) - epoch_us(c.ts)) / 1000000.0, 3)
+             AS secs_to_purchase
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts < p.purchase_ts
+    ORDER BY c.event_id
+    """,
+)
+def click_to_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.windows import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+    joined = as_of_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="purchase_ts",
+        right_payload=["purchase_event_id", "purchase_ts"],
+        strict=True,
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "purchase_event_id",
+        F.round(
+            (F.unix_micros("purchase_ts") - F.unix_micros("ts")) / 1e6, 3
+        ).alias("secs_to_purchase"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
 # CUBE — all four grouping combinations in one pass (next to the
 # ROLLUP query in relational.py; replaces a 4-query dashboard fan-out).
 # ---------------------------------------------------------------------------

@@ -162,3 +162,37 @@ def test_as_of_join_plan_single_shuffle_no_range_join(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_as_of_join_forward_direction_and_tie_rule(spark):
+    import datetime as dt
+
+    from epl_cas_etl_2026_spark.operators.windows import as_of_join
+
+    t = lambda m: dt.datetime(2026, 1, 1, 12, m)
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (2, 10, t(1)), (3, 20, t(3))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, t(5)), (101, 10, t(8)), (102, 30, t(9))],
+        "r_id long, user_id long, r_ts timestamp",
+    )
+    fwd_strict = {
+        r["event_id"]: r["r_id"]
+        for r in as_of_join(
+            left, right, "user_id", "ts", "r_ts", ["r_id"],
+            strict=True, direction="forward",
+        ).collect()
+    }
+    # nearest LATER row; the same-instant right must NOT match under >
+    assert fwd_strict == {1: 101, 2: 100, 3: None}
+    fwd_incl = {
+        r["event_id"]: r["r_id"]
+        for r in as_of_join(
+            left, right, "user_id", "ts", "r_ts", ["r_id"],
+            strict=False, direction="forward",
+        ).collect()
+    }
+    # ... and MUST match under >=
+    assert fwd_incl == {1: 100, 2: 100, 3: None}
