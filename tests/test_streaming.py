@@ -374,3 +374,62 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         assert latest["total_value"] == 7.0
     finally:
         q.stop()
+
+
+def test_incremental_near_dup_stream(spark, tmp_path):
+    """Daily-ingest near-dup loop: batch 2 is deduped against batch 1
+    through the PERSISTED signature index only (the corpus text is
+    read solely for the exact-Jaccard verify of banded candidates)."""
+    from epl_cas_etl_2026_spark.streaming.corpus import (
+        incremental_near_dup_stream,
+    )
+
+    landing = tmp_path / "nd_in"
+    landing.mkdir()
+    corpus = str(tmp_path / "nd_corpus")
+    index = str(tmp_path / "nd_index")
+    ckpt = str(tmp_path / "nd_ckpt")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    (landing / "b1.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": base, "lang": "en", "source": "s1"},
+                # near-dup of 1 (one word differs) → dropped in-batch
+                {"doc_id": 2, "text": base.replace("kappa", "lambda"),
+                 "lang": "en", "source": "s1"},
+                {"doc_id": 3, "text": "one two three four five six seven",
+                 "lang": "en", "source": "s1"},
+            ]
+        )
+    )
+    q = incremental_near_dup_stream(spark, str(landing), corpus, index, ckpt)
+    q.awaitTermination(90)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 3]
+    assert spark.read.parquet(index).count() == 2  # signatures of 1, 3
+
+    (landing / "b2.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                # near-dup of doc 1 across batches → dropped via index
+                {"doc_id": 10, "text": base.replace("iota", "mu"),
+                 "lang": "en", "source": "s2"},
+                {"doc_id": 11, "text": "wholly different words in here now",
+                 "lang": "en", "source": "s2"},
+            ]
+        )
+    )
+    q2 = incremental_near_dup_stream(spark, str(landing), corpus, index, ckpt)
+    q2.awaitTermination(90)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 3, 11]
+    assert spark.read.parquet(index).count() == 3
+
+    # replay with nothing new: checkpoint → no growth
+    q3 = incremental_near_dup_stream(spark, str(landing), corpus, index, ckpt)
+    q3.awaitTermination(90)
+    assert spark.read.parquet(corpus).count() == 3
