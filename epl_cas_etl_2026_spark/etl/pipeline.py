@@ -193,7 +193,11 @@ def append_idempotent(
         to_write = df.join(existing, key, "left_anti")
     to_write = to_write.cache()
     n = to_write.count()
-    if n:
+    if n or not os.path.exists(path):
+        # a zero-row first run still materializes the sink (schema-only
+        # parquet): downstream readers see an empty TABLE, not a
+        # PATH_NOT_FOUND — the contract a warehouse table has from its
+        # first load, empty feed or not
         to_write.write.mode("append").parquet(path)
     to_write.unpersist()
     return n

@@ -532,3 +532,20 @@ def test_parse_quarantine_routes_malformed_rows(spark):
     assert [r.zenput_submission_id for r in g] == ["7"]
     assert g[0].supervisor == "Ana"
     assert len(q) == 2 and all(r.raw_json for r in q)
+
+
+def test_append_idempotent_zero_row_first_run_materializes_sink(spark, tmp_path):
+    """An empty first load must still create the sink table (schema-only
+    parquet): downstream readers get an empty table, not PATH_NOT_FOUND
+    (empty-input sweep, round 4)."""
+    from epl_cas_etl_2026_spark.etl.pipeline import append_idempotent
+
+    path = str(tmp_path / "sink")
+    empty = spark.createDataFrame([], "k long, v string")
+    assert append_idempotent(spark, empty, path, "k") == 0
+    out = spark.read.parquet(path)
+    assert out.count() == 0 and set(out.columns) == {"k", "v"}
+    # and a later non-empty append still works against the empty sink
+    rows = spark.createDataFrame([(1, "a")], "k long, v string")
+    assert append_idempotent(spark, rows, path, "k") == 1
+    assert spark.read.parquet(path).count() == 1
