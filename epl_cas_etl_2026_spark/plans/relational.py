@@ -1750,3 +1750,224 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(revenue)
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape (app.py has no EXISTS queries; this is the canonical
+# semi-join form of its "entities having data" checks, A9/J6 family):
+# orders in a quarter having at least one returned line, counted by
+# priority. The EXISTS decorrelates to a LEFT SEMI join — lineitem
+# never widens the orders rows, no DISTINCT needed. (Slim testdata
+# schema has no l_commitdate/l_receiptdate; l_returnflag='R' stands in
+# as the per-line predicate — the plan shape is Q4's.)
+# ---------------------------------------------------------------------------
+@_register(
+    "priority_semi_q4",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def priority_semi_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned,
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape — the customer order-count DISTRIBUTION: LEFT JOIN
+# with the filter in the ON clause (the J2 trap at fact scale: a WHERE
+# would drop zero-order customers and the 0 bucket), COUNT(col) over
+# the null-extended rows, then a second grouping over the counts.
+# ---------------------------------------------------------------------------
+@_register(
+    "customer_order_distribution_q13",
+    """
+    WITH co AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def customer_order_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") != "F"
+    )
+    per_cust = (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape — correlated scalar subquery (per-part average)
+# decorrelated to a groupBy + join: revenue from lines whose quantity
+# is below 20% of their part's average. The threshold compare runs in
+# EXACT integer arithmetic (5·q·cnt < sum — l_quantity is
+# integer-valued, every product < 2^53), so no float boundary can flip
+# a row between engines; output is integer cents with exact // 7.
+# ---------------------------------------------------------------------------
+@_register(
+    "small_quantity_revenue_q17",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(l_quantity) AS BIGINT) AS sum_q,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(FLOOR(SUM(l_extendedprice) * 100 + 0.5) AS BIGINT)
+             // 7 AS avg_yearly_cents
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa USING (l_partkey)
+    WHERE p_brand = 'Brand#23' AND p_size < 10
+      AND l_quantity * 5 * cnt < sum_q
+    """,
+)
+def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10)
+    )
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.sum("l_quantity").cast("long").alias("sum_q"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(per_part, F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") * 5 * F.col("cnt") < F.col("sum_q"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.floor(F.sum("l_extendedprice") * 100 + 0.5)
+            .cast("long")
+            .alias("__cents"),
+        )
+        # integer `div`, not float division: cents can exceed 2^53 at
+        # large scale factors, where a double round-trip loses cents
+        .select(
+            "n_lines",
+            F.expr("__cents div 7").alias("avg_yearly_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape — EXISTS + NOT EXISTS chained on the same fact:
+# suppliers who were the ONLY supplier with returned lines on a
+# multi-supplier finalized order. Decorrelates to one LEFT SEMI (some
+# other supplier on the order) and one LEFT ANTI (no other supplier
+# with a returned line) against per-order supplier sets — three scans
+# of lineitem, zero correlated subqueries at runtime.
+# ---------------------------------------------------------------------------
+@_register(
+    "problem_supplier_q21",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND n_name IN ('NATION_3', 'NATION_7')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+    """,
+)
+def problem_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    orders_f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    l1 = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    others = lineitem.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    others_returned = lineitem.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    sole_problem = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        ).join(
+            others_returned,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_problem.join(
+            orders_f.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey", "s_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
