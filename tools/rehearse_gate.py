@@ -1,0 +1,60 @@
+"""Dress-rehearse the driver's correctness gate locally: run the
+first-50 gate window (or --all queries) on a VANILLA SparkSession —
+exactly what the external driver constructs, not the tuned get_spark —
+and compare each query against its DuckDB oracle with the dtype-strict
+comparator. Exits non-zero on any failure.
+
+Usage: python tools/rehearse_gate.py [--all] [--sf /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true", help="every query, not just the window")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    import __spark_entry__ as entry_mod
+
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+
+    from tests.oracle_utils import compare, duckdb_connection
+
+    con = duckdb_connection(args.sf)
+    names = list(qs) if args.all else list(qs)[:50]
+    t0 = time.time()
+    failures = []
+    for name in names:
+        try:
+            sdf = qs[name](spark, args.sf)
+            if name in osql:
+                ok, msg = compare(sdf, con, osql[name])
+                if not ok:
+                    failures.append((name, msg[:200]))
+            else:
+                sdf.count()  # rows-only query: must at least execute
+        except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
+            failures.append((name, repr(ex)[:200]))
+    print(
+        f"rehearsed {len(names)} queries at {args.sf} in "
+        f"{time.time() - t0:.0f}s — failures: {len(failures)}"
+    )
+    for n, m in failures:
+        print(f"FAIL {n}: {m}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
