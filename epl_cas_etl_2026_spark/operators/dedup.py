@@ -162,12 +162,16 @@ def minhash_signature_agg(
         F.col(id_col),
         F.explode(shingles_of_words(F.col("__w"), shingle_n)).alias("__sh"),
     )
-    # Hash-partition the shingle rows by doc id: distributes the hash
-    # work even when the scan has fewer splits than cores (one small
-    # parquet file locally; a skewed file layout on a cluster), and the
-    # downstream groupBy(id) reuses the partitioning — still exactly
-    # one logical shuffle in the stage graph.
-    sh = sh.repartition(F.col(id_col))
+    # Spread the hash work ONLY when the scan is under-parallel (one
+    # small parquet file locally). At scale the scan has plenty of
+    # splits and this must NOT fire: repartitioning here would shuffle
+    # the full shingle stream (~8× the corpus text), while without it
+    # the per-seed mins partial-aggregate map-side and the groupBy
+    # shuffles ~one 16-long row per (doc, partition) — the slim plan.
+    sc = sh.sparkSession.sparkContext
+    target = min(32, sc.defaultParallelism)
+    if sh.rdd.getNumPartitions() < target:
+        sh = sh.repartition(target, F.col(id_col))
     h1, h2 = _km_hash_pair(F.col("__sh"), use_md5)
     base = sh.select(F.col(id_col), h1.alias("__h1"), h2.alias("__h2"))
     derived = base.select(
