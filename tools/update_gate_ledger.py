@@ -66,6 +66,52 @@ def main() -> None:
     for r in rounds:
         gen_by_round.setdefault(str(r), current_gen)
 
+    # Helper-change detection: query fingerprints cover the query fn +
+    # oracle only, so a semantic change inside a shared operator module
+    # is invisible to them. Record a content hash per engine module;
+    # when one changed since the last ledger, list the queries whose
+    # SOURCE references that module so the operator can re-run with
+    # --assume-changed on the affected names.
+    import hashlib
+    import inspect
+
+    pkg_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "epl_cas_etl_2026_spark",
+    )
+    module_hashes = {}
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        for fname in sorted(files):
+            if fname.endswith(".py"):
+                rel = os.path.relpath(os.path.join(dirpath, fname), pkg_root)
+                if rel.startswith("plans"):
+                    continue  # plans are covered by query fingerprints
+                with open(os.path.join(dirpath, fname), "rb") as f:
+                    module_hashes[rel] = hashlib.sha256(f.read()).hexdigest()
+    prev_hashes = ledger.get("module_hashes", {})
+    changed_mods = sorted(
+        rel
+        for rel, h in module_hashes.items()
+        if prev_hashes and prev_hashes.get(rel) != h
+    )
+    if changed_mods:
+        print("engine modules changed since last ledger:")
+        for rel in changed_mods:
+            mod_token = rel[:-3].replace(os.sep, ".").replace(".__init__", "")
+            users = []
+            for qname, fn in QUERIES.items():
+                try:
+                    src = inspect.getsource(fn)
+                except (OSError, TypeError):
+                    continue
+                if mod_token.split(".")[-1] in src or mod_token in src:
+                    users.append(qname)
+            print(f"  {rel} — queries referencing it: {', '.join(users) or '-'}")
+        print(
+            "review the diffs; re-run with --assume-changed "
+            "<affected,query,names> if semantics moved"
+        )
+
     fingerprints = dict(ledger.get("fingerprints", {}))
     for name in assume_changed:
         fingerprints.pop(name, None)
@@ -83,6 +129,7 @@ def main() -> None:
         "current_data_gen": current_gen,
         "data_gen_by_round": gen_by_round,
         "testdata_fingerprint": current_fp,
+        "module_hashes": dict(sorted(module_hashes.items())),
         "fingerprints": dict(sorted(fingerprints.items())),
     }
     with open(LEDGER_PATH, "w") as f:
