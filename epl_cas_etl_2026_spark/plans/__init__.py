@@ -16,11 +16,26 @@ COVERAGE.md §"Driver-gate rotation"; invariants are pinned by
 tests/test_plan_audit.py.
 """
 
-from epl_cas_etl_2026_spark.plans import extensions, lifecycle, relational
+from epl_cas_etl_2026_spark.plans import (
+    decision_support,
+    extensions,
+    lifecycle,
+    relational,
+)
 from epl_cas_etl_2026_spark.plans.gate_policy import gate_order
 
-_ALL_QUERIES = {**relational.QUERIES, **extensions.QUERIES, **lifecycle.QUERIES}
-_ALL_ORACLES = {**relational.ORACLES, **extensions.ORACLES, **lifecycle.ORACLES}
+_ALL_QUERIES = {
+    **relational.QUERIES,
+    **extensions.QUERIES,
+    **lifecycle.QUERIES,
+    **decision_support.QUERIES,
+}
+_ALL_ORACLES = {
+    **relational.ORACLES,
+    **extensions.ORACLES,
+    **lifecycle.ORACLES,
+    **decision_support.ORACLES,
+}
 
 _ORDER = gate_order(_ALL_QUERIES, _ALL_ORACLES)
 
