@@ -21,6 +21,7 @@ from epl_cas_etl_2026_spark.plans import (
     extensions,
     lifecycle,
     relational,
+    retrieval,
 )
 from epl_cas_etl_2026_spark.plans.gate_policy import gate_order
 
@@ -29,12 +30,14 @@ _ALL_QUERIES = {
     **extensions.QUERIES,
     **lifecycle.QUERIES,
     **decision_support.QUERIES,
+    **retrieval.QUERIES,
 }
 _ALL_ORACLES = {
     **relational.ORACLES,
     **extensions.ORACLES,
     **lifecycle.ORACLES,
     **decision_support.ORACLES,
+    **retrieval.ORACLES,
 }
 
 _ORDER = gate_order(_ALL_QUERIES, _ALL_ORACLES)
