@@ -80,6 +80,17 @@ HEADLINE = [
     "docs_incremental_near_dup",
     "docs_unigram_surprisal",
     "embedding_lsh_auto_params",
+    # round-4 late additions: the TPC-H completion suite + BM25
+    "min_cost_supplier_q2",
+    "market_share_q8",
+    "product_profit_q9",
+    "important_stock_q11",
+    "priority_lines_q12",
+    "top_supplier_q15",
+    "supplier_variety_q16",
+    "promotion_candidates_q20",
+    "global_sales_opportunity_q22",
+    "docs_bm25_topk",
 ]
 
 
