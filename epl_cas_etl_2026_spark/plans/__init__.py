@@ -19,6 +19,7 @@ tests/test_plan_audit.py.
 from epl_cas_etl_2026_spark.plans import (
     decision_support,
     extensions,
+    graph,
     lifecycle,
     relational,
     retrieval,
@@ -31,6 +32,7 @@ _ALL_QUERIES = {
     **lifecycle.QUERIES,
     **decision_support.QUERIES,
     **retrieval.QUERIES,
+    **graph.QUERIES,
 }
 _ALL_ORACLES = {
     **relational.ORACLES,
@@ -38,6 +40,7 @@ _ALL_ORACLES = {
     **lifecycle.ORACLES,
     **decision_support.ORACLES,
     **retrieval.ORACLES,
+    **graph.ORACLES,
 }
 
 _ORDER = gate_order(_ALL_QUERIES, _ALL_ORACLES)
