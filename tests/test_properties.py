@@ -394,3 +394,50 @@ def test_lsh_params_laws(n, sim, rec_lo, rec_hi):
     assert r_lo == r_hi == expected_r
     assert 1 <= b_lo <= 32 and 1 <= b_hi <= 32
     assert b_lo <= b_hi  # more recall never costs fewer bands
+
+
+edge_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # src node id
+        st.integers(min_value=0, max_value=4),  # dst node id
+        st.integers(min_value=1, max_value=9),  # weight
+    ),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda e: (e[0], e[1]),
+)
+
+
+@given(edges=edge_sets, iters=st.integers(min_value=1, max_value=3))
+@settings(**_SETTINGS)
+def test_pagerank_matches_python_reference(spark, edges, iters):
+    """The distributed fixed-point PageRank equals a sequential pure-
+    Python evaluation of the same recurrence EXACTLY (integer
+    arithmetic makes bit-equality a meaningful spec, independent of
+    partitioning/aggregation order)."""
+    from epl_cas_etl_2026_spark.operators.graph import (
+        BASE,
+        RANK_SCALE,
+        pagerank_fixed_point,
+    )
+
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    ranks = {n: RANK_SCALE for n in nodes}
+    for _ in range(iters):
+        inc = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            inc[d] += (ranks[s] * w) // out_w[s]
+        ranks = {n: BASE + (85 * inc[n]) // 100 for n in nodes}
+
+    ndf = spark.createDataFrame([(str(n),) for n in nodes], ["word"])
+    edf = spark.createDataFrame(
+        [(str(s), str(d), w) for s, d, w in edges], ["src", "dst", "w"]
+    )
+    got = {
+        r.word: r.rank_micros
+        for r in pagerank_fixed_point(ndf, edf, iterations=iters).collect()
+    }
+    assert got == {str(n): r for n, r in ranks.items()}
