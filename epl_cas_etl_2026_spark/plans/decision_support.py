@@ -26,10 +26,16 @@ shapes over its dims/facts (RDG-CONSULTORES/epl-cas-etl-2026 app.py —
 grouped conditional aggregates :447-455, top/bottom entity rankings,
 threshold screens); these queries exercise them at fact scale.
 
-Scale notes (100 TB): every dimension side is broadcast; the only
-shuffles are fact-keyed (orderkey/custkey/suppkey-partkey aggregates).
-Scalar subqueries (Q11/Q15/Q22 thresholds) materialize as 1-row
-broadcast cross joins — no driver collect, no SinglePartition window.
+Scale notes (100 TB): broadcast HINTS are reserved for fixed-size
+sides (nation, region, 1-row scalar aggregates). SF-scaled sides
+(supplier, part, customer — they grow with the data in TPC-H
+semantics) carry NO hint: under the session's 64 MiB threshold + AQE
+they broadcast at test scale, and the SAME code picks a shuffle join
+at 100 TB instead of force-broadcasting a billion-row table. The only
+corpus-sized shuffles are fact-keyed (orderkey/custkey/
+suppkey-partkey aggregates). Scalar subqueries (Q11/Q15/Q22
+thresholds) materialize as 1-row broadcast cross joins — no driver
+collect, no SinglePartition window.
 Numeric determinism follows plans/relational.py: money math in exact
 DECIMAL, emitted as rounded DOUBLE; threshold comparisons are
 cross-multiplied in DECIMAL/integers so no engine-dependent float
@@ -69,9 +75,10 @@ def _rev_dec():
 # correlates a scalar MIN(ps_supplycost) subquery per part; the Spark
 # plan decorrelates it: per-(part, supplier) min offer from lineitem,
 # per-part min among in-region suppliers, equality join-back keeps all
-# tied minima. Dims (part-filter, supplier⋈nation⋈region) broadcast;
-# the only wide shuffle is the (partkey, suppkey) aggregate, pre-pruned
-# by the broadcast part semi-join so non-qualifying parts never shuffle.
+# tied minima. The filtered part/supplier sides join unhinted (they
+# broadcast under the threshold at test scale, shuffle at 100 TB); the
+# wide shuffle is the (partkey, suppkey) aggregate, pre-pruned by the
+# part join so non-qualifying parts never reach it.
 # ---------------------------------------------------------------------------
 @_register(
     "min_cost_supplier_q2",
@@ -123,12 +130,12 @@ def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     offers = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(px), F.col("l_partkey") == px.p_partkey)
+        .join(px, F.col("l_partkey") == px.p_partkey)
         .groupBy(F.col("l_partkey").alias("p_partkey"), "l_suppkey")
         .agg(F.min("l_extendedprice").alias("offer"))
     )
     cand = offers.join(
-        F.broadcast(euro), offers.l_suppkey == euro.s_suppkey
+        euro, offers.l_suppkey == euro.s_suppkey
     ).select("p_partkey", "s_name", "s_acctbal", "n_name", "offer")
     part_min = cand.groupBy("p_partkey").agg(F.min("offer").alias("min_offer"))
     return (
@@ -217,11 +224,11 @@ def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = _rev_dec()
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(asia), cust.c_nationkey == F.col("asia_key"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
     )
     agg = joined.groupBy(
@@ -290,8 +297,8 @@ def product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity"
     ).cast("decimal(10,0)")
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
     )
@@ -352,7 +359,7 @@ def important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     vals = (
-        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        li.join(nat_supp, li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(
             F.sum(
@@ -466,7 +473,7 @@ def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(best))
         .filter(F.col("total_revenue") == F.col("best_revenue"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -515,12 +522,8 @@ def supplier_variety_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey"
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(
-            F.broadcast(excluded),
-            li.l_suppkey == F.col("s_suppkey"),
-            "left_anti",
-        )
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(excluded, li.l_suppkey == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(
             F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
@@ -574,7 +577,7 @@ def promotion_candidates_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qty = F.col("l_quantity").cast("decimal(12,0)")
     shipped = (
-        li.join(F.broadcast(red_parts), li.l_partkey == F.col("p_partkey"))
+        li.join(red_parts, li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             F.sum(F.when(in97, qty).otherwise(F.lit(0))).alias("qty97"),
