@@ -23,6 +23,7 @@ from epl_cas_etl_2026_spark.plans import (
     lifecycle,
     relational,
     retrieval,
+    streaming_gate,
 )
 from epl_cas_etl_2026_spark.plans.gate_policy import gate_order
 
@@ -33,6 +34,7 @@ _ALL_QUERIES = {
     **decision_support.QUERIES,
     **retrieval.QUERIES,
     **graph.QUERIES,
+    **streaming_gate.QUERIES,
 }
 _ALL_ORACLES = {
     **relational.ORACLES,
@@ -41,6 +43,7 @@ _ALL_ORACLES = {
     **decision_support.ORACLES,
     **retrieval.ORACLES,
     **graph.ORACLES,
+    **streaming_gate.ORACLES,
 }
 
 _ORDER = gate_order(_ALL_QUERIES, _ALL_ORACLES)

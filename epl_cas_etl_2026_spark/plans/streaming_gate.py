@@ -1,0 +1,120 @@
+"""Driver-gated Structured Streaming: run a REAL streaming query (file
+source → windowed aggregation → memory sink, AvailableNow trigger)
+inside a batch `queries()` entry and hash-compare its result against
+the batch SQL oracle.
+
+Why this exists: every other streaming path in the repo is verified by
+pytest only (the external gate executes batch callables). AvailableNow
+makes a streaming job terminate after consuming the available input,
+so the gate can drive the actual streaming engine — state store,
+incremental execution, sink commit — and still get a deterministic
+DataFrame back. The oracle is the plain batch SQL over the same
+parquet: streaming-vs-batch equivalence under the hash gate.
+
+Scale/semantics notes:
+
+- The tumbling aggregation is the same windowed_agg logic the batch
+  query (events_tumbling_hourly) and the pytest streams use — one
+  definition, three execution modes.
+- Complete output mode + memory sink is the gate-harness shape
+  (results are a few hundred window rows); production writes append
+  mode to parquet/Delta with a watermark — that path is covered by
+  tests/test_streaming.py. Watermark eviction is deliberately NOT used
+  here: complete mode retains state, and an append-mode single-batch
+  run would hold back unfinalized windows.
+- Timestamp canonicalization mirrors sources/parquet.load_table for
+  both testdata generations (int64-nanos and TIMESTAMP_NTZ micros).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+from epl_cas_etl_2026_spark.functions.scalars import det_avg, det_avg_sql
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+_run_ids = itertools.count()
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream twin of sources/parquet.load_table for the events
+    table: same confs, same per-generation ts canonicalization."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema  # footer schema, one file
+    # the source path is a single FILE inside the shared testdata dir
+    # (which also holds the other tables' parquet). FileStreamSource
+    # injects basePath=<path> for non-glob paths and then rejects a
+    # file-valued base — a glob that matches exactly this file skips
+    # the injection and keeps the other tables out of the stream
+    glob_path = os.path.join(sf_dir, "events.parque[t]")
+    stream = spark.readStream.schema(schema).parquet(glob_path)
+    dt = schema["ts"].dataType
+    if isinstance(dt, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    elif isinstance(dt, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast(TimestampType()))
+    return stream
+
+
+# ---------------------------------------------------------------------------
+# T5/§2.9 under the hard gate: hourly tumbling windows computed BY THE
+# STREAMING ENGINE (AvailableNow), hash-matched to the batch oracle.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_stream_tumbling_gate",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {det_avg_sql('value')} AS avg_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_stream_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    windowed = (
+        _stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            det_avg(F.col("value")).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+    name = f"stream_tumbling_gate_{next(_run_ids)}"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("window_start", "event_type")

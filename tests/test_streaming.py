@@ -433,3 +433,16 @@ def test_incremental_near_dup_stream(spark, tmp_path):
     q3 = incremental_near_dup_stream(spark, str(landing), corpus, index, ckpt)
     q3.awaitTermination(90)
     assert spark.read.parquet(corpus).count() == 3
+
+
+def test_stream_tumbling_gate_matches_batch(spark, sf_oracle):
+    """The driver-gated streaming query (AvailableNow file stream →
+    windowed agg → memory sink) must equal the BATCH tumbling query on
+    the same data — streaming-vs-batch equivalence, locally."""
+    from epl_cas_etl_2026_spark.plans import QUERIES
+
+    streamed = QUERIES["events_stream_tumbling_gate"](spark, sf_oracle)
+    batch = QUERIES["events_tumbling_hourly"](spark, sf_oracle)
+    s = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert s == b and len(s) > 0
