@@ -185,3 +185,86 @@ def test_datasource_stream_reads_only_delta(spark, tmp_path):
 
     ids = sorted(_json.loads(r.value)["id"] for r in rows)
     assert ids == list(range(42))
+
+
+def test_push_sink_two_phase_commit(spark, tmp_path):
+    """zenput_push writes JSONL parts via the task/driver commit
+    protocol: parts appear only after commit, with a _SUCCESS manifest
+    whose row counts sum to the input."""
+    import json
+    import os
+
+    from epl_cas_etl_2026_spark.sources.rest_datasource import register_push
+
+    register_push(spark)
+    out = tmp_path / "push"
+    df = spark.range(0, 100).selectExpr(
+        "id", "concat('rec_', id) AS payload"
+    ).repartition(4)
+    (
+        df.write.format("zenput_push")
+        .mode("overwrite")
+        .option("endpoint", f"file://{out}")
+        .save()
+    )
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert not [n for n in names if n.endswith(".tmp")]  # no orphan temps
+    manifest = json.loads((out / "_SUCCESS").read_text())
+    assert sum(p["rows"] for p in manifest["parts"]) == 100
+    rows = []
+    for n in names:
+        if n.endswith(".jsonl"):
+            rows += [json.loads(x) for x in (out / n).read_text().splitlines()]
+    assert sorted(r["id"] for r in rows) == list(range(100))
+    assert all(r["payload"] == f"rec_{r['id']}" for r in rows)
+
+
+def test_push_sink_overwrite_replaces_prior_job(spark, tmp_path):
+    import json
+    import os
+
+    from epl_cas_etl_2026_spark.sources.rest_datasource import register_push
+
+    register_push(spark)
+    out = tmp_path / "push"
+    for hi in (50, 10):
+        (
+            spark.range(0, hi)
+            .write.format("zenput_push")
+            .mode("overwrite")
+            .option("endpoint", f"file://{out}")
+            .save()
+        )
+    manifest = json.loads((out / "_SUCCESS").read_text())
+    total = sum(p["rows"] for p in manifest["parts"])
+    assert total == 10
+    n_rows = 0
+    for n in os.listdir(out):
+        if n.endswith(".jsonl"):
+            n_rows += len((out / n).read_text().splitlines())
+    assert n_rows == 10
+
+
+def test_push_sink_append_generations_do_not_collide(spark, tmp_path):
+    import json
+    import os
+
+    from epl_cas_etl_2026_spark.sources.rest_datasource import register_push
+
+    register_push(spark)
+    out = tmp_path / "push"
+    for _ in range(2):
+        (
+            spark.range(0, 20)
+            .write.format("zenput_push")
+            .mode("append")
+            .option("endpoint", f"file://{out}")
+            .save()
+        )
+    n_rows = 0
+    for n in os.listdir(out):
+        if n.endswith(".jsonl"):
+            n_rows += len((out / n).read_text().splitlines())
+    assert n_rows == 40  # second append added, not clobbered
+    assert json.loads((out / "_SUCCESS").read_text())["gen"] == 1
