@@ -255,3 +255,113 @@ def etl_sync_lifecycle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["etl_sync_lifecycle_stats"] = etl_sync_lifecycle_stats
 ORACLES["etl_sync_lifecycle_stats"] = _LIFECYCLE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Transactional-MERGE lifecycle under the hard gate: drive the
+# VersionedTable commit primitive (sources/versioned.py) end-to-end —
+# initial snapshot commit, a MERGE committed as a new version, a
+# TIME-TRAVEL read of the pre-merge snapshot taken AFTER the merge
+# (snapshot isolation made observable), and a vacuum — and return
+# stats the DuckDB oracle recomputes from `orders` alone. Money is
+# exact integer cents (DECIMAL×100 → BIGINT) end to end.
+# ---------------------------------------------------------------------------
+_V_CUT = "1999-01-01"
+
+ORACLES["orders_versioned_merge_stats"] = f"""
+    WITH cents AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM orders
+    ), r0 AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      FROM cents WHERE o_orderdate < TIMESTAMP '{_V_CUT}' GROUP BY o_custkey
+    ), aff AS (
+      SELECT DISTINCT o_custkey FROM cents
+      WHERE o_orderdate >= TIMESTAMP '{_V_CUT}'
+    ), rall AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      FROM cents GROUP BY o_custkey
+    ), v1 AS (
+      SELECT * FROM rall WHERE o_custkey IN (SELECT o_custkey FROM aff)
+      UNION ALL
+      SELECT * FROM r0 WHERE o_custkey NOT IN (SELECT o_custkey FROM aff)
+    )
+    SELECT metric, value FROM (
+      SELECT 'latest_version' AS metric, 1 AS value
+      UNION ALL SELECT 'v0_customers', (SELECT COUNT(*) FROM r0)
+      UNION ALL SELECT 'v0_orders', (SELECT CAST(SUM(n) AS BIGINT) FROM r0)
+      UNION ALL SELECT 'v0_sum_cents', (SELECT CAST(SUM(s) AS BIGINT) FROM r0)
+      UNION ALL SELECT 'v1_customers', (SELECT COUNT(*) FROM v1)
+      UNION ALL SELECT 'v1_orders', (SELECT CAST(SUM(n) AS BIGINT) FROM v1)
+      UNION ALL SELECT 'v1_sum_cents', (SELECT CAST(SUM(s) AS BIGINT) FROM v1)
+      UNION ALL SELECT 'vacuum_removed_versions', 1
+    ) ORDER BY metric
+    """
+
+
+def orders_versioned_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.sources.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    with_cents = orders.select("o_custkey", "o_orderdate", cents.alias("c"))
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("s"),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="versioned_merge_")
+    try:
+        t = VersionedTable(os.path.join(tmp, "orders_rollup"))
+        t.commit(rollup(with_cents.filter(F.col("o_orderdate") < _V_CUT)))
+        affected = (
+            with_cents.filter(F.col("o_orderdate") >= _V_CUT)
+            .select("o_custkey")
+            .distinct()
+        )
+        updates = rollup(
+            with_cents.join(affected, "o_custkey", "left_semi")
+        )
+        latest = t.merge_commit(updates, "o_custkey", spark)
+
+        def stats(version: int) -> tuple[int, int, int]:
+            row = (
+                t.read(spark, version=version)
+                .agg(
+                    F.count(F.lit(1)).alias("cust"),
+                    F.sum("n").alias("orders"),
+                    F.sum("s").alias("cents"),
+                )
+                .collect()[0]
+            )
+            return int(row["cust"]), int(row["orders"]), int(row["cents"])
+
+        # isolation made observable: v1 stats first, THEN re-read the
+        # pre-merge snapshot — the merge must not have mutated it
+        v1c, v1n, v1s = stats(1)
+        v0c, v0n, v0s = stats(0)
+        removed = t.vacuum(keep_last=1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    rows = [
+        ("latest_version", int(latest)),
+        ("v0_customers", v0c),
+        ("v0_orders", v0n),
+        ("v0_sum_cents", v0s),
+        ("v1_customers", v1c),
+        ("v1_orders", v1n),
+        ("v1_sum_cents", v1s),
+        ("vacuum_removed_versions", len(removed)),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long").orderBy(
+        "metric"
+    )
+
+
+QUERIES["orders_versioned_merge_stats"] = orders_versioned_merge_stats
