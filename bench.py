@@ -91,6 +91,10 @@ HEADLINE = [
     "promotion_candidates_q20",
     "global_sales_opportunity_q22",
     "docs_bm25_topk",
+    "docs_winnow_fingerprints",
+    "docs_winnow_overlap_pairs",
+    "events_heavy_hitters_cms",
+    "docs_word_bfs_distance",
 ]
 
 

@@ -78,3 +78,59 @@ def pagerank_fixed_point(
             .alias("r"),
         )
     return ranks.select(F.col(node_col), F.col("r").alias("rank_micros"))
+
+
+def bfs_hop_distance(
+    edges: DataFrame,
+    source,
+    max_depth: int,
+    node_col: str = "word",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Single-source BFS hop distance by frontier expansion: the
+    frontier joins the edge list, newly reached nodes (anti-join
+    against everything already labeled) get distance k. Returns
+    (node_col, dist: bigint) for every node reachable within
+    max_depth hops, source included at 0.
+
+    The per-round .count() is loop control only (a scalar at the
+    driver boundary, like connected_components' convergence sum) —
+    an empty frontier ends the walk early with a result identical to
+    running all max_depth rounds. Scale shape: each round is one
+    frontier⋈edges join (both sides hash-partitioned on the node
+    key, reused across rounds) plus one anti-join against the label
+    set; frontiers and labels persist, and unpersist when replaced.
+    For graphs needing many rounds, checkpoint the label set every
+    few rounds to cut lineage (same guidance as pagerank above)."""
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    spark = edges.sparkSession
+    dist = (
+        spark.range(1)
+        .select(
+            F.lit(source).alias(node_col),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+        .persist()
+    )
+    frontier = dist.select(node_col)
+    for k in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier[node_col] == edges[src])
+            .select(F.col(dst).alias(node_col))
+            .distinct()
+            .join(dist.select(node_col), node_col, "left_anti")
+            .select(
+                F.col(node_col), F.lit(k).cast("bigint").alias("dist")
+            )
+            .persist()
+        )
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        new_dist = dist.unionByName(nxt).persist()
+        dist.unpersist()
+        dist = new_dist
+        frontier = nxt.select(node_col)
+    return dist

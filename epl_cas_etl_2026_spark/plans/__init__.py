@@ -23,7 +23,9 @@ from epl_cas_etl_2026_spark.plans import (
     lifecycle,
     relational,
     retrieval,
+    sketches,
     streaming_gate,
+    winnow,
 )
 from epl_cas_etl_2026_spark.plans.gate_policy import gate_order
 
@@ -35,6 +37,8 @@ _ALL_QUERIES = {
     **retrieval.QUERIES,
     **graph.QUERIES,
     **streaming_gate.QUERIES,
+    **winnow.QUERIES,
+    **sketches.QUERIES,
 }
 _ALL_ORACLES = {
     **relational.ORACLES,
@@ -44,6 +48,8 @@ _ALL_ORACLES = {
     **retrieval.ORACLES,
     **graph.ORACLES,
     **streaming_gate.ORACLES,
+    **winnow.ORACLES,
+    **sketches.ORACLES,
 }
 
 _ORDER = gate_order(_ALL_QUERIES, _ALL_ORACLES)

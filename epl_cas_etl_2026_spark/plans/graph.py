@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from epl_cas_etl_2026_spark.operators.graph import (
     BASE,
+    bfs_hop_distance,
     DAMP_DEN,
     DAMP_NUM,
     RANK_SCALE,
@@ -132,3 +133,87 @@ def docs_word_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes, edges, iterations=_ITERATIONS, node_col="word"
     )
     return ranks.orderBy(F.desc("rank_micros"), "word").limit(10)
+
+
+_BFS_SOURCE = "merge"
+_BFS_DEPTH = 4
+
+
+def _bfs_oracle(source: str, depth: int) -> str:
+    """Unrolled breadth-first levels: r_k = MIN-dist union of r_{k-1}
+    and its one-hop expansion — identical set algebra to the Spark
+    frontier loop (an early-emptied frontier changes nothing)."""
+    ctes = [
+        """
+    WITH docs2 AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+      FROM docs2
+    ), e0 AS (
+      SELECT a.word AS src, b.word AS dst
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0
+      )
+    ), r0 AS (
+      SELECT '{source}' AS word, CAST(0 AS BIGINT) AS dist
+    )""".format(source=source)
+    ]
+    for k in range(1, depth + 1):
+        ctes.append(
+            """
+    r{k} AS (
+      SELECT word, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT word, dist FROM r{prev}
+        UNION ALL
+        SELECT e.dst AS word, CAST({k} AS BIGINT) AS dist
+        FROM edges e JOIN r{prev} p ON e.src = p.word
+      ) GROUP BY word
+    )""".format(k=k, prev=k - 1)
+        )
+    return (
+        ",".join(ctes)
+        + """
+    SELECT word, dist FROM r{last}
+    ORDER BY dist, word
+    """.format(last=depth)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-source BFS hop distance over the UNDIRECTED bigram graph
+# (word adjacency = "ever appeared next to"): every word reachable
+# from the source within 4 hops, with its hop count — the iterative
+# frontier-expansion twin of the recursive-CTE closure. Edge build is
+# the same zero-extra-shuffle per-row pair expression as PageRank's.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_word_bfs_distance", _bfs_oracle(_BFS_SOURCE, _BFS_DEPTH)
+)
+def docs_word_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_ws = docs.select(
+        F.filter(F.split(F.col("text"), " "), lambda w: w != "").alias("ws")
+    )
+    pairs = with_ws.select(F.explode(F.expr(_PAIRS_EXPR)).alias("p")).select(
+        F.col("p.src").alias("src"), F.col("p.dst").alias("dst")
+    )
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    dist = bfs_hop_distance(
+        edges, _BFS_SOURCE, max_depth=_BFS_DEPTH, node_col="word"
+    )
+    return dist.orderBy("dist", "word")

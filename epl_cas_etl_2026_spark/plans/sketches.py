@@ -1,0 +1,146 @@
+"""Count-min sketch heavy hitters over the events stream: a
+deterministic, MERGEABLE frequency sketch (Cormode/Muthukrishnan)
+whose d×w counter matrix is built with one map-side-combined groupBy
+— the streaming-friendly answer to "top values without a full
+per-value shuffle" (reference analogue: the dashboard's distribution
+counts, app.py:387-399, generalized to sketch form).
+
+Why count-min and not Misra-Gries/space-saving here: CMS cell values
+are sums over a fixed hash partition of the input, so the sketch is
+identical no matter how the data is partitioned or merged — it can be
+hash-gated against a SQL oracle. MG/space-saving summaries depend on
+merge order and could only ever be rows-only checked.
+
+Scale shape (100 TB): the sketch build explodes each row into d=4
+(row, bucket) cells and immediately partial-aggregates — the shuffle
+carries at most d×w=128 cells per map task regardless of input size
+(this is exactly a mergeable-sketch combine). The estimate probe
+joins the D distinct probe values against the 128-cell sketch
+(broadcast), and the exact side is one groupBy on the probed column.
+At 100 TB the sketch build is the only full-data pass; everything
+downstream is KB-sized.
+
+Emitted invariant (oracle-verified): CMS never underestimates —
+`overestimate_ok = cms_est >= exact_count` must be TRUE on every row,
+and both engines recompute the same md5-derived buckets bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from epl_cas_etl_2026_spark.plans.extensions import _HEX16
+from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+D = 4  # hash rows
+WIDTH = 32  # buckets per row (100 distinct props-k values → real collisions)
+TOP_K = 10
+
+# bucket_j(v) = first 16 md5 bits of "<j>:<v>" mod WIDTH — deterministic
+# and identical in both engines (md5 + instr/substr arithmetic only).
+_BUCKET = (
+    "(" + _HEX16.format(m="md5(concat(CAST({j} AS STRING), ':', {v}))") + ")"
+    f" % {WIDTH}"
+)
+_BUCKET_DUCK = (
+    "(" + _HEX16.format(m="md5(CAST({j} AS VARCHAR) || ':' || {v})") + ")"
+    f" % {WIDTH}"
+)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters on the JSON props.k field: exact top-10 values with
+# their count-min estimates and the no-underestimate invariant.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_heavy_hitters_cms",
+    f"""
+    WITH vals AS (
+      SELECT json_extract_string(props, '$.k') AS v FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ), cells AS (
+      SELECT j, {_BUCKET_DUCK.format(j='j', v='v')} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM vals, unnest([0, 1, 2, 3]) AS r(j)
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM vals GROUP BY v
+    ), probes AS (
+      SELECT e.v, e.exact_count, r.j,
+             {_BUCKET_DUCK.format(j='r.j', v='e.v')} AS bucket
+      FROM exact e, unnest([0, 1, 2, 3]) AS r(j)
+    ), est AS (
+      SELECT p.v, p.exact_count, CAST(MIN(c.c) AS BIGINT) AS cms_est
+      FROM probes p
+      JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+      GROUP BY p.v, p.exact_count
+    )
+    SELECT v AS value, exact_count, cms_est,
+           cms_est >= exact_count AS overestimate_ok
+    FROM est
+    ORDER BY exact_count DESC, value
+    LIMIT {TOP_K}
+    """,
+)
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    vals = events.select(
+        F.get_json_object("props", "$.k").alias("v")
+    ).filter(F.col("v").isNotNull())
+
+    exact = vals.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    # cell(j, b) = Σ exact_count over values hashing to b — identical
+    # to counting the exploded raw stream (the direct mergeable build
+    # described above), but here the exact per-value counts already
+    # exist for the emitted invariant, so the sketch folds from that
+    # aggregate and the raw data is scanned exactly once.
+    cells = (
+        exact.select(
+            "exact_count",
+            "v",
+            F.explode(F.sequence(F.lit(0), F.lit(D - 1))).alias("j"),
+        )
+        .withColumn("bucket", F.expr(_BUCKET.format(j="j", v="v")))
+        .groupBy("j", "bucket")
+        .agg(F.sum("exact_count").cast("long").alias("c"))
+    )
+    probes = exact.select(
+        "v",
+        "exact_count",
+        F.explode(F.sequence(F.lit(0), F.lit(D - 1))).alias("j"),
+    ).withColumn("bucket", F.expr(_BUCKET.format(j="j", v="v")))
+    est = (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("v", "exact_count")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+    )
+    return (
+        est.select(
+            F.col("v").alias("value"),
+            "exact_count",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_count")).alias(
+                "overestimate_ok"
+            ),
+        )
+        .orderBy(F.desc("exact_count"), "value")
+        .limit(TOP_K)
+    )
