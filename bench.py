@@ -95,6 +95,11 @@ HEADLINE = [
     "docs_winnow_overlap_pairs",
     "events_heavy_hitters_cms",
     "docs_word_bfs_distance",
+    "parts_fuzzy_probe_match",
+    "events_hourly_gap_fill",
+    "docs_jaccard_prefix_join",
+    "events_bitmap_distinct_rollup",
+    "events_scd2_compress",
 ]
 
 

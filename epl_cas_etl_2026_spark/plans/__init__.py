@@ -18,13 +18,16 @@ tests/test_plan_audit.py.
 
 from epl_cas_etl_2026_spark.plans import (
     decision_support,
+    enrich,
     extensions,
     graph,
     lifecycle,
     relational,
     retrieval,
+    setjoin,
     sketches,
     streaming_gate,
+    warehouse,
     winnow,
 )
 from epl_cas_etl_2026_spark.plans.gate_policy import gate_order
@@ -39,6 +42,9 @@ _ALL_QUERIES = {
     **streaming_gate.QUERIES,
     **winnow.QUERIES,
     **sketches.QUERIES,
+    **enrich.QUERIES,
+    **setjoin.QUERIES,
+    **warehouse.QUERIES,
 }
 _ALL_ORACLES = {
     **relational.ORACLES,
@@ -50,6 +56,9 @@ _ALL_ORACLES = {
     **streaming_gate.ORACLES,
     **winnow.ORACLES,
     **sketches.ORACLES,
+    **enrich.ORACLES,
+    **setjoin.ORACLES,
+    **warehouse.ORACLES,
 }
 
 _ORDER = gate_order(_ALL_QUERIES, _ALL_ORACLES)

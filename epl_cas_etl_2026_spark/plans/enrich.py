@@ -1,0 +1,207 @@
+"""Data-enrichment / repair query shapes: fuzzy entity resolution by
+edit distance (the scale generalization of the reference's 2-pass
+fuzzy catalog match, etl_sync.py:128-139 — exact, then containment;
+here: exact would miss, so banded Levenshtein picks the closest
+catalog row) and time-series densification with forward-fill (the
+time-axis twin of J4's cross-join densification, app.py:1141-1151,
+plus the imputation idea of J8).
+
+Scale shapes (100 TB):
+
+- Fuzzy probe match: the probe set is tiny and BROADCAST; candidate
+  generation is a length-band block (|len(a)-len(b)| <= max edit
+  distance — a sound filter, never drops a true match within the
+  band) so each probe scores only its band, then one
+  TakeOrderedAndProject per probe via a partitioned row_number. The
+  catalog is never self-joined; cost is |probes| × band width. For
+  probe sets too large to broadcast, the same plan becomes a
+  length-bucket equi-join (bucket = len div k) — noted, not needed
+  here.
+- Gap fill: per-key hourly spine built with sequence()/explode — the
+  spine is generated NEXT TO the data (one groupBy for [min, max]
+  per key, explode back out), not via a global calendar cross join;
+  forward-fill is last(ignorenulls) over a per-user window (keyed
+  partitions only, no global window). One shuffle on user_id serves
+  the observation rollup, the spine join, and the window.
+
+Cross-engine determinism: levenshtein() is the classic edit distance
+in both engines (pinned by a unit test); tie-breaks are (distance,
+key) lexicographic. Hour buckets render as strings; per-hour values
+quantize to integer cents (FLOOR(x*100 + 0.5), repo float rule)
+BEFORE summing so every sum is an exact integer in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Deterministic probe corruption: parts with key ≡ 37 (mod 211),
+# 3rd character dropped — a typo the exact matcher can't resolve.
+_PROBE_MOD = 211
+_PROBE_REM = 37
+_MAX_DIST = 3
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy catalog resolution: each corrupted probe name resolves to its
+# closest catalog part by edit distance (ties → lowest part key).
+# ---------------------------------------------------------------------------
+@_register(
+    "parts_fuzzy_probe_match",
+    f"""
+    WITH probes AS (
+      SELECT p_partkey AS probe_key,
+             substr(p_name, 1, 2) || substr(p_name, 4) AS probe_name
+      FROM part WHERE p_partkey % {_PROBE_MOD} = {_PROBE_REM}
+    ), cand AS (
+      SELECT pr.probe_key, pr.probe_name,
+             p.p_partkey AS match_key, p.p_name AS match_name,
+             CAST(levenshtein(pr.probe_name, p.p_name) AS BIGINT) AS dist
+      FROM probes pr
+      JOIN part p
+        ON abs(len(pr.probe_name) - len(p.p_name)) <= {_MAX_DIST}
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY probe_key
+               ORDER BY dist, match_key) AS rn
+      FROM cand WHERE dist <= {_MAX_DIST}
+    )
+    SELECT probe_key, probe_name, match_key, match_name, dist
+    FROM ranked WHERE rn = 1
+    ORDER BY probe_key
+    """,
+)
+def parts_fuzzy_probe_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    probes = part.filter(
+        F.col("p_partkey") % _PROBE_MOD == _PROBE_REM
+    ).select(
+        F.col("p_partkey").alias("probe_key"),
+        F.concat(
+            F.substring("p_name", 1, 2), F.expr("substr(p_name, 4)")
+        ).alias("probe_name"),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(
+            part,
+            F.abs(
+                F.length("probe_name") - F.length("p_name")
+            )
+            <= _MAX_DIST,
+        )
+        .select(
+            "probe_key",
+            "probe_name",
+            F.col("p_partkey").alias("match_key"),
+            F.col("p_name").alias("match_name"),
+            F.levenshtein("probe_name", "p_name")
+            .cast("long")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") <= _MAX_DIST)
+    )
+    w = Window.partitionBy("probe_key").orderBy("dist", "match_key")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("probe_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hourly gap fill + forward-fill per user: build each user's dense
+# hour spine, left-join observations, carry the last observed hourly
+# cents forward across gaps, report per-user fill stats.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_hourly_gap_fill",
+    """
+    WITH obs AS (
+      SELECT user_id,
+             time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT user_id,
+             unnest(generate_series(MIN(h), MAX(h),
+                                    INTERVAL 1 hour)) AS h
+      FROM obs GROUP BY user_id
+    ), filled AS (
+      SELECT s.user_id, s.h, o.n_events,
+             last_value(o.cents IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.h
+               ROWS UNBOUNDED PRECEDING) AS filled_cents
+      FROM spine s LEFT JOIN obs o
+        ON s.user_id = o.user_id AND s.h = o.h
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(COUNT(n_events) AS BIGINT) AS n_observed,
+           CAST(COUNT(*) - COUNT(n_events) AS BIGINT) AS n_gaps,
+           CAST(SUM(filled_cents) AS BIGINT) AS filled_sum_cents
+    FROM filled
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    obs = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = spine.join(obs, ["user_id", "h"], "left").withColumn(
+        "filled_cents", F.last("cents", ignorenulls=True).over(w)
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.count("n_events").cast("long").alias("n_observed"),
+            (F.count(F.lit(1)) - F.count("n_events"))
+            .cast("long")
+            .alias("n_gaps"),
+            F.sum("filled_cents").cast("long").alias("filled_sum_cents"),
+        )
+        .orderBy("user_id")
+    )

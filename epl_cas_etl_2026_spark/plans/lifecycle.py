@@ -334,8 +334,9 @@ def orders_versioned_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 t.read(spark, version=version)
                 .agg(
                     F.count(F.lit(1)).alias("cust"),
-                    F.sum("n").alias("orders"),
-                    F.sum("s").alias("cents"),
+                    # coalesce: SUM over an empty snapshot is NULL
+                    F.coalesce(F.sum("n"), F.lit(0)).alias("orders"),
+                    F.coalesce(F.sum("s"), F.lit(0)).alias("cents"),
                 )
                 .collect()[0]
             )

@@ -118,3 +118,42 @@ def events_stream_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("window_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# T2 under the STREAMING engine: stateful dropDuplicates — a second
+# gate query exercising a different state-store operator than the
+# windowed aggregation above (dedup state keyed by (user_id,
+# event_type) instead of window aggregation state). The per-type
+# unique-user count is arrival-order independent, so the streaming
+# result hash-matches the batch COUNT(DISTINCT) oracle exactly.
+# Production shape: withWatermark before dropDuplicates bounds the
+# dedup state by event time; omitted here because AvailableNow over a
+# finite input finalizes in one pass (same reasoning as complete-mode
+# above).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_stream_dedup_gate",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_unique_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = _stream_events(spark, sf_dir).dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    counts = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique_users")
+    )
+    name = f"stream_dedup_gate_{next(_run_ids)}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("event_type")

