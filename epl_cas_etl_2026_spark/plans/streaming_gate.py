@@ -157,3 +157,73 @@ def events_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Session windows under the STREAMING engine: the third gate query,
+# exercising the session-state MERGING operator (gap-driven window
+# bounds grown/merged as events arrive — a different state machine
+# than tumbling aggregation or dedup). The streaming run computes
+# per-session rows; the per-user rollup happens in batch on the sink
+# because a streaming query cannot chain two aggregations — at scale
+# that second rollup is the downstream consumer's query, not the
+# stream's. Oracle: the lag/cumsum island algorithm (same SQL as the
+# batch twin events_session_windows_native) — three implementations
+# of session semantics (hand-rolled islands, batch session_window,
+# streaming session_window) now pin each other.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_stream_session_gate",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS sev FROM islands
+      GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(sev) AS BIGINT) AS n_events,
+           CAST(MAX(sev) AS BIGINT) AS max_session_events
+    FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_session = (
+        _stream_events(spark, sf_dir)
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("sev"))
+    )
+    name = f"stream_session_gate_{next(_run_ids)}"
+    q = (
+        per_session.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("sev").cast("long").alias("n_events"),
+            F.max("sev").cast("long").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
