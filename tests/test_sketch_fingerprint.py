@@ -140,3 +140,26 @@ def test_bfs_depth_cap(spark):
     assert rows == {"a": 0, "b": 1, "c": 2}
     with pytest.raises(ValueError):
         bfs_hop_distance(edges, "a", max_depth=0)
+
+
+def test_winnowing_udf_equals_expression_path(spark, sf_smoke):
+    """The Arrow pandas_udf hot path and the pure-expression spec must
+    produce identical fingerprint sets for every document."""
+    from pyspark.sql import functions as F
+
+    from epl_cas_etl_2026_spark.plans.winnow import (
+        _with_fingerprints,
+        _with_fingerprints_udf,
+    )
+    from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    a = {
+        r.doc_id: sorted(r.fp)
+        for r in _with_fingerprints(docs).collect()
+    }
+    b = {
+        r.doc_id: sorted(r.fp)
+        for r in _with_fingerprints_udf(docs).collect()
+    }
+    assert a == b
