@@ -104,9 +104,13 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("v")
     ).filter(F.col("v").isNotNull())
 
+    # persisted: `exact` feeds both the sketch build and the probe
+    # side; without the persist each branch re-scans the raw parquet
+    # (plan-asserted single scan in tests/test_plan_audit.py). The
+    # cached frame is value-cardinality rows, not data-sized.
     exact = vals.groupBy("v").agg(
         F.count(F.lit(1)).cast("long").alias("exact_count")
-    )
+    ).persist()
     # cell(j, b) = Σ exact_count over values hashing to b — identical
     # to counting the exploded raw stream (the direct mergeable build
     # described above), but here the exact per-value counts already

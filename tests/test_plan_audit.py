@@ -183,3 +183,51 @@ def test_gate_ledger_matches_current_testdata():
         "tools/update_gate_ledger.py so prior-generation green rows "
         "expire and re-enter the gate window"
     )
+
+
+# ---- round-4 additions: plan-shape pins for the new operators ----
+
+
+def test_winnow_fingerprint_selection_in_scan_stage(spark, sf_oracle):
+    """The winnowing claim: fingerprint selection is a per-row
+    expression — no Exchange may exist below the first aggregate
+    except the aggregate's own shuffles (source key / distinct-hash
+    rollup + the final source-key join)."""
+    plan = _plan(spark, sf_oracle, "docs_winnow_fingerprints")
+    assert "CartesianProduct" not in plan
+    # no window, no per-doc repartition — selection never shuffles docs
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 6, plan.count("Exchange")
+
+
+def test_jaccard_prefix_join_no_cartesian(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "docs_jaccard_prefix_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_probe_match_broadcasts_probe_side(spark, sf_oracle):
+    """Length-band theta join must be a BroadcastNestedLoopJoin with
+    the (tiny) probe side broadcast — never a CartesianProduct."""
+    plan = _plan(spark, sf_oracle, "parts_fuzzy_probe_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_gap_fill_windows_are_keyed(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "events_hourly_gap_fill")
+    assert "CartesianProduct" not in plan
+    # forward-fill window partitioned by user_id, never global
+    import re as _re
+
+    for m in _re.findall(r"Window .*", plan):
+        assert "user_id" in m, m
+
+
+def test_cms_sketch_shares_exact_aggregate(spark, sf_oracle):
+    """The CMS query folds cells from the persisted exact aggregate:
+    both branches must read the cached relation (plan text prints the
+    cached child per reference, so the runtime guarantee to pin is
+    the InMemoryTableScan nodes, not the FileScan count)."""
+    plan = _plan(spark, sf_oracle, "events_heavy_hitters_cms")
+    assert plan.count("InMemoryTableScan") >= 2, plan
