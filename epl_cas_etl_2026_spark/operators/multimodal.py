@@ -2,12 +2,14 @@
 ``binary`` columns with typed metadata (BASELINE.json north star).
 
 The Spark-side machinery here is REAL and tested — schema, Arrow batch
-shape, ``mapInPandas`` signature, partitioning behavior. The actual
-media decode is STUBBED: the container has no image/audio libraries, so
-``decode_image_meta`` computes a deterministic fake (documented below)
-and ``decode_image_real`` raises ``NotImplementedError`` with the
-intended implementation sketch. Swapping the fake for Pillow/librosa
-is a one-function change; nothing else moves.
+shape, ``mapInPandas`` signature, partitioning behavior. Decode status
+by format: uncompressed 24-bit BMP and PCM16 WAV decode FOR REAL
+(stdlib struct + numpy — ``decode_image_real`` / ``decode_audio_real``
+below, round-trip-tested against the in-repo encoders, with a
+dead-letter quarantine mode for corrupt payloads). Compressed formats
+(JPEG/MP3/H.264) genuinely require Pillow/av, which this container
+lacks, so ``decode_image_meta`` keeps the documented deterministic
+fake for them; swapping it for Pillow is a one-function change.
 
 At 100 TB: binary payloads dominate row size, so these operators run
 ``mapInPandas`` (Arrow-batched, streaming per partition — never
@@ -81,7 +83,8 @@ def decode_image_meta(
 # ---------------------------------------------------------------------------
 
 IMAGE_REAL_SCHEMA = (
-    "id long, width long, height long, bpp long, mean_luma_milli long"
+    "id long, width long, height long, bpp long, mean_luma_milli long, "
+    "err string"
 )
 
 
@@ -138,17 +141,35 @@ def _parse_bmp(buf: bytes) -> tuple[int, int, int, int]:
 
 
 def decode_image_real(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    on_error: str = "fail",
 ) -> DataFrame:
     """Real image decode via mapInPandas for formats the container can
     parse without media libraries (24-bit BMP). Same batch shape as
     decode_image_meta; a Pillow deployment swaps _parse_bmp for
-    PIL.Image.open."""
+    PIL.Image.open.
+
+    on_error: "fail" raises on the first undecodable payload (default
+    — corrupt media aborts the job loudly); "quarantine" emits the row
+    with NULL fields and the error text in `err` so the caller routes
+    `err IS NOT NULL` rows to a dead-letter sink (the etl/zenput.py
+    quarantine pattern applied to media)."""
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be fail|quarantine: {on_error}")
     cols = [id_col, payload_col]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            parsed = [_parse_bmp(bytes(b)) for b in pdf[payload_col]]
+            parsed = []
+            for b in pdf[payload_col]:
+                try:
+                    parsed.append(_parse_bmp(bytes(b)) + (None,))
+                except ValueError as e:
+                    if on_error == "fail":
+                        raise
+                    parsed.append((None, None, None, None, str(e)))
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),
@@ -156,6 +177,7 @@ def decode_image_real(
                     "height": [p[1] for p in parsed],
                     "bpp": [p[2] for p in parsed],
                     "mean_luma_milli": [p[3] for p in parsed],
+                    "err": [p[4] for p in parsed],
                 }
             )
 
@@ -164,7 +186,7 @@ def decode_image_real(
 
 AUDIO_REAL_SCHEMA = (
     "id long, channels long, sample_rate long, n_samples long, "
-    "duration_ms long, rms_milli long, peak_milli long"
+    "duration_ms long, rms_milli long, peak_milli long, err string"
 )
 
 
@@ -229,16 +251,29 @@ def _parse_wav(buf: bytes) -> tuple[int, int, int, int, int, int]:
 
 
 def decode_audio_real(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    on_error: str = "fail",
 ) -> DataFrame:
     """Real audio decode via mapInPandas (PCM16 WAV): header fields
     plus decoded-sample statistics (RMS / peak), proving the samples
-    themselves are read, not just the header."""
+    themselves are read, not just the header. on_error as in
+    decode_image_real."""
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be fail|quarantine: {on_error}")
     cols = [id_col, payload_col]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            parsed = [_parse_wav(bytes(b)) for b in pdf[payload_col]]
+            parsed = []
+            for b in pdf[payload_col]:
+                try:
+                    parsed.append(_parse_wav(bytes(b)) + (None,))
+                except ValueError as e:
+                    if on_error == "fail":
+                        raise
+                    parsed.append((None,) * 6 + (str(e),))
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),
@@ -248,6 +283,7 @@ def decode_audio_real(
                     "duration_ms": [p[3] for p in parsed],
                     "rms_milli": [p[4] for p in parsed],
                     "peak_milli": [p[5] for p in parsed],
+                    "err": [p[6] for p in parsed],
                 }
             )
 

@@ -112,3 +112,36 @@ def test_decoders_reject_garbage(spark):
         _parse_bmp(b"NOTABMP" * 4)
     with pytest.raises(ValueError):
         _parse_wav(b"NOTAWAV" * 4)
+
+
+def test_quarantine_mode_dead_letters_bad_payloads(spark):
+    rows = [
+        (1, bytearray(encode_bmp(2, 2, [[(9, 9, 9)] * 2] * 2))),
+        (2, bytearray(b"garbage-not-a-bmp")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r.id: r
+        for r in decode_image_real(df, on_error="quarantine").collect()
+    }
+    assert out[1].err is None and out[1].width == 2
+    assert out[2].err is not None and out[2].width is None
+
+    import pytest
+
+    with pytest.raises(Exception):
+        decode_image_real(df, on_error="fail").collect()
+    with pytest.raises(ValueError):
+        decode_image_real(df, on_error="nonsense")
+
+    wav_rows = [
+        (1, bytearray(encode_wav_pcm16([0, 1, 2], 8000))),
+        (2, bytearray(b"garbage-not-a-wav")),
+    ]
+    wdf = spark.createDataFrame(wav_rows, "doc_id long, payload binary")
+    wout = {
+        r.id: r
+        for r in decode_audio_real(wdf, on_error="quarantine").collect()
+    }
+    assert wout[1].err is None and wout[1].n_samples == 3
+    assert wout[2].err is not None and wout[2].n_samples is None
