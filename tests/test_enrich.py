@@ -139,3 +139,102 @@ def test_prefix_jaccard_join_matches_bruteforce(spark):
         if i * 10 >= _T10 * u:
             hist[i * 100 // u] += 1
     assert got == {(j, n) for j, n in hist.items()}
+
+
+def test_gap_fill_properties_random_events(spark):
+    """Hypothesis-driven spine laws on random per-user hour offsets:
+    n_hours = max-min+1, gaps = hours - observed, and the forward-fill
+    sum equals the python reference on every generated case."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 3, 1)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.dictionaries(
+            st.integers(0, 3),
+            st.lists(
+                st.tuples(
+                    st.integers(0, 72), st.integers(-5000, 5000)
+                ),
+                min_size=1,
+                max_size=20,
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def run(case):
+        rows = []
+        eid = 0
+        for uid, evs in case.items():
+            for hoff, cents in evs:
+                rows.append(
+                    (
+                        eid,
+                        uid,
+                        t0 + dt.timedelta(hours=hoff, minutes=7),
+                        cents,
+                    )
+                )
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, cents long"
+        )
+        obs = df.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("h")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        spine = (
+            obs.groupBy("user_id")
+            .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+            .select(
+                "user_id",
+                F.explode(
+                    F.sequence("h0", "h1", F.expr("interval 1 hour"))
+                ).alias("h"),
+            )
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("h")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        got = (
+            spine.join(obs, ["user_id", "h"], "left")
+            .withColumn(
+                "fc", F.last("cents", ignorenulls=True).over(w)
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_hours"),
+                F.count("n").alias("n_obs"),
+                F.sum("fc").alias("fill_sum"),
+            )
+            .collect()
+        )
+        for r in got:
+            evs = case[r.user_id]
+            hours = sorted({h for h, _ in evs})
+            span = hours[-1] - hours[0] + 1
+            assert r.n_hours == span
+            assert r.n_obs == len(hours)
+            # python reference forward-fill
+            per_hour = {}
+            for h, c in evs:
+                per_hour[h] = per_hour.get(h, 0) + c
+            fill, last = 0, None
+            for h in range(hours[0], hours[-1] + 1):
+                last = per_hour.get(h, last)
+                fill += last
+            assert r.fill_sum == fill
+
+    run()
