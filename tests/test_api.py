@@ -1,0 +1,403 @@
+"""Reference-endpoint parity: build the FIXTURES.md §A domain tables
+(every semantic trap represented), write them to parquet, and
+differential-test each api.py endpoint against an ANSI-SQL oracle
+translated from the reference's documented query semantics — the same
+compare used for the driver gate."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import duckdb
+import pytest
+
+from epl_cas_etl_2026_spark import api
+
+D = dt.date
+TS = dt.datetime
+
+
+@pytest.fixture(scope="module")
+def domain(spark, tmp_path_factory):
+    """Domain tables with the FIXTURES.md traps: PLOG regroup names,
+    territory keywords + fallback, inactive dims, NULL clasificacion,
+    NULL coords, zero-supervision branches/groups, NULL and 0 scores,
+    exact rank ties, bucket-edge scores (70/80/90)."""
+    root = str(tmp_path_factory.mktemp("domain"))
+    periodos = spark.createDataFrame(
+        [
+            (1, "CAS-01", "Periodo 1", D(2026, 1, 1), D(2026, 1, 31), False),
+            (2, "CAS-02", "Periodo 2", D(2026, 2, 1), D(2026, 2, 28), True),
+            (3, "CAS-03", "Periodo 3", D(2026, 3, 1), D(2026, 3, 31), None),
+        ],
+        "id int, codigo string, nombre string, fecha_inicio date, "
+        "fecha_fin date, activo boolean",
+    )
+    grupos = spark.createDataFrame(
+        [
+            (1, "PLOG NORTE", True),
+            (2, "PLOG SUR", True),
+            (3, "TEPEYAC CENTRO", True),
+            (4, "EXPO MTY", True),
+            (5, "INDEPENDIENTE X", True),
+            (6, "GRUPO INACTIVO", False),
+            (7, "SIN SUCURSALES", True),
+        ],
+        "id int, nombre string, activo boolean",
+    )
+    sucursales = spark.createDataFrame(
+        [
+            # id, nombre, numero, estado, ciudad, grupo, activo,
+            # clasificacion, lat, lng, zenput
+            (1, "Suc A", "1", "NL", "MTY", 1, True, "local", 25.6, -100.3, "Z1"),
+            (2, "Suc B", "2", "NL", "MTY", 1, True, None, 25.7, -100.4, "Z2"),
+            (3, "Suc C", "3", None, "GDL", 2, True, "foraneo", None, None, "Z3"),
+            (4, "Suc D", "4", "JAL", "GDL", 3, True, "local", 20.7, -103.4, "Z4"),
+            (5, "Suc E", "5", "CMX", "CDMX", 4, True, "foraneo", 19.4, -99.1, "Z5"),
+            (6, "Suc F", "6", "NL", "MTY", 5, True, "local", 25.8, -100.2, "Z6"),
+            (7, "Suc G inactiva", "7", "NL", "MTY", 1, False, "local", 25.9, -100.1, "Z7"),
+            (8, "Suc H sin datos", "8", "NL", "MTY", 5, True, "local", 25.5, -100.5, "Z8"),
+            (9, "Suc I grupo inactivo", "9", "NL", "MTY", 6, True, "local", 25.4, -100.6, "Z9"),
+        ],
+        "id int, nombre string, numero string, estado string, "
+        "ciudad string, grupo_operativo_id int, activo boolean, "
+        "clasificacion string, latitud double, longitud double, "
+        "zenput_location_id string",
+    )
+    sup_rows = [
+        # id, zenput, sucursal, periodo, supervisor, fecha, calif
+        (1, "S1", 1, 2, "Ana", TS(2026, 2, 5, 10), 95.0),
+        (2, "S2", 1, 2, "Ana", TS(2026, 2, 12, 11), 85.0),
+        (3, "S3", 2, 2, "Luis", TS(2026, 2, 6, 9), 90.0),   # bucket edge
+        (4, "S4", 3, 2, "Luis", TS(2026, 2, 7, 9), 65.0),   # critical
+        (5, "S5", 4, 2, "Mia", TS(2026, 2, 8, 9), 75.0),    # warning band
+        (6, "S6", 5, 2, "Mia", TS(2026, 2, 9, 9), 75.0),    # exact tie w/ 5
+        (7, "S7", 6, 2, "Ana", TS(2026, 2, 10, 9), None),   # NULL score
+        (8, "S8", 6, 2, "Ana", TS(2026, 2, 10, 9), 70.0),   # same-ts tie (W4)
+        (9, "S9", 1, 1, "Ana", TS(2026, 1, 15, 9), 40.0),   # other period
+        (10, "S10", 4, None, "Mia", TS(2026, 2, 20, 9), 80.0),  # NULL periodo
+        (11, "S11", 1, 2, "Ana", TS(2026, 2, 19, 9), 0.0),  # zero score
+    ]
+    sup = spark.createDataFrame(
+        sup_rows,
+        "id long, zenput_submission_id string, sucursal_id int, "
+        "periodo_id int, supervisor string, fecha_supervision timestamp, "
+        "calificacion_general double",
+    )
+    seg = spark.createDataFrame(
+        [(101, "G1", 1, 2, "Ana", TS(2026, 2, 5, 12), 88.0)],
+        "id long, zenput_submission_id string, sucursal_id int, "
+        "periodo_id int, supervisor string, fecha_supervision timestamp, "
+        "calificacion_general double",
+    )
+    areas = spark.createDataFrame(
+        [(2, 1, 90.0), (2, 2, 60.0), (1, 1, 80.0)],
+        "supervision_id long, area_id int, porcentaje double",
+    )
+    cat_areas = spark.createDataFrame(
+        [(1, "A-REF", "Refrigeradores", 2), (2, "A-COC", "Cocina", 1)],
+        "id int, codigo string, nombre string, numero int",
+    )
+    tables = {
+        "periodos_cas": periodos,
+        "grupos_operativos": grupos,
+        "sucursales": sucursales,
+        "supervisiones_operativas": sup,
+        "supervisiones_seguridad": seg,
+        "supervision_areas": areas,
+        "catalogo_areas": cat_areas,
+    }
+    con = duckdb.connect()
+    for name, df in tables.items():
+        path = os.path.join(root, f"{name}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}/*.parquet')"
+        )
+    return tables, con
+
+
+# DuckDB twin of functions/scalars.det_avg_sql at 2dp
+def _det_avg(expr):
+    from epl_cas_etl_2026_spark.functions.scalars import det_avg_sql
+
+    return det_avg_sql(expr)
+
+
+def _compare(df, con, sql):
+    from tests.oracle_utils import compare
+
+    ok, msg = compare(df, con, sql)
+    assert ok, msg
+
+
+def test_ranking_grupos_parity(domain):
+    tables, con = domain
+    df = api.ranking_grupos(tables, "operativas", periodo_id=2)
+    sql = f"""
+    WITH g AS (
+      SELECT id, nombre,
+             CASE WHEN nombre LIKE 'PLOG %' THEN 'PLOG' ELSE nombre END AS entidad,
+             CASE WHEN lower(nombre) LIKE '%tepeyac%' OR lower(nombre) LIKE '%ogas%'
+                       OR lower(nombre) LIKE '%plog%' OR lower(nombre) LIKE '%epl so%'
+                  THEN 'local'
+                  WHEN lower(nombre) LIKE '%expo%' OR lower(nombre) LIKE '%tec%'
+                  THEN 'mixto' ELSE 'foranea' END AS territorio
+      FROM grupos_operativos WHERE COALESCE(activo, false)
+    ), s AS (
+      SELECT id AS sucursal_id, grupo_operativo_id
+      FROM sucursales WHERE COALESCE(activo, false)
+    ), f AS (
+      SELECT id AS sup_id, sucursal_id, calificacion_general
+      FROM supervisiones_operativas WHERE periodo_id = 2
+    ), base AS (
+      SELECT g.entidad, g.territorio, s.sucursal_id, f.sup_id,
+             f.calificacion_general
+      FROM g LEFT JOIN s ON g.id = s.grupo_operativo_id
+             LEFT JOIN f ON s.sucursal_id = f.sucursal_id
+    ), agg AS (
+      SELECT entidad, MIN(territorio) AS territorio,
+             {_det_avg('calificacion_general')} AS promedio,
+             CAST(COUNT(sup_id) AS BIGINT) AS supervisiones,
+             CAST(COUNT(DISTINCT sucursal_id) AS BIGINT) AS sucursales
+      FROM base GROUP BY entidad
+    )
+    SELECT entidad, territorio, promedio, supervisiones, sucursales,
+           CASE WHEN promedio IS NOT NULL THEN
+             CAST(RANK() OVER (ORDER BY promedio DESC NULLS LAST) AS BIGINT)
+           END AS posicion
+    FROM agg
+    """
+    _compare(df, con, sql)
+    rows = {r.entidad: r for r in df.collect()}
+    # PLOG collapses and is supervision-WEIGHTED: members are
+    # Suc A (95, 85, 0), Suc B (90), Suc C (65) → 335/5 = 67, not the
+    # mean of member-branch averages
+    assert rows["PLOG"].promedio == 67.0
+    assert rows["PLOG"].territorio == "local"
+    # zero-supervision group: unranked NULL tail
+    assert rows["SIN SUCURSALES"].posicion is None
+    # inactive group absent
+    assert "GRUPO INACTIVO" not in rows
+
+
+def test_ranking_sucursales_parity_and_dynamic_filters(domain):
+    tables, con = domain
+    df = api.ranking_sucursales(tables, "operativas", periodo_id=2)
+    sql = f"""
+    WITH s AS (
+      SELECT id AS sucursal_id, nombre AS sucursal, grupo_operativo_id,
+             COALESCE(clasificacion, 'local') AS clasificacion
+      FROM sucursales WHERE COALESCE(activo, false)
+    ), g AS (
+      SELECT id, nombre AS grupo FROM grupos_operativos
+      WHERE COALESCE(activo, false)
+    ), f AS (
+      SELECT id AS sup_id, sucursal_id, calificacion_general
+      FROM supervisiones_operativas WHERE periodo_id = 2
+    ), agg AS (
+      SELECT s.sucursal, g.grupo, s.clasificacion,
+             {_det_avg('f.calificacion_general')} AS promedio,
+             CAST(COUNT(f.sup_id) AS BIGINT) AS supervisiones
+      FROM s JOIN g ON s.grupo_operativo_id = g.id
+             LEFT JOIN f ON s.sucursal_id = f.sucursal_id
+      GROUP BY s.sucursal, g.grupo, s.clasificacion
+    )
+    SELECT sucursal, grupo, clasificacion, promedio, supervisiones,
+           CASE WHEN promedio IS NOT NULL THEN
+             CAST(RANK() OVER (ORDER BY promedio DESC NULLS LAST) AS BIGINT)
+           END AS posicion
+    FROM agg
+    """
+    _compare(df, con, sql)
+    rows = {r.sucursal: r for r in df.collect()}
+    # exact tie shares the position; next rank has a gap
+    assert rows["Suc D"].posicion == rows["Suc E"].posicion
+    # NULL clasificacion defaulted to local
+    assert rows["Suc B"].clasificacion == "local"
+    # zero-supervision branch present, unranked
+    assert rows["Suc H sin datos"].posicion is None
+    # branch of inactive group excluded by the inner dim join
+    assert "Suc I grupo inactivo" not in rows
+    # dynamic filters compose
+    local_only = api.ranking_sucursales(
+        tables, "operativas", periodo_id=2, clasificacion="foraneo"
+    ).collect()
+    assert {r.sucursal for r in local_only} == {"Suc C", "Suc E"}
+
+
+def test_dashboard_stats_parity(domain):
+    tables, con = domain
+    df = api.dashboard_stats(tables, "operativas", periodo_id=2)
+    sql = f"""
+    WITH f AS (
+      SELECT * FROM supervisiones_operativas WHERE periodo_id = 2
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM sucursales WHERE COALESCE(activo, false)
+    )
+    SELECT CAST(COUNT(f.id) AS BIGINT) AS total_supervisiones,
+           {_det_avg('f.calificacion_general')} AS promedio_general,
+           CAST(COUNT(DISTINCT f.sucursal_id) AS BIGINT)
+             AS sucursales_supervisadas,
+           CAST(SUM(CASE WHEN calificacion_general >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS excelente,
+           CAST(SUM(CASE WHEN calificacion_general >= 80 AND calificacion_general < 90 THEN 1 ELSE 0 END) AS BIGINT) AS bueno,
+           CAST(SUM(CASE WHEN calificacion_general >= 70 AND calificacion_general < 80 THEN 1 ELSE 0 END) AS BIGINT) AS regular,
+           CAST(SUM(CASE WHEN calificacion_general < 70 THEN 1 ELSE 0 END) AS BIGINT) AS critico,
+           (SELECT n FROM tot) AS sucursales_total,
+           ROUND(COUNT(DISTINCT f.sucursal_id) * 100.0
+                 / NULLIF((SELECT n FROM tot), 0), 1) AS cobertura_pct
+    FROM f
+    """
+    _compare(df, con, sql)
+    r = df.first()
+    # 90.0 lands in excelente, 70.0 in regular, 0 in critico (edges);
+    # the NULL score counts in no bucket
+    assert (r.excelente, r.bueno, r.regular, r.critico) == (2, 1, 3, 2)
+
+
+def test_map_markers_parity(domain):
+    tables, con = domain
+    df = api.map_markers(tables, "operativas", periodo_id=2)
+    sql = f"""
+    WITH s AS (
+      SELECT id AS sucursal_id, nombre AS sucursal, latitud AS lat,
+             longitud AS lng
+      FROM sucursales
+      WHERE COALESCE(activo, false)
+        AND latitud IS NOT NULL AND longitud IS NOT NULL
+    ), f AS (
+      SELECT id AS sup_id, sucursal_id, calificacion_general
+      FROM supervisiones_operativas WHERE periodo_id = 2
+    ), agg AS (
+      SELECT s.sucursal, s.lat, s.lng,
+             {_det_avg('f.calificacion_general')} AS promedio,
+             CAST(COUNT(f.sup_id) AS BIGINT) AS supervisiones
+      FROM s LEFT JOIN f ON s.sucursal_id = f.sucursal_id
+      GROUP BY s.sucursal, s.lat, s.lng
+    )
+    SELECT sucursal, lat, lng, promedio, supervisiones,
+           CASE WHEN promedio IS NULL THEN 'sin-datos'
+                WHEN promedio >= 90 THEN 'excelente'
+                WHEN promedio >= 80 THEN 'bueno'
+                WHEN promedio >= 70 THEN 'regular'
+                ELSE 'critico' END AS color
+    FROM agg ORDER BY sucursal
+    """
+    _compare(df, con, sql)
+    rows = {r.sucursal: r for r in df.collect()}
+    assert "Suc C" not in rows  # NULL coords filtered
+    assert rows["Suc H sin datos"].color == "sin-datos"  # F1 null guard
+
+
+def test_alerts_parity(domain):
+    tables, con = domain
+    df = api.alerts(tables, "operativas", periodo_id=2)
+    sql = f"""
+    WITH s AS (
+      SELECT id AS sucursal_id, nombre AS s_nombre, grupo_operativo_id
+      FROM sucursales WHERE COALESCE(activo, false)
+    ), g AS (
+      SELECT id, nombre AS g_nombre FROM grupos_operativos
+      WHERE COALESCE(activo, false)
+    ), f AS (
+      SELECT sucursal_id, calificacion_general
+      FROM supervisiones_operativas WHERE periodo_id = 2
+    ), ba AS (
+      SELECT s.s_nombre, {_det_avg('f.calificacion_general')} AS promedio
+      FROM f JOIN s USING (sucursal_id) GROUP BY s.s_nombre
+    ), ga AS (
+      SELECT g.g_nombre, {_det_avg('f.calificacion_general')} AS promedio
+      FROM f JOIN s USING (sucursal_id)
+             JOIN g ON s.grupo_operativo_id = g.id
+      GROUP BY g.g_nombre
+    )
+    SELECT 'critico' AS nivel, s_nombre AS entidad, promedio
+    FROM ba WHERE promedio < 70
+    UNION ALL
+    SELECT 'advertencia', g_nombre, promedio
+    FROM ga WHERE promedio >= 70 AND promedio < 80
+    ORDER BY nivel, promedio, entidad
+    """
+    _compare(df, con, sql)
+
+
+def test_periodos_with_data_parity(domain):
+    tables, con = domain
+    from pyspark.sql import functions as F
+
+    # dates compared as ISO strings: pandas surfaces DuckDB DATE as a
+    # midnight datetime while Spark yields datetime.date (the repo's
+    # documented cross-engine date rule)
+    df = api.periodos_with_data(tables, "operativas").select(
+        "id",
+        "codigo",
+        "nombre",
+        F.date_format("fecha_inicio", "yyyy-MM-dd").alias("f0"),
+        F.date_format("fecha_fin", "yyyy-MM-dd").alias("f1"),
+    )
+    sql = """
+    SELECT id, codigo, nombre,
+           strftime(fecha_inicio, '%Y-%m-%d') AS f0,
+           strftime(fecha_fin, '%Y-%m-%d') AS f1
+    FROM periodos_cas p
+    WHERE EXISTS (SELECT 1 FROM supervisiones_operativas f
+                  WHERE f.periodo_id = p.id)
+    ORDER BY f0 DESC
+    """
+    _compare(df, con, sql)
+    # period 3 has no data; NULL-periodo supervisions attach nowhere
+    assert {r.id for r in df.collect()} == {1, 2}
+
+
+def test_heatmap_matrix_semantics(domain):
+    tables, _ = domain
+    df = api.heatmap_matrix(tables, "operativas")
+    rows = {r.grupo: r.asDict() for r in df.collect()}
+    # per-cell weighted avg within (grupo, periodo)
+    # PLOG NORTE @ CAS-02: Suc A (95, 85, 0) + Suc B (90) → 270/4=67.5
+    assert rows["PLOG NORTE"]["CAS-02"] == 67.5
+    # overall per group = UNWEIGHTED mean of its period averages (A11)
+    assert rows["PLOG NORTE"]["promedio_general"] == round(
+        (rows["PLOG NORTE"]["CAS-01"] + rows["PLOG NORTE"]["CAS-02"]) / 2, 2
+    )
+    # EPL CAS row = unweighted mean over group averages per period (A12)
+    per_period = [
+        rows[g]["CAS-02"]
+        for g in rows
+        if g != "EPL CAS" and rows[g]["CAS-02"] is not None
+    ]
+    assert rows["EPL CAS"]["CAS-02"] == round(
+        sum(per_period) / len(per_period), 2
+    )
+
+
+def test_branch_endpoints(domain):
+    tables, _ = domain
+    latest = api.branch_latest(tables, 6, "operativas").collect()
+    # same-timestamp tie broken by highest id (S8 over S7)
+    assert len(latest) == 1 and latest[0].id == 8
+    assert latest[0].color == "regular"
+
+    trend = api.branch_trend(tables, 1, "operativas", n=4).collect()
+    # last 4 of Suc A's 4 supervisions, chronological
+    assert [r.id for r in trend] == [9, 1, 2, 11]
+    assert trend[0].label == "15/01"
+
+    areas = api.branch_areas(tables, 1, "operativas").collect()
+    # latest supervision for Suc A is id=11 (no areas) → empty;
+    # supervision 2's areas belong to an older visit
+    assert areas == []
+    # wire areas through a branch whose latest HAS areas: Suc B latest=3?
+    # (supervision_areas rows attach to supervisions 1 and 2 only)
+    latest_a = api.branch_latest(tables, 1, "operativas").first()
+    assert latest_a.id == 11
+
+
+def test_health_and_preview(domain, spark):
+    tables, _ = domain
+    assert api.health(spark).first().ok == 1
+    assert api.preview(tables, "grupos_operativos", 3).count() == 3
+    with pytest.raises(ValueError):
+        api.preview(tables, "sync_checkpoints; DROP TABLE x")
