@@ -401,3 +401,77 @@ def test_health_and_preview(domain, spark):
     assert api.preview(tables, "grupos_operativos", 3).count() == 3
     with pytest.raises(ValueError):
         api.preview(tables, "sync_checkpoints; DROP TABLE x")
+
+
+def test_api_serves_etl_sync_output(spark, tmp_path):
+    """Extract → load → serve: run the real incremental sync job on a
+    zenput-shaped landing feed, then point the dashboard API at the
+    warehouse it produced."""
+    import json
+
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from epl_cas_etl_2026_spark.etl.sync_job import run_incremental_sync
+    from epl_cas_etl_2026_spark.schemas import (
+        CATALOGO_SCHEMA,
+        PERIODOS_SCHEMA,
+        SUCURSALES_SCHEMA,
+    )
+    from tests.test_etl_pipeline import _submission
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    wh = str(tmp_path / "wh")
+    (landing / "p0.jsonl").write_text(
+        "\n".join(json.dumps(_submission(i)) for i in (1, 2)) + "\n"
+    )
+    sucursales = spark.createDataFrame(
+        [
+            (10, "Centro", "1", "NL", "MTY", 1, True, "local",
+             25.0, -100.0, "LOC-001"),
+            (11, "Sin datos", "2", "NL", "MTY", 1, True, "local",
+             25.1, -100.1, "LOC-002"),
+        ],
+        schema=SUCURSALES_SCHEMA,
+    )
+    periodos = spark.createDataFrame(
+        [(1, "P1", "Periodo 1", _dt.date(2026, 2, 1),
+          _dt.date(2026, 2, 28), True)],
+        schema=PERIODOS_SCHEMA,
+    )
+    catalog = spark.createDataFrame(
+        [(1, "CF", "CUARTO FRIO", 1), (2, "FR", "FREIDORAS", 2)],
+        schema=CATALOGO_SCHEMA,
+    )
+    n = run_incremental_sync(
+        spark, str(landing), wh, sucursales, periodos, catalog
+    )
+    assert n == 2
+
+    master = spark.read.parquet(f"{wh}/supervisiones_operativas")
+    grupos = spark.createDataFrame(
+        [(1, "GRUPO CENTRO", True)], "id int, nombre string, activo boolean"
+    )
+    tables = {
+        "grupos_operativos": grupos,
+        "sucursales": sucursales,
+        "supervisiones_operativas": master.withColumn(
+            "id", F.col("surrogate_id")
+        )
+        if "surrogate_id" in master.columns
+        else master,
+    }
+    ranked = api.ranking_sucursales(tables, "operativas", periodo_id=1)
+    rows = {r.sucursal: r for r in ranked.collect()}
+    assert rows["Centro"].supervisiones == 2
+    assert rows["Centro"].promedio == 87.5
+    assert rows["Centro"].posicion == 1
+    assert rows["Sin datos"].posicion is None  # unranked tail from sync
+
+    stats = api.dashboard_stats(tables, "operativas", periodo_id=1).first()
+    assert stats.total_supervisiones == 2
+    assert stats.sucursales_supervisadas == 1
+    assert stats.sucursales_total == 2
+    assert stats.cobertura_pct == 50.0
