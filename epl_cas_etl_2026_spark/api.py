@@ -444,3 +444,18 @@ def preview(tables: dict, table_name: str, n: int = 100) -> DataFrame:
     if table_name not in PREVIEW_ALLOWLIST:
         raise ValueError(f"table not allowed: {table_name}")
     return tables[table_name].limit(n)
+
+
+def set_periodo_activo(tables: dict, periodo_id: int) -> DataFrame:
+    """POST /admin/set-periodo (§3.3, app.py:165-183): deactivate all
+    periods, activate one — expressed as a single conditional overwrite
+    of the 8-row dim (etl.pipeline.set_active_period). The caller
+    persists the returned frame to the periodos sink; existence is
+    validated here so a bad id fails loudly instead of deactivating
+    everything."""
+    from epl_cas_etl_2026_spark.etl.pipeline import set_active_period
+
+    p = tables["periodos_cas"]
+    if p.filter(F.col("id") == periodo_id).limit(1).count() == 0:
+        raise ValueError(f"periodo {periodo_id} does not exist")
+    return set_active_period(p, periodo_id)

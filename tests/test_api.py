@@ -475,3 +475,11 @@ def test_api_serves_etl_sync_output(spark, tmp_path):
     assert stats.sucursales_supervisadas == 1
     assert stats.sucursales_total == 2
     assert stats.cobertura_pct == 50.0
+
+
+def test_set_periodo_activo(domain):
+    tables, _ = domain
+    out = api.set_periodo_activo(tables, 3).collect()
+    assert {r.id: r.activo for r in out} == {1: False, 2: False, 3: True}
+    with pytest.raises(ValueError):
+        api.set_periodo_activo(tables, 99)
