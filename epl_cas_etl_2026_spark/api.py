@@ -217,11 +217,18 @@ def heatmap_matrix(tables: dict, tipo: str = "operativas") -> DataFrame:
         .groupBy("grupo", "codigo")
         .agg(det_avg(F.col("calificacion_general")).alias("promedio"))
     )
+    # J4 densification: EVERY active group appears, even with zero
+    # supervisions anywhere — the reference builds the grid with a
+    # CROSS JOIN (app.py:1141-1151) and hangs facts on it; a facts-only
+    # matrix would silently drop never-supervised groups
+    grid = g.select("grupo").crossJoin(p.select("codigo"))
+    dense = grid.join(cell, ["grupo", "codigo"], "left")
     # EPL CAS row: unweighted mean over the group-averages per period
-    epl = cell.groupBy("codigo").agg(
+    # (groups WITH data that period — A12; NULL cells don't enter)
+    epl = dense.groupBy("codigo").agg(
         det_avg(F.col("promedio")).alias("promedio")
     ).withColumn("grupo", F.lit("EPL CAS"))
-    long_df = cell.unionByName(epl.select("grupo", "codigo", "promedio"))
+    long_df = dense.unionByName(epl.select("grupo", "codigo", "promedio"))
     codes = [
         r.codigo
         for r in p.orderBy("fecha_inicio", "codigo").collect()
@@ -230,6 +237,8 @@ def heatmap_matrix(tables: dict, tipo: str = "operativas") -> DataFrame:
         long_df, row_key="grupo", col_key="codigo",
         value_col="promedio", col_values=codes,
     )
+    # per-group overall = unweighted mean of its period averages (A11);
+    # a group with no data in any period keeps a NULL overall
     overall = long_df.groupBy("grupo").agg(
         det_avg(F.col("promedio")).alias("promedio_general")
     )
@@ -243,7 +252,11 @@ def dashboard_stats(
     totals, coverage, deterministic 2dp average, and the 4-bucket
     performance distribution with percent-of-total (A6 + A14)."""
     f = _fact(tables, tipo, periodo_id)
-    total_branches = _active(tables["sucursales"]).count()
+    # lazy 1-row total cross-joined in (no driver-side count action,
+    # and the plan snapshots the table at execution, not build, time)
+    totals = _active(tables["sucursales"]).agg(
+        F.count(F.lit(1)).cast("long").alias("sucursales_total")
+    )
     agg = f.agg(
         F.count("id").cast("long").alias("total_supervisiones"),
         det_avg(F.col("calificacion_general")).alias("promedio_general"),
@@ -252,11 +265,11 @@ def dashboard_stats(
         .alias("sucursales_supervisadas"),
         *bucket_counts(F.col("calificacion_general")),
     )
-    return agg.select(
+    return agg.crossJoin(totals).select(
         "*",
-        F.lit(total_branches).cast("long").alias("sucursales_total"),
         pct_of(
-            F.col("sucursales_supervisadas"), F.lit(total_branches)
+            F.col("sucursales_supervisadas"),
+            F.col("sucursales_total"),
         ).alias("cobertura_pct"),
     )
 

@@ -115,6 +115,7 @@ def bfs_hop_distance(
         .persist()
     )
     frontier = dist.select(node_col)
+    prev_frontier = None
     for k in range(1, max_depth + 1):
         nxt = (
             frontier.join(edges, frontier[node_col] == edges[src])
@@ -130,7 +131,11 @@ def bfs_hop_distance(
             nxt.unpersist()
             break
         new_dist = dist.unionByName(nxt).persist()
+        new_dist.count()  # materialize before releasing parents
         dist.unpersist()
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
         dist = new_dist
         frontier = nxt.select(node_col)
+        prev_frontier = nxt
     return dist

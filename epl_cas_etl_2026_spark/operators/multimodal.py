@@ -166,7 +166,10 @@ def decode_image_real(
             for b in pdf[payload_col]:
                 try:
                     parsed.append(_parse_bmp(bytes(b)) + (None,))
-                except ValueError as e:
+                except Exception as e:  # noqa: BLE001 — quarantine is
+                    # the catch-everything path by contract: corrupt
+                    # payloads raise struct.error / TypeError (None
+                    # payload) just as readily as ValueError
                     if on_error == "fail":
                         raise
                     parsed.append((None, None, None, None, str(e)))
@@ -236,6 +239,8 @@ def _parse_wav(buf: bytes) -> tuple[int, int, int, int, int, int]:
         pos += 8 + clen + (clen & 1)
     if channels is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if channels <= 0 or rate <= 0:
+        raise ValueError(f"WAV invalid fmt (channels={channels}, rate={rate})")
     x = np.frombuffer(data, dtype="<i2").astype(np.float64)
     n_samples = len(x) // channels
     rms = float(np.sqrt((x**2).mean())) if len(x) else 0.0
@@ -270,7 +275,7 @@ def decode_audio_real(
             for b in pdf[payload_col]:
                 try:
                     parsed.append(_parse_wav(bytes(b)) + (None,))
-                except ValueError as e:
+                except Exception as e:  # noqa: BLE001 — see image twin
                     if on_error == "fail":
                         raise
                     parsed.append((None,) * 6 + (str(e),))

@@ -35,10 +35,13 @@ _ITERATIONS = 5
 
 # per-row bigram pair construction over the cleaned token array; the
 # slice bound keeps 0- and 1-token documents empty instead of erroring
+# (try_element_at: the dummy iteration's out-of-range subscripts must
+# not throw under default ANSI mode)
 _PAIRS_EXPR = """
 slice(
   transform(sequence(1, greatest(size(ws) - 1, 1)),
-            i -> struct(ws[i-1] AS src, ws[i] AS dst)),
+            i -> struct(try_element_at(ws, i) AS src,
+                        try_element_at(ws, i + 1) AS dst)),
   1, greatest(size(ws) - 1, 0))
 """
 

@@ -59,11 +59,15 @@ _T10 = 8  # threshold t = _T10/10 = 0.8
 _NGRAM = 3  # word-shingle width
 
 # distinct word 3-gram shingles as one per-row expression
+# (try_element_at: the dummy iteration for sub-3-token docs must not
+# throw INVALID_ARRAY_INDEX under default ANSI mode)
 _SHINGLES = f"""
 array_distinct(
   slice(
     transform(sequence(1, greatest(size(ws) - {_NGRAM - 1}, 1)),
-              i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])),
+              i -> concat_ws(' ', try_element_at(ws, i),
+                                  try_element_at(ws, i + 1),
+                                  try_element_at(ws, i + 2))),
     1, greatest(size(ws) - {_NGRAM - 1}, 0)))
 """
 

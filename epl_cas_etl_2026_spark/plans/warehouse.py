@@ -63,11 +63,19 @@ def events_bitmap_distinct_rollup(
     # maps to bit position -1, which bitmap_construct_agg silently
     # drops (measured: every count short by exactly the id-0 user).
     # Shift ids by +1 so the 0-based testdata keys are all valid.
+    # negative ids would map to negative bit positions, which the
+    # bitmap aggregate drops SILENTLY — fail loudly instead (the +1
+    # shift only covers id 0)
+    uid = (
+        "CASE WHEN user_id < 0 THEN raise_error("
+        "'bitmap distinct requires non-negative ids') "
+        "ELSE user_id + 1 END"
+    )
     buckets = (
         events.select(
             "event_type",
-            F.expr("bitmap_bucket_number(user_id + 1)").alias("bucket"),
-            F.expr("bitmap_bit_position(user_id + 1)").alias("pos"),
+            F.expr(f"bitmap_bucket_number({uid})").alias("bucket"),
+            F.expr(f"bitmap_bit_position({uid})").alias("pos"),
         )
         .groupBy("event_type", "bucket")
         .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))

@@ -55,6 +55,12 @@ POS_SCALE = 1_048_576  # 2^20: key = hash16 * POS_SCALE + gram position
 DF_CAP = 50  # overlap join skips hashes present in more than DF_CAP docs
 
 # Spark-side per-row pipeline, written as ONE expression with
+# ANSI-safe element access: the greatest(n, 1) dummy iteration used to
+# index past the array end, which Spark's default ANSI mode turns into
+# INVALID_ARRAY_INDEX for sub-K-token documents; try_element_at yields
+# NULL there instead, and the dummy gram is discarded by the outer
+# slice regardless (pinned by the short-doc test).
+#
 # let-style bindings: `transform(array(<e>), v -> body)[0]` binds <e>
 # to the lambda variable v so it is evaluated ONCE per row. Without
 # this, CollapseProject inlines a withColumn'd token/key array into
@@ -71,8 +77,10 @@ transform(array(filter(split(text, ' '), w -> w <> '')), ws ->
       transform(
         slice(
           transform(sequence(1, greatest(size(ws) - {K - 1}, 1)),
-                    i -> md5(concat_ws(' ', ws[i-1], ws[i],
-                                       ws[i+1], ws[i+2]))),
+                    i -> md5(concat_ws(' ', try_element_at(ws, i),
+                                       try_element_at(ws, i + 1),
+                                       try_element_at(ws, i + 2),
+                                       try_element_at(ws, i + 3)))),
           1, greatest(size(ws) - {K - 1}, 0)),
         (m, i) -> CAST({_HEX16.format(m='m')} AS BIGINT)
                   * {POS_SCALE} + i + 1)
@@ -199,7 +207,11 @@ def _with_fingerprints_udf(docs: DataFrame) -> DataFrame:
     """,
 )
 def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fps = _with_fingerprints(load_table(spark, sf_dir, "documents"))
+    # persisted: fp feeds both aggregate branches; without it the
+    # fingerprint expression (the dominant cost) evaluates per branch
+    fps = _with_fingerprints(
+        load_table(spark, sf_dir, "documents")
+    ).persist()
     per_row = fps.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size("fp")).cast("long").alias("n_fps"),
@@ -247,10 +259,14 @@ def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = _with_fingerprints(load_table(spark, sf_dir, "documents"))
+    # persisted: doc_hashes feeds three branches (df-cap filter + both
+    # join sides); the slim (doc_id, h) frame caches instead of
+    # re-running the fingerprint scan per branch
     doc_hashes = (
         fps.select("doc_id", F.explode("fp").alias("k"))
         .select("doc_id", F.expr(f"k div {POS_SCALE}").alias("h"))
         .distinct()
+        .persist()
     )
     rare = (
         doc_hashes.groupBy("h")

@@ -355,6 +355,15 @@ def test_heatmap_matrix_semantics(domain):
     tables, _ = domain
     df = api.heatmap_matrix(tables, "operativas")
     rows = {r.grupo: r.asDict() for r in df.collect()}
+    # J4 densification: a group with zero supervisions anywhere still
+    # gets its row (all-NULL cells), exactly like the reference's
+    # CROSS JOIN grid; inactive groups stay out
+    assert "SIN SUCURSALES" in rows
+    assert all(
+        rows["SIN SUCURSALES"][c] is None
+        for c in ("CAS-01", "CAS-02", "CAS-03", "promedio_general")
+    )
+    assert "GRUPO INACTIVO" not in rows
     # per-cell weighted avg within (grupo, periodo)
     # PLOG NORTE @ CAS-02: Suc A (95, 85, 0) + Suc B (90) → 270/4=67.5
     assert rows["PLOG NORTE"]["CAS-02"] == 67.5

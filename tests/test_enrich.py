@@ -238,3 +238,25 @@ def test_gap_fill_properties_random_events(spark):
             assert r.fill_sum == fill
 
     run()
+
+
+def test_prefix_join_short_docs_do_not_crash_ansi(spark):
+    """Sub-3-token docs yield empty shingle sets (no ANSI index error)
+    and never pair."""
+    import os
+    import tempfile
+
+    from epl_cas_etl_2026_spark.plans.setjoin import (
+        docs_jaccard_prefix_join,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "", "s"), (2, "hello world", "s"),
+         (3, "a b c d e f", "s"), (4, "a b c d e f", "s")],
+        "doc_id long, text string, source string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = docs_jaccard_prefix_join(spark, d).collect()
+    assert out == [] or all(r.j_pct == 100 for r in out)
+    assert sum(r.n_pairs for r in out) == 1  # only the 3-4 exact pair

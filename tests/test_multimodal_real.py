@@ -145,3 +145,41 @@ def test_quarantine_mode_dead_letters_bad_payloads(spark):
     }
     assert wout[1].err is None and wout[1].n_samples == 3
     assert wout[2].err is not None and wout[2].n_samples is None
+
+
+def test_quarantine_catches_non_valueerror_corruption(spark):
+    """Review-found: truncated payloads raise struct.error and a
+    zero-channel WAV raises ValueError from the explicit guard — all
+    must land in the err column, not abort the job."""
+    import struct
+
+    bad_wav = (
+        struct.pack("<4sI4s", b"RIFF", 30, b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 0, 8000, 0, 0, 16)
+        + struct.pack("<4sI", b"data", 4)
+        + b"\x00\x00\x00\x00"
+    )
+    rows = [
+        (1, bytearray(b"BM" + b"\x01" * 6)),       # truncated BMP header
+        (2, bytearray(encode_bmp(1, 1, [[(1, 2, 3)]]))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r.id: r
+        for r in decode_image_real(df, on_error="quarantine").collect()
+    }
+    assert out[1].err is not None and out[2].err is None
+
+    wrows = [
+        (1, bytearray(bad_wav)),                    # channels=0
+        (2, bytearray(b"RIFF")),                    # truncated
+        (3, bytearray(encode_wav_pcm16([1, 2], 8000))),
+    ]
+    wdf = spark.createDataFrame(wrows, "doc_id long, payload binary")
+    wout = {
+        r.id: r
+        for r in decode_audio_real(wdf, on_error="quarantine").collect()
+    }
+    assert wout[1].err is not None
+    assert wout[2].err is not None
+    assert wout[3].err is None

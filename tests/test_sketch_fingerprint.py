@@ -163,3 +163,17 @@ def test_winnowing_udf_equals_expression_path(spark, sf_smoke):
         for r in _with_fingerprints_udf(docs).collect()
     }
     assert a == b
+
+
+def test_winnowing_short_docs_do_not_crash_ansi(spark):
+    """Documents with fewer than K tokens must yield empty fingerprint
+    sets, not INVALID_ARRAY_INDEX under Spark's default ANSI mode
+    (review-found: the dummy guard iteration indexed past the array)."""
+    df = spark.createDataFrame(
+        [(1, "", "s"), (2, "a", "s"), (3, "a b c", "s"),
+         (4, "a b c d e f g h", "s")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.doc_id: list(r.fp) for r in _with_fingerprints(df).collect()}
+    assert rows[1] == [] and rows[2] == [] and rows[3] == []
+    assert rows[4]  # 8 tokens → 5 grams, 2 windows → fingerprints

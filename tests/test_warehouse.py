@@ -72,3 +72,25 @@ def test_scd2_compresses_runs(spark):
     v1 = sorted(per_user[1], key=lambda r: r.valid_from)
     assert [r.event_type for r in v1] == ["view", "click", "view"]
     assert v1[0].valid_to == v1[1].valid_from  # contiguous intervals
+
+
+def test_bitmap_distinct_rejects_negative_ids(spark, tmp_path):
+    """Negative ids would silently vanish from the bitmap — the query
+    must abort loudly instead (review-found edge)."""
+    import os
+
+    import pytest
+
+    from epl_cas_etl_2026_spark.plans.warehouse import (
+        events_bitmap_distinct_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "t", -1, None, None, None)],
+        "event_id long, event_type string, user_id long, ts timestamp, "
+        "value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    with pytest.raises(Exception, match="non-negative"):
+        events_bitmap_distinct_rollup(spark, d).collect()
