@@ -95,21 +95,55 @@ def ranking_grupos(
     """GET /api/ranking/grupos/<tipo> (app.py:435-652).
 
     Columns: entidad, territorio, promedio, supervisiones, sucursales,
-    posicion. PLOG-prefixed groups collapse into entity 'PLOG'
-    (supervision-weighted — A13); posicion is competition rank with
-    gaps, NULL for entities with no scored supervisions (W1/W2);
-    ordering promedio DESC NULLS LAST, entidad ASC.
+    posicion. Reference semantics, trap-by-trap:
+
+    - groups whose UPPER(nombre) starts with 'PLOG' (the
+      GRUPOS_AGRUPACIONES patron with '%' stripped, app.py:506-508 —
+      note: NOT 'PLOG ' with a space) collapse into ONE 'PLOG' entity
+      whose promedio is supervision-WEIGHTED over all surviving
+      members (A13, app.py:64-89);
+    - the agrupación item carries NO territorio field in the reference
+      payload (app.py:588-599), so the collapsed row's territorio is
+      NULL here; independent groups keep get_territorio(nombre);
+    - ``territorio_filtro`` is INCLUSIVE (app.py:486-492): 'local'
+      keeps {local, mixto} groups, 'foranea' keeps {foranea, mixto},
+      'mixto' keeps only mixto, None/'todas' keeps all. The filter
+      applies per MEMBER group BEFORE the PLOG collapse, and the PLOG
+      promedio is then recomputed over surviving members only
+      (app.py:528-553);
+    - agrupación counts follow the reference's inner-join recompute
+      (app.py:64-89): with a non-NULL promedio, ``sucursales`` counts
+      only member branches WITH supervisions; with a NULL promedio the
+      fallback (app.py:560-564) forces supervisiones=0 and sums ALL
+      member branch counts. Independent groups keep the LEFT-JOIN
+      counts (all active branches);
+    - posicion is competition rank with gaps, NULL for entities with
+      no scored supervisions (W1/W2, app.py:625-646); display order
+      promedio DESC NULLS LAST, entidad ASC (tie order is
+      display-only — positions are tie-shared either way).
     """
     g = _active(tables["grupos_operativos"]).select(
         F.col("id").alias("grupo_id"),
-        F.col("nombre").alias("grupo_nombre"),
-        F.when(F.col("nombre").startswith("PLOG "), F.lit("PLOG"))
+        F.upper(F.col("nombre")).startswith("PLOG").alias("is_agrup"),
+        F.when(
+            F.upper(F.col("nombre")).startswith("PLOG"), F.lit("PLOG")
+        )
         .otherwise(F.col("nombre"))
         .alias("entidad"),
         territorio(F.col("nombre")).alias("territorio"),
     )
-    if territorio_filtro is not None:
-        g = g.filter(F.col("territorio") == territorio_filtro)
+    if territorio_filtro is not None and territorio_filtro != "todas":
+        keep = {
+            "local": ("local", "mixto"),
+            "foranea": ("foranea", "mixto"),
+            "mixto": ("mixto",),
+        }.get(territorio_filtro)
+        if keep is None:
+            raise ValueError(
+                f"territorio_filtro must be local/foranea/mixto/todas, "
+                f"got {territorio_filtro!r}"
+            )
+        g = g.filter(F.col("territorio").isin(*keep))
     s = _active(tables["sucursales"]).select(
         F.col("id").alias("sucursal_id"),
         F.col("grupo_operativo_id"),
@@ -122,14 +156,58 @@ def ranking_grupos(
     base = g.join(
         s, g.grupo_id == s.grupo_operativo_id, "left"
     ).join(f, s.sucursal_id == f.f_sucursal_id, "left")
-    agg = base.groupBy("entidad").agg(
-        F.min("territorio").alias("territorio"),
-        det_avg(F.col("calificacion_general")).alias("promedio"),
-        F.count("sup_id").cast("long").alias("supervisiones"),
-        F.countDistinct("sucursal_id").cast("long").alias("sucursales"),
+    # per-member-group partials first (branches belong to exactly one
+    # group, so per-group distincts sum exactly across the collapse)
+    per_group = base.groupBy("grupo_id", "entidad", "is_agrup", "territorio").agg(
+        F.sum(F.col("calificacion_general").cast("decimal(18,6)")).alias("sum_calif"),
+        F.count("calificacion_general").cast("long").alias("n_calif"),
+        F.count("sup_id").cast("long").alias("n_sup"),
+        F.countDistinct("sucursal_id").cast("long").alias("suc_all"),
+        F.countDistinct(
+            F.when(F.col("sup_id").isNotNull(), F.col("sucursal_id"))
+        ).cast("long").alias("suc_con"),
+    )
+    agg = per_group.groupBy("entidad").agg(
+        F.max("is_agrup").alias("is_agrup"),
+        F.min(F.when(~F.col("is_agrup"), F.col("territorio"))).alias(
+            "territorio"
+        ),
+        # det_avg over the member union, from per-group partials:
+        # exact decimal sum / count at scale>=16, then HALF_UP to 2dp —
+        # same construction (and same DuckDB twin) as det_avg; the
+        # zero-count guard keeps ANSI mode from raising DIVIDE_BY_ZERO
+        F.when(
+            F.sum("n_calif") > 0,
+            F.round(
+                F.sum("sum_calif").cast("decimal(28,6)")
+                / F.sum("n_calif").cast("decimal(12,0)"),
+                2,
+            ),
+        ).cast("double").alias("promedio"),
+        F.sum("n_sup").alias("n_sup"),
+        F.sum("suc_all").alias("suc_all"),
+        F.sum("suc_con").alias("suc_con"),
+    )
+    shaped = agg.select(
+        "entidad",
+        "territorio",
+        "promedio",
+        F.when(
+            F.col("is_agrup") & F.col("promedio").isNull(), F.lit(0)
+        )
+        .otherwise(F.col("n_sup"))
+        .cast("long")
+        .alias("supervisiones"),
+        F.when(
+            F.col("is_agrup") & F.col("promedio").isNotNull(),
+            F.col("suc_con"),
+        )
+        .otherwise(F.col("suc_all"))
+        .cast("long")
+        .alias("sucursales"),
     )
     return competition_rank(
-        agg, "promedio", tiebreak=[F.asc("entidad")]
+        shaped, "promedio", tiebreak=[F.asc("entidad")]
     ).select(
         "entidad",
         "territorio",
@@ -145,25 +223,39 @@ def ranking_sucursales(
     tipo: str = "operativas",
     periodo_id: int | None = None,
     grupo_id: int | None = None,
-    clasificacion: str | None = None,
+    territorio_filtro: str | None = None,
 ) -> DataFrame:
     """GET /api/ranking/sucursales/<tipo> (app.py:666-756): dynamic
     optional filters (P10) over an outer join that preserves branches
-    with zero supervisions; clasificacion NULL defaults to 'local'
-    (F8, app.py:719)."""
+    with zero supervisions.
+
+    Join/filter placement mirrors the reference exactly:
+
+    - grupos_operativos is LEFT-joined with NO activo filter
+      (app.py:672) — a branch whose group is inactive or dangling
+      stays in the ranking with a NULL grupo;
+    - ``territorio_filtro`` filters the RAW clasificacion column
+      (app.py:698-701): 'local' keeps clasificacion='local', 'foranea'
+      keeps clasificacion='foraneo' (note the reference's column value
+      spelling) — NULL-classified branches match NEITHER filter;
+    - the COALESCE(clasificacion, 'local') default is display-only
+      (app.py:719), applied AFTER filtering.
+    """
     s = _active(tables["sucursales"]).select(
         F.col("id").alias("sucursal_id"),
         F.col("nombre").alias("sucursal"),
         "grupo_operativo_id",
-        F.coalesce(F.col("clasificacion"), F.lit("local")).alias(
-            "clasificacion"
-        ),
+        F.col("clasificacion").alias("raw_clasificacion"),
     )
     if grupo_id is not None:
         s = s.filter(F.col("grupo_operativo_id") == grupo_id)
-    if clasificacion is not None:
-        s = s.filter(F.col("clasificacion") == clasificacion)
-    g = _active(tables["grupos_operativos"]).select(
+    if territorio_filtro is not None and territorio_filtro != "todas":
+        col_value = {"local": "local", "foranea": "foraneo"}.get(
+            territorio_filtro
+        )
+        if col_value is not None:
+            s = s.filter(F.col("raw_clasificacion") == col_value)
+    g = tables["grupos_operativos"].select(
         F.col("id").alias("g_id"), F.col("nombre").alias("grupo")
     )
     f = _fact(tables, tipo, periodo_id).select(
@@ -171,15 +263,26 @@ def ranking_sucursales(
         F.col("sucursal_id").alias("f_sucursal_id"),
         "calificacion_general",
     )
-    base = s.join(g, s.grupo_operativo_id == g.g_id, "inner").join(
+    base = s.join(g, s.grupo_operativo_id == g.g_id, "left").join(
         f, s.sucursal_id == f.f_sucursal_id, "left"
     )
-    agg = base.groupBy("sucursal_id", "sucursal", "grupo", "clasificacion").agg(
+    agg = base.groupBy(
+        "sucursal_id", "sucursal", "grupo", "raw_clasificacion"
+    ).agg(
         det_avg(F.col("calificacion_general")).alias("promedio"),
         F.count("sup_id").cast("long").alias("supervisiones"),
     )
+    shaped = agg.select(
+        "sucursal",
+        "grupo",
+        F.coalesce(F.col("raw_clasificacion"), F.lit("local")).alias(
+            "clasificacion"
+        ),
+        "promedio",
+        "supervisiones",
+    )
     return competition_rank(
-        agg, "promedio", tiebreak=[F.asc("sucursal")]
+        shaped, "promedio", tiebreak=[F.asc("sucursal")]
     ).select(
         "sucursal",
         "grupo",
@@ -318,22 +421,37 @@ def map_markers(
 def alerts(
     tables: dict, tipo: str = "operativas", periodo_id: int | None = None
 ) -> DataFrame:
-    """GET /api/alertas (app.py:1215-1280): critical branches
+    """GET /api/alertas/<tipo> (app.py:1215-1280): critical branches
     (avg < 70) and warning groups (70 <= avg < 80) — the A7 HAVING
-    shape, labeled and unioned (U1)."""
-    s = _active(tables["sucursales"]).select(
+    shape, labeled and unioned (U1).
+
+    Join/filter placement mirrors the reference exactly:
+
+    - critical: sucursales INNER JOIN grupos_operativos (no
+      g.activo filter — an inactive group's branches still alert, but
+      a branch with a dangling/NULL group does NOT) with
+      WHERE s.activo = true (app.py:1227-1232);
+    - warning: grupos_operativos (g.activo = true) INNER JOIN
+      sucursales with NO s.activo filter — inactive branches' scores
+      count toward the group average (app.py:1251-1256).
+    """
+    s_all = tables["sucursales"].select(
         F.col("id").alias("sucursal_id"),
         F.col("nombre").alias("s_nombre"),
         "grupo_operativo_id",
+        F.coalesce(F.col("activo"), F.lit(False)).alias("s_activo"),
     )
-    g = _active(tables["grupos_operativos"]).select(
-        F.col("id").alias("g_id"), F.col("nombre").alias("g_nombre")
+    g_all = tables["grupos_operativos"].select(
+        F.col("id").alias("g_id"),
+        F.col("nombre").alias("g_nombre"),
+        F.coalesce(F.col("activo"), F.lit(False)).alias("g_activo"),
     )
     f = _fact(tables, tipo, periodo_id).select(
         "sucursal_id", "calificacion_general"
     )
     branch_avg = (
-        f.join(s, "sucursal_id")
+        f.join(s_all.filter("s_activo"), "sucursal_id")
+        .join(g_all, F.col("grupo_operativo_id") == F.col("g_id"))
         .groupBy("sucursal_id", "s_nombre")
         .agg(det_avg(F.col("calificacion_general")).alias("promedio"))
     )
@@ -343,8 +461,11 @@ def alerts(
         F.col("promedio"),
     )
     group_avg = (
-        f.join(s, "sucursal_id")
-        .join(g, s.grupo_operativo_id == g.g_id)
+        f.join(s_all, "sucursal_id")
+        .join(
+            g_all.filter("g_activo"),
+            F.col("grupo_operativo_id") == F.col("g_id"),
+        )
         .groupBy("g_id", "g_nombre")
         .agg(det_avg(F.col("calificacion_general")).alias("promedio"))
     )
@@ -412,19 +533,37 @@ def branch_trend(
     )
 
 
+#: per-tipo (detail fact, catalog, detail FK column) for the area/KPI
+#: drill-down — the reference reads supervision_areas ⋈ catalogo_areas
+#: for operativas (app.py:862-868) and seguridad_kpis ⋈
+#: catalogo_kpis_seguridad for seguridad (app.py:894-900). (The
+#: reference's OTHER seguridad endpoint reads supervision_kpis ⋈
+#: catalogo_kpis, app.py:1028-1034 — a documented reference
+#: inconsistency; this layer follows the /areas route's pair.)
+DETAIL_TABLES = {
+    "operativas": ("supervision_areas", "catalogo_areas", "area_id"),
+    "seguridad": ("seguridad_kpis", "catalogo_kpis_seguridad", "kpi_id"),
+}
+
+
 def branch_areas(
     tables: dict, sucursal_id: int, tipo: str = "operativas"
 ) -> DataFrame:
-    """Area breakdown of the latest supervision, catalog display order
-    (J9, app.py:862-868)."""
+    """Area/KPI breakdown of the latest supervision, catalog display
+    order (J9). The (detail, catalog) pair is selected by ``tipo`` —
+    joining a seguridad supervision id against the operativas detail
+    table would be an id-space collision (silently wrong or empty)."""
+    if tipo not in DETAIL_TABLES:
+        raise ValueError(f"tipo must be one of {sorted(DETAIL_TABLES)}")
+    detail_name, catalog_name, fk = DETAIL_TABLES[tipo]
     latest = branch_latest(tables, sucursal_id, tipo).select(
         F.col("id").alias("supervision_id")
     )
-    areas = tables["supervision_areas"]
-    cat = tables["catalogo_areas"]
+    detail = tables[detail_name]
+    cat = tables[catalog_name]
     return (
-        latest.join(areas, "supervision_id")
-        .join(F.broadcast(cat), areas.area_id == cat.id)
+        latest.join(detail, "supervision_id")
+        .join(F.broadcast(cat), detail[fk] == cat.id)
         .select(
             "codigo",
             F.col("nombre").alias("area"),
@@ -444,6 +583,118 @@ def periodos_with_data(tables: dict, tipo: str = "operativas") -> DataFrame:
         p.join(f, p.id == f.periodo_id, "left_semi")
         .select("id", "codigo", "nombre", "fecha_inicio", "fecha_fin")
         .orderBy(F.desc("fecha_inicio"))
+    )
+
+
+def estados(tables: dict) -> DataFrame:
+    """GET /api/estados (app.py:327-339): branch counts per state —
+    active-only, NULL states excluded (P4 + A8), ordered by estado."""
+    return (
+        _active(tables["sucursales"])
+        .filter(F.col("estado").isNotNull())
+        .groupBy("estado")
+        .agg(F.count(F.lit(1)).cast("long").alias("total"))
+        .orderBy("estado")
+    )
+
+
+def periodo_contexto(tables: dict, tipo: str = "operativas", hoy=None) -> DataFrame:
+    """GET /api/periodo-contexto/<tipo> (app.py:211-305): resolve the
+    dashboard's active period and its coverage progress — the first
+    endpoint the frontend calls on every load.
+
+    Three-level resolution, exactly the reference's fallback chain,
+    expressed as ONE lazy plan (no driver-side branching): each level
+    contributes candidate rows tagged with a priority + metodo label —
+    1 'fecha' (fecha_inicio <= hoy <= fecha_fin), 2 'activo' (the
+    activo flag), 3 'ultimo_con_datos' (periods with supervisions in
+    the tipo fact, A9 semi-join) — and a single TakeOrderedAndProject
+    picks (priority ASC, fecha_inicio DESC, id DESC). Ties on
+    fecha_inicio are unspecified in the reference (plain ORDER BY ...
+    LIMIT 1); id DESC makes them deterministic here.
+
+    The result is one row: the period columns + metodo + the progreso
+    block (supervisadas = COUNT(DISTINCT sucursal_id) in the period,
+    total = active branch count with the reference's ``or 86``
+    zero-fallback app.py:287, porcentaje half-up 1dp). An EMPTY frame
+    means the reference would return periodo_actual=None (caller
+    applies its static default progreso). ``hoy`` must be passed
+    explicitly (the reference uses date.today(); injecting it keeps
+    the plan deterministic and testable).
+    """
+    if hoy is None:
+        raise ValueError("pass hoy explicitly (the reference's date.today())")
+    p = tables["periodos_cas"].select(
+        "id", "codigo", "nombre", "fecha_inicio", "fecha_fin", "activo"
+    )
+    f = tables[FACT_TABLES[tipo]]
+    base_cols = ["id", "codigo", "nombre", "fecha_inicio", "fecha_fin"]
+    c1 = (
+        p.filter(
+            (F.col("fecha_inicio") <= F.lit(hoy))
+            & (F.col("fecha_fin") >= F.lit(hoy))
+        )
+        .select(*base_cols)
+        .withColumn("prio", F.lit(1))
+        .withColumn("metodo", F.lit("fecha"))
+    )
+    c2 = (
+        p.filter(F.coalesce(F.col("activo"), F.lit(False)))
+        .select(*base_cols)
+        .withColumn("prio", F.lit(2))
+        .withColumn("metodo", F.lit("activo"))
+    )
+    c3 = (
+        p.join(
+            f.select("periodo_id"), p.id == F.col("periodo_id"), "left_semi"
+        )
+        .select(*base_cols)
+        .withColumn("prio", F.lit(3))
+        .withColumn("metodo", F.lit("ultimo_con_datos"))
+    )
+    best = (
+        c1.unionByName(c2)
+        .unionByName(c3)
+        .orderBy(F.asc("prio"), F.desc("fecha_inicio"), F.desc("id"))
+        .limit(1)
+    )
+    sup = f.groupBy("periodo_id").agg(
+        F.countDistinct("sucursal_id").cast("long").alias("supervisadas")
+    )
+    tot = _active(tables["sucursales"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_activas")
+    )
+    return (
+        best.join(sup, best.id == sup.periodo_id, "left")
+        .crossJoin(tot)
+        .select(
+            *base_cols,
+            "metodo",
+            F.coalesce(F.col("supervisadas"), F.lit(0))
+            .cast("long")
+            .alias("supervisadas"),
+            F.when(F.col("n_activas") == 0, F.lit(86))
+            .otherwise(F.col("n_activas"))
+            .cast("long")
+            .alias("total"),
+        )
+        .withColumn(
+            "porcentaje",
+            F.coalesce(
+                pct_of(F.col("supervisadas"), F.col("total")), F.lit(0.0)
+            ),
+        )
+    )
+
+
+def periodos_selector(tables: dict, n: int = 6) -> DataFrame:
+    """The periodo-contexto selector list (app.py:269-274): latest n
+    periods by fecha_inicio DESC (id DESC deterministic tiebreak)."""
+    return (
+        tables["periodos_cas"]
+        .select("id", "codigo", "nombre", "fecha_inicio", "fecha_fin")
+        .orderBy(F.desc("fecha_inicio"), F.desc("id"))
+        .limit(n)
     )
 
 

@@ -34,8 +34,20 @@ def color_class(score: Column, buckets=DEFAULT_BUCKETS, fallback: str = "critico
 
 # Territory classification (reference get_territorio, app.py:44-55):
 # case-insensitive substring containment against fixed keyword lists.
-LOCAL_KEYWORDS = ("tepeyac", "ogas", "plog", "epl so")
-MIXTO_KEYWORDS = ("expo", "tec")
+# These are the reference's EXACT lists (app.py:46-47): 8 local, 3 mixto.
+# Note "plog nuevo leon" is the full phrase — other "PLOG ..." groups
+# (e.g. PLOG LAGUNA) classify 'foranea', exactly as the reference does.
+LOCAL_KEYWORDS = (
+    "tepeyac",
+    "ogas",
+    "efm",
+    "epl so",
+    "plog nuevo leon",
+    "grupo centrito",
+    "grupo sabinas hidalgo",
+    "grupo cade",
+)
+MIXTO_KEYWORDS = ("tec", "expo", "grupo saltillo")
 
 
 def territorio(nombre: Column,

@@ -77,7 +77,14 @@ def pagerank_fixed_point(
             .cast("bigint")
             .alias("r"),
         )
-    return ranks.select(F.col(node_col), F.col("r").alias("rank_micros"))
+    # materialize (node-sized) before releasing the cached inputs, so
+    # repeated gate/bench invocations don't accumulate leaked storage
+    result = ranks.select(
+        F.col(node_col), F.col("r").alias("rank_micros")
+    ).localCheckpoint(eager=True)
+    edges_n.unpersist()
+    nodes.unpersist()
+    return result
 
 
 def bfs_hop_distance(
@@ -87,6 +94,7 @@ def bfs_hop_distance(
     node_col: str = "word",
     src: str = "src",
     dst: str = "dst",
+    unpersist_edges: bool = False,
 ) -> DataFrame:
     """Single-source BFS hop distance by frontier expansion: the
     frontier joins the edge list, newly reached nodes (anti-join
@@ -138,4 +146,14 @@ def bfs_hop_distance(
         dist = new_dist
         frontier = nxt.select(node_col)
         prev_frontier = nxt
-    return dist
+    # hand back a materialized (reachable-set-sized) frame and release
+    # every cached intermediate — no storage leaks across invocations;
+    # unpersist_edges=True additionally releases a caller-persisted
+    # edge frame once the walk is done
+    result = dist.localCheckpoint(eager=True)
+    dist.unpersist()
+    if prev_frontier is not None:
+        prev_frontier.unpersist()
+    if unpersist_edges:
+        edges.unpersist()
+    return result

@@ -217,6 +217,10 @@ def docs_word_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     dist = bfs_hop_distance(
-        edges, _BFS_SOURCE, max_depth=_BFS_DEPTH, node_col="word"
+        edges,
+        _BFS_SOURCE,
+        max_depth=_BFS_DEPTH,
+        node_col="word",
+        unpersist_edges=True,
     )
     return dist.orderBy("dist", "word")

@@ -36,13 +36,21 @@ def domain(spark, tmp_path_factory):
     )
     grupos = spark.createDataFrame(
         [
-            (1, "PLOG NORTE", True),
-            (2, "PLOG SUR", True),
-            (3, "TEPEYAC CENTRO", True),
-            (4, "EXPO MTY", True),
-            (5, "INDEPENDIENTE X", True),
+            (1, "PLOG NORTE", True),      # foranea (not 'PLOG NUEVO LEON')
+            (2, "PLOG SUR", True),        # foranea
+            (3, "TEPEYAC CENTRO", True),  # local
+            (4, "EXPO MTY", True),        # mixto
+            (5, "INDEPENDIENTE X", True), # foranea
             (6, "GRUPO INACTIVO", False),
-            (7, "SIN SUCURSALES", True),
+            (7, "SIN SUCURSALES", True),  # foranea
+            # the six names whose classification diverged before the
+            # reference lists were transcribed verbatim (app.py:46-47)
+            (8, "EFM", True),                    # local
+            (9, "GRUPO CADE", True),             # local
+            (10, "GRUPO SALTILLO", True),        # mixto
+            (11, "PLOG NUEVO LEON", True),       # local; collapses into PLOG
+            (12, "GRUPO CENTRITO", True),        # local
+            (13, "GRUPO SABINAS HIDALGO", True), # local
         ],
         "id int, nombre string, activo boolean",
     )
@@ -59,6 +67,8 @@ def domain(spark, tmp_path_factory):
             (7, "Suc G inactiva", "7", "NL", "MTY", 1, False, "local", 25.9, -100.1, "Z7"),
             (8, "Suc H sin datos", "8", "NL", "MTY", 5, True, "local", 25.5, -100.5, "Z8"),
             (9, "Suc I grupo inactivo", "9", "NL", "MTY", 6, True, "local", 25.4, -100.6, "Z9"),
+            (10, "Suc J plog nl", "10", "NL", "MTY", 11, True, "foraneo", 25.3, -100.7, "Z10"),
+            (11, "Suc K saltillo", "11", "COA", "SAL", 10, True, "local", 25.2, -100.8, "Z11"),
         ],
         "id int, nombre string, numero string, estado string, "
         "ciudad string, grupo_operativo_id int, activo boolean, "
@@ -78,6 +88,10 @@ def domain(spark, tmp_path_factory):
         (9, "S9", 1, 1, "Ana", TS(2026, 1, 15, 9), 40.0),   # other period
         (10, "S10", 4, None, "Mia", TS(2026, 2, 20, 9), 80.0),  # NULL periodo
         (11, "S11", 1, 2, "Ana", TS(2026, 2, 19, 9), 0.0),  # zero score
+        # periodo-1 rows for the divergent-territory groups (keep the
+        # periodo-2 scorecard asserts unchanged)
+        (12, "S12", 10, 1, "Ana", TS(2026, 1, 20, 9), 80.0),  # PLOG NUEVO LEON
+        (13, "S13", 11, 1, "Mia", TS(2026, 1, 21, 9), 90.0),  # GRUPO SALTILLO
     ]
     sup = spark.createDataFrame(
         sup_rows,
@@ -92,11 +106,23 @@ def domain(spark, tmp_path_factory):
         "calificacion_general double",
     )
     areas = spark.createDataFrame(
-        [(2, 1, 90.0), (2, 2, 60.0), (1, 1, 80.0)],
+        # the (101, ...) row is the id-space-collision trap: an
+        # operativas-keyed detail row sharing the numeric id of the
+        # seguridad supervision — the seguridad drill-down must NOT
+        # join it (ADVICE r4, reference app.py:894-900)
+        [(2, 1, 90.0), (2, 2, 60.0), (1, 1, 80.0), (101, 1, 10.0)],
         "supervision_id long, area_id int, porcentaje double",
     )
     cat_areas = spark.createDataFrame(
         [(1, "A-REF", "Refrigeradores", 2), (2, "A-COC", "Cocina", 1)],
+        "id int, codigo string, nombre string, numero int",
+    )
+    seg_kpis = spark.createDataFrame(
+        [(101, 1, 95.0), (101, 2, 70.0)],
+        "supervision_id long, kpi_id int, porcentaje double",
+    )
+    cat_kpis_seg = spark.createDataFrame(
+        [(1, "K-EXT", "Extintores", 2), (2, "K-GAS", "Fugas de gas", 1)],
         "id int, codigo string, nombre string, numero int",
     )
     tables = {
@@ -107,6 +133,8 @@ def domain(spark, tmp_path_factory):
         "supervisiones_seguridad": seg,
         "supervision_areas": areas,
         "catalogo_areas": cat_areas,
+        "seguridad_kpis": seg_kpis,
+        "catalogo_kpis_seguridad": cat_kpis_seg,
     }
     con = duckdb.connect()
     for name, df in tables.items():
@@ -132,77 +160,165 @@ def _compare(df, con, sql):
     assert ok, msg
 
 
-def test_ranking_grupos_parity(domain):
-    tables, con = domain
-    df = api.ranking_grupos(tables, "operativas", periodo_id=2)
-    sql = f"""
+# the reference's EXACT territory CASE (app.py:46-47): 8 local, 3 mixto
+TERRITORIO_SQL = """
+    CASE WHEN lower(nombre) LIKE '%tepeyac%' OR lower(nombre) LIKE '%ogas%'
+              OR lower(nombre) LIKE '%efm%' OR lower(nombre) LIKE '%epl so%'
+              OR lower(nombre) LIKE '%plog nuevo leon%'
+              OR lower(nombre) LIKE '%grupo centrito%'
+              OR lower(nombre) LIKE '%grupo sabinas hidalgo%'
+              OR lower(nombre) LIKE '%grupo cade%'
+         THEN 'local'
+         WHEN lower(nombre) LIKE '%tec%' OR lower(nombre) LIKE '%expo%'
+              OR lower(nombre) LIKE '%grupo saltillo%'
+         THEN 'mixto' ELSE 'foranea' END
+"""
+
+
+def _ranking_grupos_sql(fact_where: str, territorio_where: str = "") -> str:
+    """DuckDB twin of api.ranking_grupos, transcribed from the
+    reference's SQL + Python (app.py:435-652 + 64-89): per-member-group
+    partials, inclusive territory filter BEFORE the PLOG collapse,
+    agrupación counts from the inner-join recompute, det_avg from
+    exact decimal partials."""
+    # det_avg over the member union, from partials (integer half-up)
+    s_units = "CAST(SUM(sum_calif) * 1000000 AS HUGEINT)"
+    d = "(SUM(n_calif) * 10000)"
+    up = f"((2 * ABS({s_units}) + {d}) // (2 * {d}))"
+    det = (
+        f"CASE WHEN SUM(n_calif) > 0 THEN "
+        f"CAST(CASE WHEN {s_units} < 0 THEN -{up} ELSE {up} END AS DOUBLE)"
+        f" / 100 END"
+    )
+    return f"""
     WITH g AS (
       SELECT id, nombre,
-             CASE WHEN nombre LIKE 'PLOG %' THEN 'PLOG' ELSE nombre END AS entidad,
-             CASE WHEN lower(nombre) LIKE '%tepeyac%' OR lower(nombre) LIKE '%ogas%'
-                       OR lower(nombre) LIKE '%plog%' OR lower(nombre) LIKE '%epl so%'
-                  THEN 'local'
-                  WHEN lower(nombre) LIKE '%expo%' OR lower(nombre) LIKE '%tec%'
-                  THEN 'mixto' ELSE 'foranea' END AS territorio
+             upper(nombre) LIKE 'PLOG%' AS is_agrup,
+             CASE WHEN upper(nombre) LIKE 'PLOG%' THEN 'PLOG'
+                  ELSE nombre END AS entidad,
+             {TERRITORIO_SQL} AS territorio
       FROM grupos_operativos WHERE COALESCE(activo, false)
+    ), gf AS (
+      SELECT * FROM g {territorio_where}
     ), s AS (
       SELECT id AS sucursal_id, grupo_operativo_id
       FROM sucursales WHERE COALESCE(activo, false)
     ), f AS (
       SELECT id AS sup_id, sucursal_id, calificacion_general
-      FROM supervisiones_operativas WHERE periodo_id = 2
-    ), base AS (
-      SELECT g.entidad, g.territorio, s.sucursal_id, f.sup_id,
-             f.calificacion_general
-      FROM g LEFT JOIN s ON g.id = s.grupo_operativo_id
-             LEFT JOIN f ON s.sucursal_id = f.sucursal_id
+      FROM supervisiones_operativas {fact_where}
+    ), pg AS (
+      SELECT g.id AS grupo_id, g.entidad, g.is_agrup, g.territorio,
+             SUM(CAST(f.calificacion_general AS DECIMAL(18,6))) AS sum_calif,
+             COUNT(f.calificacion_general) AS n_calif,
+             COUNT(f.sup_id) AS n_sup,
+             COUNT(DISTINCT s.sucursal_id) AS suc_all,
+             COUNT(DISTINCT CASE WHEN f.sup_id IS NOT NULL
+                                 THEN s.sucursal_id END) AS suc_con
+      FROM gf g LEFT JOIN s ON g.id = s.grupo_operativo_id
+                LEFT JOIN f ON s.sucursal_id = f.sucursal_id
+      GROUP BY 1, 2, 3, 4
     ), agg AS (
-      SELECT entidad, MIN(territorio) AS territorio,
-             {_det_avg('calificacion_general')} AS promedio,
-             CAST(COUNT(sup_id) AS BIGINT) AS supervisiones,
-             CAST(COUNT(DISTINCT sucursal_id) AS BIGINT) AS sucursales
-      FROM base GROUP BY entidad
+      SELECT entidad, MAX(is_agrup) AS is_agrup,
+             MIN(CASE WHEN NOT is_agrup THEN territorio END) AS territorio,
+             {det} AS promedio,
+             SUM(n_sup) AS n_sup, SUM(suc_all) AS suc_all,
+             SUM(suc_con) AS suc_con
+      FROM pg GROUP BY entidad
     )
-    SELECT entidad, territorio, promedio, supervisiones, sucursales,
+    SELECT entidad, territorio, promedio,
+           CAST(CASE WHEN is_agrup AND promedio IS NULL THEN 0
+                     ELSE n_sup END AS BIGINT) AS supervisiones,
+           CAST(CASE WHEN is_agrup AND promedio IS NOT NULL THEN suc_con
+                     ELSE suc_all END AS BIGINT) AS sucursales,
            CASE WHEN promedio IS NOT NULL THEN
              CAST(RANK() OVER (ORDER BY promedio DESC NULLS LAST) AS BIGINT)
            END AS posicion
     FROM agg
     """
-    _compare(df, con, sql)
+
+
+def test_ranking_grupos_parity(domain):
+    tables, con = domain
+    df = api.ranking_grupos(tables, "operativas", periodo_id=2)
+    _compare(df, con, _ranking_grupos_sql("WHERE periodo_id = 2"))
     rows = {r.entidad: r for r in df.collect()}
-    # PLOG collapses and is supervision-WEIGHTED: members are
+    # PLOG collapses and is supervision-WEIGHTED: periodo-2 members are
     # Suc A (95, 85, 0), Suc B (90), Suc C (65) → 335/5 = 67, not the
     # mean of member-branch averages
     assert rows["PLOG"].promedio == 67.0
-    assert rows["PLOG"].territorio == "local"
+    # the reference agrupación payload has NO territorio field
+    # (app.py:588-599) — NULL here
+    assert rows["PLOG"].territorio is None
+    # agrupación sucursales = member branches WITH supervisions (the
+    # inner-join recompute, app.py:64-89): A, B, C — not Suc J (no
+    # periodo-2 rows) and not all-members
+    assert rows["PLOG"].sucursales == 3
     # zero-supervision group: unranked NULL tail
     assert rows["SIN SUCURSALES"].posicion is None
     # inactive group absent
     assert "GRUPO INACTIVO" not in rows
+    # the corrected reference keyword lists (app.py:46-47)
+    assert rows["EFM"].territorio == "local"
+    assert rows["GRUPO CADE"].territorio == "local"
+    assert rows["GRUPO CENTRITO"].territorio == "local"
+    assert rows["GRUPO SABINAS HIDALGO"].territorio == "local"
+    assert rows["GRUPO SALTILLO"].territorio == "mixto"
+    assert rows["INDEPENDIENTE X"].territorio == "foranea"
+
+
+def test_ranking_grupos_territorio_inclusive(domain):
+    """The territory filter is INCLUSIVE (app.py:486-492): 'local'
+    keeps {local, mixto}; it applies per MEMBER group before the PLOG
+    collapse, and the PLOG average is recomputed over survivors."""
+    tables, con = domain
+    df = api.ranking_grupos(
+        tables, "operativas", periodo_id=None, territorio_filtro="local"
+    )
+    _compare(
+        df,
+        con,
+        _ranking_grupos_sql(
+            "", "WHERE territorio IN ('local', 'mixto')"
+        ),
+    )
+    rows = {r.entidad: r for r in df.collect()}
+    # mixto groups survive the 'local' filter (inclusive semantics)
+    assert "EXPO MTY" in rows and "GRUPO SALTILLO" in rows
+    # foranea groups drop — including PLOG NORTE / PLOG SUR, which are
+    # NOT local under the verbatim lists ('plog nuevo leon' only)
+    assert "INDEPENDIENTE X" not in rows
+    # the PLOG entity is recomputed over surviving members only:
+    # PLOG NUEVO LEON's Suc J (80.0) — not NORTE/SUR's branches
+    assert rows["PLOG"].promedio == 80.0
+    assert rows["PLOG"].supervisiones == 1
+    with pytest.raises(ValueError):
+        api.ranking_grupos(tables, territorio_filtro="bogus")
 
 
 def test_ranking_sucursales_parity_and_dynamic_filters(domain):
     tables, con = domain
     df = api.ranking_sucursales(tables, "operativas", periodo_id=2)
+    # transcribed from the reference SQL (app.py:666-709): grupos is
+    # LEFT-joined with NO activo filter; the clasificacion COALESCE is
+    # display-only (app.py:719)
     sql = f"""
     WITH s AS (
       SELECT id AS sucursal_id, nombre AS sucursal, grupo_operativo_id,
-             COALESCE(clasificacion, 'local') AS clasificacion
+             clasificacion
       FROM sucursales WHERE COALESCE(activo, false)
     ), g AS (
       SELECT id, nombre AS grupo FROM grupos_operativos
-      WHERE COALESCE(activo, false)
     ), f AS (
       SELECT id AS sup_id, sucursal_id, calificacion_general
       FROM supervisiones_operativas WHERE periodo_id = 2
     ), agg AS (
-      SELECT s.sucursal, g.grupo, s.clasificacion,
+      SELECT s.sucursal, g.grupo,
+             COALESCE(s.clasificacion, 'local') AS clasificacion,
              {_det_avg('f.calificacion_general')} AS promedio,
              CAST(COUNT(f.sup_id) AS BIGINT) AS supervisiones
-      FROM s JOIN g ON s.grupo_operativo_id = g.id
+      FROM s LEFT JOIN g ON s.grupo_operativo_id = g.id
              LEFT JOIN f ON s.sucursal_id = f.sucursal_id
-      GROUP BY s.sucursal, g.grupo, s.clasificacion
+      GROUP BY s.sucursal_id, s.sucursal, g.grupo, s.clasificacion
     )
     SELECT sucursal, grupo, clasificacion, promedio, supervisiones,
            CASE WHEN promedio IS NOT NULL THEN
@@ -214,17 +330,29 @@ def test_ranking_sucursales_parity_and_dynamic_filters(domain):
     rows = {r.sucursal: r for r in df.collect()}
     # exact tie shares the position; next rank has a gap
     assert rows["Suc D"].posicion == rows["Suc E"].posicion
-    # NULL clasificacion defaulted to local
+    # NULL clasificacion defaulted to local (display only)
     assert rows["Suc B"].clasificacion == "local"
     # zero-supervision branch present, unranked
     assert rows["Suc H sin datos"].posicion is None
-    # branch of inactive group excluded by the inner dim join
-    assert "Suc I grupo inactivo" not in rows
-    # dynamic filters compose
-    local_only = api.ranking_sucursales(
-        tables, "operativas", periodo_id=2, clasificacion="foraneo"
+    # branch of an inactive group STAYS (reference LEFT JOINs grupos
+    # with no activo filter, app.py:672)
+    assert "Suc I grupo inactivo" in rows
+    assert rows["Suc I grupo inactivo"].grupo == "GRUPO INACTIVO"
+    # territory filter reads the RAW column (app.py:698-701):
+    # 'foranea' → clasificacion = 'foraneo'
+    foraneas = api.ranking_sucursales(
+        tables, "operativas", periodo_id=2, territorio_filtro="foranea"
     ).collect()
-    assert {r.sucursal for r in local_only} == {"Suc C", "Suc E"}
+    assert {r.sucursal for r in foraneas} == {"Suc C", "Suc E", "Suc J plog nl"}
+    # 'local' filters the raw value — the NULL-classified Suc B does
+    # NOT pass (the COALESCE default would wrongly include it)
+    locales = {
+        r.sucursal
+        for r in api.ranking_sucursales(
+            tables, "operativas", periodo_id=2, territorio_filtro="local"
+        ).collect()
+    }
+    assert "Suc B" not in locales and "Suc A" in locales
 
 
 def test_dashboard_stats_parity(domain):
@@ -294,24 +422,28 @@ def test_map_markers_parity(domain):
 def test_alerts_parity(domain):
     tables, con = domain
     df = api.alerts(tables, "operativas", periodo_id=2)
+    # transcribed from the reference SQL (app.py:1226-1261): critical
+    # joins grupos WITHOUT an activo filter (but inner — dangling
+    # groups drop the branch); warning joins sucursales WITHOUT an
+    # activo filter
     sql = f"""
-    WITH s AS (
-      SELECT id AS sucursal_id, nombre AS s_nombre, grupo_operativo_id
-      FROM sucursales WHERE COALESCE(activo, false)
-    ), g AS (
-      SELECT id, nombre AS g_nombre FROM grupos_operativos
-      WHERE COALESCE(activo, false)
-    ), f AS (
+    WITH f AS (
       SELECT sucursal_id, calificacion_general
       FROM supervisiones_operativas WHERE periodo_id = 2
     ), ba AS (
-      SELECT s.s_nombre, {_det_avg('f.calificacion_general')} AS promedio
-      FROM f JOIN s USING (sucursal_id) GROUP BY s.s_nombre
+      SELECT s.id, s.nombre AS s_nombre,
+             {_det_avg('f.calificacion_general')} AS promedio
+      FROM f JOIN sucursales s ON f.sucursal_id = s.id
+             JOIN grupos_operativos g ON s.grupo_operativo_id = g.id
+      WHERE COALESCE(s.activo, false)
+      GROUP BY s.id, s.nombre
     ), ga AS (
-      SELECT g.g_nombre, {_det_avg('f.calificacion_general')} AS promedio
-      FROM f JOIN s USING (sucursal_id)
-             JOIN g ON s.grupo_operativo_id = g.id
-      GROUP BY g.g_nombre
+      SELECT g.id, g.nombre AS g_nombre,
+             {_det_avg('f.calificacion_general')} AS promedio
+      FROM f JOIN sucursales s ON f.sucursal_id = s.id
+             JOIN grupos_operativos g ON s.grupo_operativo_id = g.id
+      WHERE COALESCE(g.activo, false)
+      GROUP BY g.id, g.nombre
     )
     SELECT 'critico' AS nivel, s_nombre AS entidad, promedio
     FROM ba WHERE promedio < 70
@@ -402,6 +534,155 @@ def test_branch_endpoints(domain):
     # (supervision_areas rows attach to supervisions 1 and 2 only)
     latest_a = api.branch_latest(tables, 1, "operativas").first()
     assert latest_a.id == 11
+
+
+def test_branch_areas_seguridad_path(domain):
+    """tipo='seguridad' must read seguridad_kpis ⋈
+    catalogo_kpis_seguridad (app.py:894-900) — NOT the operativas
+    detail pair. The fixture plants an operativas-keyed
+    supervision_areas row with the seguridad supervision's id (101) as
+    the id-space-collision trap."""
+    tables, con = domain
+    df = api.branch_areas(tables, 1, "seguridad")
+    sql = """
+    WITH latest AS (
+      SELECT id FROM supervisiones_seguridad WHERE sucursal_id = 1
+      ORDER BY fecha_supervision DESC, id DESC LIMIT 1
+    )
+    SELECT ck.codigo, ck.nombre AS area, sk.porcentaje, ck.numero
+    FROM latest l
+    JOIN seguridad_kpis sk ON sk.supervision_id = l.id
+    JOIN catalogo_kpis_seguridad ck ON sk.kpi_id = ck.id
+    ORDER BY ck.numero
+    """
+    _compare(df, con, sql)
+    rows = df.collect()
+    # KPI rows in catalog display order — and NOT the planted
+    # supervision_areas collision row (porcentaje 10.0)
+    assert [(r.area, r.porcentaje) for r in rows] == [
+        ("Fugas de gas", 70.0),
+        ("Extintores", 95.0),
+    ]
+    with pytest.raises(ValueError):
+        api.branch_areas(tables, 1, "bogus")
+
+
+def test_estados_parity(domain):
+    tables, con = domain
+    df = api.estados(tables)
+    sql = """
+    SELECT estado, CAST(COUNT(*) AS BIGINT) AS total
+    FROM sucursales WHERE COALESCE(activo, false) AND estado IS NOT NULL
+    GROUP BY estado ORDER BY estado
+    """
+    _compare(df, con, sql)
+    rows = {r.estado: r.total for r in df.collect()}
+    # Suc C's NULL estado is excluded; inactive Suc G doesn't count
+    assert None not in rows
+    assert rows["COA"] == 1
+
+
+def _periodo_contexto_sql(hoy: str, tabla: str = "supervisiones_operativas") -> str:
+    return f"""
+    WITH cand AS (
+      SELECT id, codigo, nombre, fecha_inicio, fecha_fin,
+             1 AS prio, 'fecha' AS metodo
+      FROM periodos_cas
+      WHERE fecha_inicio <= DATE '{hoy}' AND fecha_fin >= DATE '{hoy}'
+      UNION ALL
+      SELECT id, codigo, nombre, fecha_inicio, fecha_fin, 2, 'activo'
+      FROM periodos_cas WHERE COALESCE(activo, false)
+      UNION ALL
+      SELECT p.id, p.codigo, p.nombre, p.fecha_inicio, p.fecha_fin,
+             3, 'ultimo_con_datos'
+      FROM periodos_cas p
+      WHERE EXISTS (SELECT 1 FROM {tabla} f WHERE f.periodo_id = p.id)
+    ), best AS (
+      SELECT * FROM cand ORDER BY prio, fecha_inicio DESC, id DESC LIMIT 1
+    ), sup AS (
+      SELECT periodo_id, COUNT(DISTINCT sucursal_id) AS supervisadas
+      FROM {tabla} GROUP BY periodo_id
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM sucursales WHERE COALESCE(activo, false)
+    )
+    SELECT b.id, b.codigo, b.nombre,
+           strftime(b.fecha_inicio, '%Y-%m-%d') AS f0,
+           strftime(b.fecha_fin, '%Y-%m-%d') AS f1,
+           b.metodo,
+           CAST(COALESCE(s.supervisadas, 0) AS BIGINT) AS supervisadas,
+           CAST(CASE WHEN t.n = 0 THEN 86 ELSE t.n END AS BIGINT) AS total,
+           COALESCE(ROUND(COALESCE(s.supervisadas, 0) * 100.0
+             / NULLIF(CASE WHEN t.n = 0 THEN 86 ELSE t.n END, 0), 1), 0.0)
+             AS porcentaje
+    FROM best b LEFT JOIN sup s ON b.id = s.periodo_id CROSS JOIN tot t
+    """
+
+
+def _periodo_contexto_iso(tables, tipo, hoy):
+    from pyspark.sql import functions as F
+
+    return api.periodo_contexto(tables, tipo, hoy=hoy).select(
+        "id",
+        "codigo",
+        "nombre",
+        F.date_format("fecha_inicio", "yyyy-MM-dd").alias("f0"),
+        F.date_format("fecha_fin", "yyyy-MM-dd").alias("f1"),
+        "metodo",
+        "supervisadas",
+        "total",
+        "porcentaje",
+    )
+
+
+def test_periodo_contexto_by_date(domain):
+    """Resolution level 1: hoy inside a period's date range →
+    metodo='fecha' (app.py:222-236)."""
+    tables, con = domain
+    df = _periodo_contexto_iso(tables, "operativas", D(2026, 2, 15))
+    _compare(df, con, _periodo_contexto_sql("2026-02-15"))
+    r = df.first()
+    assert (r.id, r.metodo) == (2, "fecha")
+    # periodo-2 coverage: branches 1,2,3,4,5,6 supervised of 10 active
+    assert (r.supervisadas, r.total, r.porcentaje) == (6, 10, 60.0)
+
+
+def test_periodo_contexto_by_flag_and_last_with_data(domain):
+    tables, con = domain
+    # level 2: hoy outside every range → the activo flag (periodo 2)
+    df = _periodo_contexto_iso(tables, "operativas", D(2026, 6, 1))
+    _compare(df, con, _periodo_contexto_sql("2026-06-01"))
+    assert df.first().metodo == "activo"
+
+    # level 3: no date match, no activo flag → latest period WITH data
+    # in the tipo's fact (seguridad: only periodo 2 has rows)
+    from pyspark.sql import functions as F
+
+    no_flag = {
+        **tables,
+        "periodos_cas": tables["periodos_cas"].withColumn(
+            "activo", F.lit(None).cast("boolean")
+        ),
+    }
+    r = api.periodo_contexto(no_flag, "seguridad", hoy=D(2026, 6, 1)).first()
+    assert (r.id, r.metodo) == (2, "ultimo_con_datos")
+    # seguridad coverage in periodo 2: one branch supervised
+    assert r.supervisadas == 1
+
+    # no periods at all → empty frame (reference: periodo_actual=None)
+    empty = {
+        **tables,
+        "periodos_cas": tables["periodos_cas"].filter(F.lit(False)),
+    }
+    assert api.periodo_contexto(empty, "operativas", hoy=D(2026, 6, 1)).count() == 0
+    with pytest.raises(ValueError):
+        api.periodo_contexto(tables, "operativas")
+
+
+def test_periodos_selector(domain):
+    tables, _ = domain
+    rows = api.periodos_selector(tables, n=2).collect()
+    # latest 2 by fecha_inicio DESC (app.py:269-274)
+    assert [r.id for r in rows] == [3, 2]
 
 
 def test_health_and_preview(domain, spark):

@@ -93,6 +93,28 @@ def test_territorio_first_match_wins(spark):
     assert got == ["local", "mixto", "foranea"]
 
 
+def test_territorio_reference_default_lists(spark):
+    # F2 — the DEFAULT keyword lists are the reference's verbatim
+    # 8-local / 3-mixto lists (app.py:46-47). Pins the six names that
+    # diverged under the old shortened defaults, plus the 'PLOG'
+    # overbreadth trap: only 'PLOG NUEVO LEON' is local — any other
+    # 'PLOG ...' group is foranea.
+    cases = [
+        ("EFM", "local"),
+        ("GRUPO CENTRITO", "local"),
+        ("GRUPO SABINAS HIDALGO", "local"),
+        ("GRUPO CADE", "local"),
+        ("GRUPO SALTILLO", "mixto"),
+        ("PLOG NUEVO LEON", "local"),
+        ("PLOG LAGUNA", "foranea"),
+        ("OGAS", "local"),
+        ("TEC CAMPUS", "mixto"),
+    ]
+    df = spark.createDataFrame([(n,) for n, _ in cases], "nombre string")
+    got = [r[0] for r in df.select(territorio(F.col("nombre"))).collect()]
+    assert got == [t for _, t in cases]
+
+
 def test_densified_matrix_has_every_cell(spark):
     # J4 (app.py:1141-1151): empty cells exist with NULL.
     rows_dim = spark.createDataFrame([("g1",), ("g2",)], "g string")
