@@ -18,6 +18,7 @@ tests/test_plan_audit.py.
 
 from epl_cas_etl_2026_spark.plans import (
     decision_support,
+    domain_api,
     enrich,
     extensions,
     graph,
@@ -34,6 +35,7 @@ from epl_cas_etl_2026_spark.plans.gate_policy import gate_order
 
 _ALL_QUERIES = {
     **relational.QUERIES,
+    **domain_api.QUERIES,
     **extensions.QUERIES,
     **lifecycle.QUERIES,
     **decision_support.QUERIES,
@@ -48,6 +50,7 @@ _ALL_QUERIES = {
 }
 _ALL_ORACLES = {
     **relational.ORACLES,
+    **domain_api.ORACLES,
     **extensions.ORACLES,
     **lifecycle.ORACLES,
     **decision_support.ORACLES,
