@@ -488,19 +488,136 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 20,
 ):
-    """Connected components by min-label propagation — the step that
-    turns near-dup PAIRS into duplicate CLUSTERS (pick one
-    representative per component to keep). Each round: every node
-    takes the min of its own label and its neighbors' labels — one
-    join + one groupBy; rounds needed = graph diameter (near-dup
-    clusters are dense, diameter is small). Per-round localCheckpoint
-    truncates the otherwise exponentially-growing iterative lineage.
-    For adversarial long-chain graphs swap in large-star/small-star
-    contraction (same join shape, O(log n) rounds). If ``max_iter``
-    rounds pass without convergence (early-stop on zero changed
-    labels), the labels of chains longer than max_iter are still
-    partially merged — raise max_iter for such graphs; near-dup
-    cluster graphs converge in a handful of rounds.
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14 — public algorithm) — the step that turns
+    near-dup PAIRS into duplicate CLUSTERS.
+
+    Each round rewrites the edge set toward a star forest centered at
+    component minima:
+
+    - large-star: every node points its STRICTLY LARGER neighbors at
+      the minimum of its closed neighborhood — (v, m(u)) for
+      v ∈ Γ(u), v > u, m(u) = min(Γ(u) ∪ {u});
+    - small-star: every node and its ≤-neighbors all point at the
+      smallest of them — (v, m⁻(u)) for v ∈ Γ⁻(u) ∪ {u} \\ {m⁻},
+      m⁻(u) = min(Γ⁻(u) ∪ {u}).
+
+    Both are one groupBy(min) + one join over id pairs; connectivity
+    is invariant under each step, and convergence (edge set stable) is
+    reached in O(log n) rounds even on CHAIN graphs — the upgrade over
+    min-label propagation (kept as
+    :func:`connected_components_propagation`), whose round count is
+    the graph DIAMETER. On the dense near-dup cluster graphs both
+    converge in a handful of rounds; on adversarial chains this one
+    stays logarithmic. Per-round localCheckpoint truncates the
+    iterative lineage; if ``max_iter`` rounds pass without
+    convergence the star forest may still be partially contracted —
+    raise max_iter for pathological inputs (20 rounds covers any
+    graph a 100 TB corpus can produce: convergence is ~log₂ n).
+
+    Returns (node, component) where component = min node id reachable
+    — identical output contract (and ordering semantics for string
+    ids: lexicographic min) to the propagation variant.
+    """
+    pairs = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym0 = (
+        pairs.filter(F.col("a") != F.col("b"))
+        .distinct()
+        # materialize ONCE so the upstream pair pipeline (LSH banding
+        # + verification) never re-executes inside the loop
+        .localCheckpoint(eager=True)
+    )
+    # nodes from the UNfiltered pairs: a node seen only in self-loop
+    # edges still gets a (node, node) label row, like the propagation
+    # variant
+    nodes = (
+        pairs.select(F.col("a").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    e = sym0  # current UNDIRECTED edge set, kept symmetric on entry
+    prev_cnt = None
+    for _ in range(max_iter):
+        # ---- large-star ----
+        mins = e.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            e.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # ---- small-star (on the symmetric view of large's output) ----
+        sym = large.unionByName(
+            large.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+        smaller = sym.filter(F.col("b") < F.col("a"))
+        mins2 = smaller.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            smaller.join(mins2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .unionByName(mins2.select(F.col("a"), F.col("m").alias("b")))
+            .distinct()
+        )
+        new_e = (
+            small.unionByName(
+                small.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cnt = new_e.count()
+        if prev_cnt is not None and cnt == prev_cnt:
+            # counts equal → confirm set equality (cheap: both sides
+            # checkpointed id-pair frames)
+            if new_e.exceptAll(e).limit(1).count() == 0:
+                if e is not sym0:
+                    e.unpersist()
+                e = new_e
+                break
+        if e is not sym0:
+            e.unpersist()
+        e = new_e
+        prev_cnt = cnt
+    # at (or near) convergence e is a symmetric star forest: each
+    # non-center node neighbors exactly its component min; centers and
+    # isolated-in-e nodes label themselves
+    parent = e.filter(F.col("b") < F.col("a")).groupBy("a").agg(
+        F.min("b").alias("label")
+    )
+    labels = (
+        nodes.join(parent, nodes["node"] == parent["a"], "left")
+        .select(
+            "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
+        )
+        .localCheckpoint(eager=True)
+    )
+    if e is not sym0:
+        e.unpersist()
+    sym0.unpersist()
+    nodes.unpersist()
+    return labels
+
+
+def connected_components_propagation(
+    edges,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+):
+    """Connected components by min-label propagation — each round every
+    node takes the min of its own label and its neighbors' labels (one
+    join + one groupBy); rounds needed = graph DIAMETER. Kept as the
+    dense-graph baseline and the differential twin for
+    :func:`connected_components` (the O(log n)-round star contraction);
+    property tests assert both produce identical labelings.
 
     Returns (node, component) where component = min node id reachable.
     """

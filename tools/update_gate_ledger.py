@@ -117,6 +117,11 @@ def main() -> None:
         fingerprints.pop(name, None)
     refreshed = 0
     for name, row in rounds[latest].items():
+        if name in assume_changed:
+            # an assume-changed query must NOT have its fingerprint
+            # re-recorded from the current tree even if it was green in
+            # the latest round — the green predates the change
+            continue
         if name in QUERIES and _is_green(row, name in ORACLES):
             fingerprints[name] = fingerprint_query(
                 QUERIES[name], ORACLES.get(name)
