@@ -148,3 +148,108 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_count"), "value")
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries approximate top-k (Misra & Gries 1982; merge rule from
+# Agarwal et al., "Mergeable Summaries") — the deterministic-output
+# complement to the CMS query above. The sketch itself is merge-order
+# dependent, so the GATED output is the classic two-phase scheme whose
+# result is exact whenever the guarantee holds:
+#
+#   phase 1: per-partition MG summaries of capacity m (Arrow-batched
+#            mapInPandas; state lives across batches of one partition;
+#            each batch folds in via value_counts + the mergeable
+#            subtract-(m+1)th-largest rule) → candidate values.
+#            Pigeonhole guarantee: every value with GLOBAL count
+#            > N/(m+1) survives in at least one partition.
+#   phase 2: exact recount restricted to candidates — the broadcast
+#            semi-join filters BEFORE the groupBy shuffle, so only
+#            candidate-valued rows (≤ m×P distinct values) shuffle;
+#            the full-data groupBy that MG exists to avoid never runs.
+#
+# The probed value column is a deterministic skew transform of
+# event_id (zipf-ish hot head + singleton cold tail, ~N/2 distinct
+# values → capacity-256 summaries genuinely evict), and every output
+# row carries the oracle-checked guarantee `exact_count*(m+1) > N` —
+# the condition under which candidate top-k == true top-k.
+# ---------------------------------------------------------------------------
+MG_M = 256
+MG_K = 10
+
+# hot_k on even ids with k = 1000 div (event_id mod 1000 + 1) (harmonic
+# → count(hot_k) ~ N/(2k(k+1))); odd ids are singletons. Integer `div`
+# on both engines — no float rounding anywhere.
+_MG_VALUE_SPARK = (
+    "CASE WHEN event_id % 2 = 0 "
+    "THEN concat('hot_', CAST(1000 div (event_id % 1000 + 1) AS STRING)) "
+    "ELSE concat('cold_', CAST(event_id AS STRING)) END"
+)
+_MG_VALUE_DUCK = (
+    "CASE WHEN event_id % 2 = 0 "
+    "THEN 'hot_' || CAST(1000 // (event_id % 1000 + 1) AS VARCHAR) "
+    "ELSE 'cold_' || CAST(event_id AS VARCHAR) END"
+)
+
+
+def _mg_partition_summaries(iterator):
+    """Per-partition Misra-Gries of capacity MG_M over column ``v``.
+
+    Maintains one pandas Series of counters across all Arrow batches
+    of the partition; per batch: vectorized value_counts, mergeable-
+    summaries combine (add, then subtract the (m+1)-th largest count
+    and drop non-positives). Yields the surviving values once at
+    partition end.
+    """
+    import pandas as pd
+
+    counters = pd.Series(dtype="int64")
+    for pdf in iterator:
+        vc = pdf["v"].value_counts()
+        counters = counters.add(vc, fill_value=0)
+        if len(counters) > MG_M:
+            t = counters.nlargest(MG_M + 1).iloc[-1]
+            counters = counters[counters > t] - t
+    yield pd.DataFrame({"v": counters.index.astype(str)})
+
+
+@_register(
+    "events_mg_topk",
+    f"""
+    WITH vals AS (
+      SELECT {_MG_VALUE_DUCK} AS v FROM events
+    ), tot AS (SELECT COUNT(*) AS n FROM vals),
+    exact AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM vals GROUP BY v
+    )
+    SELECT v AS value, exact_count,
+           exact_count * {MG_M + 1} > (SELECT n FROM tot)
+             AS mg_guarantee_ok
+    FROM exact ORDER BY exact_count DESC, v LIMIT {MG_K}
+    """,
+)
+def events_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    vals = events.select(F.expr(_MG_VALUE_SPARK).alias("v"))
+    cand = vals.mapInPandas(
+        _mg_partition_summaries, "v string"
+    ).distinct()
+    total = vals.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    exact = (
+        vals.join(F.broadcast(cand), "v", "left_semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    return (
+        exact.crossJoin(total)
+        .select(
+            F.col("v").alias("value"),
+            "exact_count",
+            (F.col("exact_count") * (MG_M + 1) > F.col("n_total")).alias(
+                "mg_guarantee_ok"
+            ),
+        )
+        .orderBy(F.desc("exact_count"), "value")
+        .limit(MG_K)
+    )

@@ -227,3 +227,119 @@ def events_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark under the STREAMING engine: the fourth
+# gate query, exercising the WATERMARK-EVICTED dedup state machine
+# (vs. events_stream_dedup_gate's unbounded dropDuplicates state).
+#
+# Determinism argument (this is a hash gate, so it must be airtight):
+# the dedup key is (user_id, event_type, day) — every duplicate of a
+# key lies within one calendar day, i.e. < 24 h of the key's first
+# event, and the watermark delay is 25 h, so every duplicate falls
+# under the operator's documented GUARANTEE ("events within the delay
+# of the first are deduplicated"). Nothing lands in the may-or-may-not
+# gray zone: state for day D evicts only once the watermark passes
+# first_ts + 25 h, which (watermark = max_ts - 25 h) requires data
+# from D + 2 days — after the last possible duplicate of any day-D
+# key. Late-row drops cannot occur either: batches arrive in day
+# order (explicit mtimes + maxFilesPerTrigger), so every batch's rows
+# are ≥ the current watermark + 25 h. Result = exact per-type count
+# of distinct (user, day) pairs — the batch oracle — while the stream
+# genuinely advances the watermark across multiple micro-batches over
+# 30 days of data and evicts day-state as it goes.
+#
+# The day-split source files are a GATE FIXTURE (driver-side write of
+# the ≤100k-row events projection, like lifecycle's landing files) —
+# production streams read an already-partitioned landing zone.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_stream_dedup_watermark_gate",
+    """
+    WITH dd AS (
+      SELECT DISTINCT event_type, user_id,
+             date_trunc('day', ts::TIMESTAMP) AS d
+      FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique_user_days
+    FROM dd GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_stream_dedup_watermark_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .toPandas()
+    )
+    pdf["day"] = pdf["ts"].dt.normalize()
+    tmp = tempfile.mkdtemp(prefix="stream_ddw_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for i, (day, part) in enumerate(
+            sorted(pdf.groupby("day"), key=lambda kv: kv[0])
+        ):
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array(part["event_id"], type=pa.int64()),
+                    pa.array(
+                        part["ts"].astype("datetime64[us]"),
+                        type=pa.timestamp("us", tz="UTC"),
+                    ),
+                    pa.array(part["user_id"], type=pa.int64()),
+                    pa.array(part["event_type"], type=pa.string()),
+                ],
+                names=["event_id", "ts", "user_id", "event_type"],
+            )
+            path = os.path.join(src, f"day_{i:03d}.parquet")
+            pq.write_table(tbl, path)
+            # deterministic arrival order for FileStreamSource's
+            # mtime-based listing
+            os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 10)
+            .parquet(src)
+        )
+        deduped = (
+            stream.withColumn("day", F.to_date("ts"))
+            .withWatermark("ts", "25 hours")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type", "day"])
+        )
+        name = f"stream_ddw_gate_{next(_run_ids)}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_unique_user_days")
+            )
+            .orderBy("event_type")
+        )
+        rows = result.collect()
+        schema = result.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -177,3 +177,58 @@ def test_winnowing_short_docs_do_not_crash_ansi(spark):
     rows = {r.doc_id: list(r.fp) for r in _with_fingerprints(df).collect()}
     assert rows[1] == [] and rows[2] == [] and rows[3] == []
     assert rows[4]  # 8 tokens → 5 grams, 2 windows → fingerprints
+
+
+def test_misra_gries_partition_eviction_guarantee(spark):
+    """The per-partition MG summaries must retain every value whose
+    GLOBAL count exceeds N/(m+1), no matter how the rows are
+    partitioned — exercised with a heavy hitter scattered across many
+    partitions of an otherwise-singleton stream (far more distinct
+    values than the capacity, so eviction genuinely fires)."""
+    from pyspark.sql import functions as F
+
+    from epl_cas_etl_2026_spark.plans.sketches import (
+        MG_M,
+        _mg_partition_summaries,
+    )
+
+    n = 20_000
+    # value 'hh' on every 10th row (2000 occurrences >> N/(m+1) ~ 78);
+    # everything else a singleton
+    df = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 10 == 0, F.lit("hh"))
+            .otherwise(F.concat(F.lit("u"), F.col("id").cast("string")))
+            .alias("v")
+        )
+        .repartition(16)  # scatter the heavy hitter across partitions
+    )
+    survivors = {
+        r["v"]
+        for r in df.mapInPandas(
+            _mg_partition_summaries, "v string"
+        ).collect()
+    }
+    assert "hh" in survivors
+    # eviction really happened: nowhere near all 18k singletons survive
+    assert len(survivors) <= 16 * MG_M
+
+
+def test_misra_gries_no_eviction_small_domain(spark):
+    """With fewer distinct values than the capacity the summaries are
+    exact: every value survives."""
+    from pyspark.sql import functions as F
+
+    from epl_cas_etl_2026_spark.plans.sketches import _mg_partition_summaries
+
+    df = spark.range(5000).select(
+        (F.col("id") % 50).cast("string").alias("v")
+    ).repartition(8)
+    survivors = {
+        r["v"]
+        for r in df.mapInPandas(
+            _mg_partition_summaries, "v string"
+        ).collect()
+    }
+    assert survivors == {str(i) for i in range(50)}
