@@ -100,6 +100,13 @@ HEADLINE = [
     "docs_jaccard_prefix_join",
     "events_bitmap_distinct_rollup",
     "events_scd2_compress",
+    # round-5 additions (after the frozen 56-entry r4 prefix): the
+    # endpoint-parity layer at fact scale (branch ranking window,
+    # densified heatmap pivot) and the Misra-Gries candidate path
+    # (Arrow mapInPandas summaries + broadcast-semi-join recount)
+    "api_ranking_sucursales_all",
+    "api_heatmap_wide",
+    "events_mg_topk",
 ]
 
 
@@ -170,7 +177,7 @@ def main() -> None:
         best = None
         runs = 0
         while runs < 2 or (
-            runs < 3 and time.perf_counter() - t_measure < 220.0
+            runs < 3 and time.perf_counter() - t_measure < 360.0
         ):
             t0 = time.perf_counter()
             run_once(spark, fn, SF_DIR)
@@ -197,6 +204,7 @@ def main() -> None:
     r1_subset = round(sum(timings[n] for n in HEADLINE[:14] if n in timings), 3)
     r2_subset = round(sum(timings[n] for n in HEADLINE[:28] if n in timings), 3)
     r3_subset = round(sum(timings[n] for n in HEADLINE[:34] if n in timings), 3)
+    r4_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     print(
         json.dumps(
             {
@@ -206,7 +214,7 @@ def main() -> None:
                 "queries": timings,
                 "n_queries": len(timings),
                 "methodology": (
-                    "noop-sink, uniform min-of-3 per query (global 220s "
+                    "noop-sink, uniform min-of-3 per query (global 360s "
                     "budget degrades trailing queries to min-of-2); "
                     "r1/r2 rounds used collect() timing - not "
                     "comparable without the calib ratio"
@@ -214,6 +222,7 @@ def main() -> None:
                 "r1_queries_noop_sec": r1_subset,
                 "r2_queries_noop_sec": r2_subset,
                 "r3_queries_noop_sec": r3_subset,
+                "r4_queries_noop_sec": r4_subset,
                 "cpu_calib_sec": cpu_calibration(),
                 "sf": sf_from_dir(SF_DIR),
             }

@@ -319,6 +319,13 @@ def heatmap_matrix(tables: dict, tipo: str = "operativas") -> DataFrame:
         .join(p, "periodo_id")
         .groupBy("grupo", "codigo")
         .agg(det_avg(F.col("calificacion_general")).alias("promedio"))
+        # persisted: three downstream branches (EPL CAS row, pivot,
+        # per-group overall) consume the densified matrix — without
+        # this the FACT aggregation (a full fact scan at 100 TB)
+        # re-executes once per branch. The cached frame is
+        # |groups|×|periods| rows; lazy persist, so building the plan
+        # without executing it stays free.
+        .persist()
     )
     # J4 densification: EVERY active group appears, even with zero
     # supervisions anywhere — the reference builds the grid with a
