@@ -316,7 +316,10 @@ def heatmap_matrix(tables: dict, tipo: str = "operativas") -> DataFrame:
     cell = (
         f.join(s, "sucursal_id")
         .join(g, s.grupo_operativo_id == g.grupo_id)
-        .join(p, "periodo_id")
+        # explicit broadcasts: inside a persisted subtree Catalyst
+        # plans without AQE's runtime stats, and the 3-row periodos
+        # dim was observed to fall back to a sort-merge join
+        .join(F.broadcast(p), "periodo_id")
         .groupBy("grupo", "codigo")
         .agg(det_avg(F.col("calificacion_general")).alias("promedio"))
         # persisted: three downstream branches (EPL CAS row, pivot,
@@ -352,15 +355,21 @@ def heatmap_matrix(tables: dict, tipo: str = "operativas") -> DataFrame:
     overall = long_df.groupBy("grupo").agg(
         det_avg(F.col("promedio")).alias("promedio_general")
     )
-    return wide.join(overall, "grupo").orderBy("grupo")
+    # both sides are entity-grained (|groups|+1 rows); broadcast keeps
+    # the final join shuffle-free (without the hint the persisted cell
+    # frame hides cardinality from AQE and Catalyst picks a sort-merge)
+    return wide.join(F.broadcast(overall), "grupo").orderBy("grupo")
 
 
 def dashboard_stats(
     tables: dict, tipo: str = "operativas", periodo_id: int | None = None
 ) -> DataFrame:
-    """GET /api/dashboard/stats (app.py:345-432): one-row scorecard —
-    totals, coverage, deterministic 2dp average, and the 4-bucket
-    performance distribution with percent-of-total (A6 + A14)."""
+    """One-row scorecard subset of :func:`kpis` — totals, coverage,
+    deterministic 2dp average, and the 4-bucket performance
+    distribution with percent-of-total (A6 + A14). Kept as the
+    compact frame the older tests and fixtures consume; the FULL
+    /api/kpis parity (accumulated vs period average, color class,
+    group count — app.py:342-432) is :func:`kpis`."""
     f = _fact(tables, tipo, periodo_id)
     # lazy 1-row total cross-joined in (no driver-side count action,
     # and the plan snapshots the table at execution, not build, time)
@@ -381,6 +390,85 @@ def dashboard_stats(
             F.col("sucursales_supervisadas"),
             F.col("sucursales_total"),
         ).alias("cobertura_pct"),
+    )
+
+
+def kpis(
+    tables: dict, tipo: str = "operativas", periodo_id: int | None = None
+) -> DataFrame:
+    """GET /api/kpis/<tipo> (app.py:342-432) — the dashboard's full
+    KPI card as ONE row, collapsing the reference's seven sequential
+    scalar round-trips into a single plan.
+
+    Reference semantics, trap-by-trap:
+
+    - ``promedio_periodo`` exists only when a period is selected, and
+      the reference's ``scalar() or 0`` coalesces a no-data NULL
+      average to 0 BEFORE display (app.py:356-357) — an empty period
+      shows 0, classed 'critico', not 'sin datos';
+    - ``promedio_acumulado`` is ALWAYS the all-history average
+      (same ``or 0``);
+    - the displayed ``promedio`` is the period average when a period
+      is selected, else the accumulated one (app.py:411);
+    - totals/distribution respect the period filter; branch and group
+      totals count active dims only; ``cobertura`` is half-up 1dp
+      with a zero-total guard (app.py:385).
+    """
+    f = _fact(tables, tipo, periodo_id)
+    f_all = tables[FACT_TABLES[tipo]]
+    per_agg = f.agg(
+        F.coalesce(det_avg(F.col("calificacion_general")), F.lit(0.0)).alias(
+            "prom_sel"
+        ),
+        F.count("id").cast("long").alias("total_supervisiones"),
+        F.countDistinct("sucursal_id")
+        .cast("long")
+        .alias("sucursales_supervisadas"),
+        *[
+            F.coalesce(c, F.lit(0)).cast("long").alias(name)
+            for c, name in zip(
+                bucket_counts(F.col("calificacion_general")),
+                ("excelente", "bueno", "regular", "critico"),
+            )
+        ],
+    )
+    acum = f_all.agg(
+        F.coalesce(det_avg(F.col("calificacion_general")), F.lit(0.0)).alias(
+            "promedio_acumulado"
+        )
+    )
+    tot_s = _active(tables["sucursales"]).agg(
+        F.count(F.lit(1)).cast("long").alias("total_sucursales")
+    )
+    tot_g = _active(tables["grupos_operativos"]).agg(
+        F.count(F.lit(1)).cast("long").alias("total_grupos")
+    )
+    row = per_agg.crossJoin(acum).crossJoin(tot_s).crossJoin(tot_g)
+    promedio_periodo = (
+        F.col("prom_sel") if periodo_id is not None else F.lit(None).cast("double")
+    )
+    promedio = (
+        F.col("prom_sel") if periodo_id is not None else F.col("promedio_acumulado")
+    )
+    return row.select(
+        promedio.alias("promedio"),
+        promedio_periodo.alias("promedio_periodo"),
+        "promedio_acumulado",
+        color_class(promedio).alias("color"),
+        "total_supervisiones",
+        "sucursales_supervisadas",
+        "total_sucursales",
+        "total_grupos",
+        F.coalesce(
+            pct_of(
+                F.col("sucursales_supervisadas"), F.col("total_sucursales")
+            ),
+            F.lit(0.0),
+        ).alias("cobertura"),
+        "excelente",
+        "bueno",
+        "regular",
+        "critico",
     )
 
 
@@ -489,15 +577,21 @@ def alerts(
 
 
 def branch_latest(
-    tables: dict, sucursal_id: int, tipo: str = "operativas"
+    tables: dict,
+    sucursal_id: int,
+    tipo: str = "operativas",
+    periodo_id: int | None = None,
 ) -> DataFrame:
-    """GET /api/sucursal/<id>/detalle — latest supervision (W4:
-    row_number over fecha DESC, id DESC tie-break) with color class."""
+    """GET /api/sucursal/<id>/<tipo> latest supervision (app.py:846-858
+    — W4: row_number over fecha DESC, id DESC tie-break) with color
+    class; optional period filter (app.py:852-854)."""
     from pyspark.sql import Window
 
     f = tables[FACT_TABLES[tipo]].filter(
         F.col("sucursal_id") == sucursal_id
     )
+    if periodo_id is not None:
+        f = f.filter(F.col("periodo_id") == periodo_id)
     w = Window.partitionBy("sucursal_id").orderBy(
         F.desc("fecha_supervision"), F.desc("id")
     )
@@ -554,7 +648,10 @@ DETAIL_TABLES = {
 
 
 def branch_areas(
-    tables: dict, sucursal_id: int, tipo: str = "operativas"
+    tables: dict,
+    sucursal_id: int,
+    tipo: str = "operativas",
+    periodo_id: int | None = None,
 ) -> DataFrame:
     """Area/KPI breakdown of the latest supervision, catalog display
     order (J9). The (detail, catalog) pair is selected by ``tipo`` —
@@ -563,7 +660,7 @@ def branch_areas(
     if tipo not in DETAIL_TABLES:
         raise ValueError(f"tipo must be one of {sorted(DETAIL_TABLES)}")
     detail_name, catalog_name, fk = DETAIL_TABLES[tipo]
-    latest = branch_latest(tables, sucursal_id, tipo).select(
+    latest = branch_latest(tables, sucursal_id, tipo, periodo_id).select(
         F.col("id").alias("supervision_id")
     )
     detail = tables[detail_name]
@@ -578,6 +675,203 @@ def branch_areas(
             "numero",
         )
         .orderBy("numero")
+    )
+
+
+def sucursal_info(tables: dict, sucursal_id: int) -> DataFrame:
+    """GET /api/sucursal/<id>/<tipo> header block (app.py:829-836):
+    the branch row with its group LEFT-joined (no activo filters —
+    the detail header shows inactive branches/groups too)."""
+    s = tables["sucursales"].filter(F.col("id") == sucursal_id).select(
+        "id", "nombre", "numero", "estado", "ciudad", "grupo_operativo_id"
+    )
+    g = tables["grupos_operativos"].select(
+        F.col("id").alias("grupo_id"), F.col("nombre").alias("grupo_nombre")
+    )
+    return s.join(
+        F.broadcast(g), s.grupo_operativo_id == g.grupo_id, "left"
+    ).select(
+        "id", "nombre", "numero", "estado", "ciudad",
+        "grupo_nombre", "grupo_id",
+    )
+
+
+def periodos_list(tables: dict, n: int = 10) -> DataFrame:
+    """GET /api/periodos (app.py:307-325): the raw period rows, latest
+    n by id DESC (the reference's SELECT * ... ORDER BY id DESC
+    LIMIT 10)."""
+    return tables["periodos_cas"].orderBy(F.desc("id")).limit(n)
+
+
+def grupo_detalle_sucursales(
+    tables: dict,
+    grupo_id: int,
+    tipo: str = "operativas",
+    periodo_id: int | None = None,
+) -> DataFrame:
+    """GET /api/grupo/<id>/<tipo> branch table (app.py:786-808).
+
+    Transcribed trap-for-trap from the reference SQL:
+
+    - LEFT JOIN facts with the period filter applied POST-join as
+      ``(sup.periodo_id = :p OR sup.periodo_id IS NULL)``
+      (app.py:796-797) — which keeps zero-supervision branches via the
+      unmatched-row arm AND lets NULL-periodo supervisions through
+      (they count in every period's view — a documented reference
+      quirk, NOT the J2 filter-fact-first shape the ranking endpoints
+      use);
+    - ``COALESCE(AVG(...), 0)`` — a branch with no (or all-NULL)
+      scores displays 0, classed 'critico' (app.py:789);
+    - active branches only; ORDER BY promedio DESC.
+    """
+    s = (
+        _active(tables["sucursales"])
+        .filter(F.col("grupo_operativo_id") == grupo_id)
+        .select(F.col("id").alias("sucursal_id"), F.col("nombre"))
+    )
+    f = tables[FACT_TABLES[tipo]].select(
+        F.col("id").alias("sup_id"),
+        F.col("sucursal_id").alias("f_sucursal_id"),
+        "periodo_id",
+        "calificacion_general",
+    )
+    base = s.join(f, s.sucursal_id == f.f_sucursal_id, "left")
+    if periodo_id is not None:
+        base = base.filter(
+            (F.col("periodo_id") == periodo_id)
+            | F.col("periodo_id").isNull()
+        )
+    agg = base.groupBy("sucursal_id", "nombre").agg(
+        F.coalesce(
+            det_avg(F.col("calificacion_general")), F.lit(0.0)
+        ).alias("promedio"),
+        F.count("sup_id").cast("long").alias("supervisiones"),
+    )
+    return agg.select(
+        F.col("sucursal_id").alias("id"),
+        "nombre",
+        "promedio",
+        color_class(F.col("promedio")).alias("color"),
+        "supervisiones",
+    ).orderBy(F.desc("promedio"), "id")
+
+
+def grupo_detalle_stats(
+    tables: dict,
+    grupo_id: int,
+    tipo: str = "operativas",
+    periodo_id: int | None = None,
+) -> DataFrame:
+    """GET /api/grupo/<id>/<tipo> header (app.py:764-784, 810-818):
+    one row — group name, its supervision-weighted average (INNER
+    joins over ALL branches, active or not, ``or 0`` on NULL —
+    app.py:772-784), and the branch/supervision totals the reference
+    derives from the (active-only) branch table."""
+    g = tables["grupos_operativos"].filter(F.col("id") == grupo_id).select(
+        F.col("id").alias("gid"), F.col("nombre")
+    )
+    s_all = tables["sucursales"].select(
+        F.col("id").alias("sucursal_id"), "grupo_operativo_id"
+    )
+    f = tables[FACT_TABLES[tipo]]
+    if periodo_id is not None:
+        f = f.filter(F.col("periodo_id") == periodo_id)
+    prom = (
+        f.join(s_all, f.sucursal_id == s_all.sucursal_id)
+        .filter(F.col("grupo_operativo_id") == grupo_id)
+        .agg(
+            F.coalesce(
+                det_avg(F.col("calificacion_general")), F.lit(0.0)
+            ).alias("promedio")
+        )
+    )
+    branch_rows = grupo_detalle_sucursales(
+        tables, grupo_id, tipo, periodo_id
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("total_sucursales"),
+        F.coalesce(F.sum("supervisiones"), F.lit(0))
+        .cast("long")
+        .alias("total_supervisiones"),
+    )
+    return (
+        g.crossJoin(prom)
+        .crossJoin(branch_rows)
+        .select(
+            F.col("gid").alias("id"),
+            "nombre",
+            "promedio",
+            color_class(F.col("promedio")).alias("color"),
+            "total_sucursales",
+            "total_supervisiones",
+        )
+    )
+
+
+#: per-tipo (detail fact, catalog, FK, catalog order col) for the
+#: BY-SUPERVISION-ID drill-down — the reference's seguridad arm here
+#: reads supervision_kpis ⋈ catalogo_kpis ordered by ck.id
+#: (app.py:1028-1034), NOT the seguridad_kpis pair the /areas branch
+#: route uses — a preserved reference inconsistency.
+SUPERVISION_DETAIL_TABLES = {
+    "operativas": ("supervision_areas", "catalogo_areas", "area_id", "numero"),
+    "seguridad": ("supervision_kpis", "catalogo_kpis", "kpi_id", "id"),
+}
+
+
+def supervision_header(
+    tables: dict, supervision_id: int, tipo: str = "operativas"
+) -> DataFrame:
+    """GET /api/supervision/<id>/areas/<tipo> header (app.py:972-979,
+    1015-1024): the supervision row with its period name LEFT-joined,
+    the ``x if x else 0`` score coalescing, and the dd/MM/yyyy date
+    label ('-' when NULL)."""
+    f = tables[FACT_TABLES[tipo]].filter(F.col("id") == supervision_id)
+    p = tables["periodos_cas"].select(
+        F.col("id").alias("pid"), F.col("nombre").alias("periodo")
+    )
+    return f.join(
+        F.broadcast(p), f.periodo_id == p.pid, "left"
+    ).select(
+        F.col("id").alias("supervision_id"),
+        F.coalesce(F.col("calificacion_general"), F.lit(0.0)).alias(
+            "calificacion"
+        ),
+        F.coalesce(
+            F.date_format("fecha_supervision", "dd/MM/yyyy"), F.lit("-")
+        ).alias("fecha"),
+        "supervisor",
+        "periodo",
+    )
+
+
+def supervision_areas_by_id(
+    tables: dict, supervision_id: int, tipo: str = "operativas"
+) -> DataFrame:
+    """GET /api/supervision/<id>/areas/<tipo> rows (app.py:984-991,
+    1028-1034): detail ⋈ catalog for the given supervision id, in the
+    catalog's display order — operativas orders by numero, seguridad
+    (via the inconsistent supervision_kpis/catalogo_kpis pair) by
+    catalog id. NULL percentages display 0 with 'critico' color
+    (the reference's ``if row[1] else 0`` truthiness)."""
+    if tipo not in SUPERVISION_DETAIL_TABLES:
+        raise ValueError(
+            f"tipo must be one of {sorted(SUPERVISION_DETAIL_TABLES)}"
+        )
+    detail_name, catalog_name, fk, order_col = SUPERVISION_DETAIL_TABLES[tipo]
+    detail = tables[detail_name].filter(
+        F.col("supervision_id") == supervision_id
+    )
+    cat = tables[catalog_name]
+    pct = F.coalesce(F.col("porcentaje"), F.lit(0.0))
+    return (
+        detail.join(F.broadcast(cat), detail[fk] == cat.id)
+        .select(
+            F.col("nombre"),
+            pct.alias("porcentaje"),
+            color_class(pct).alias("color"),
+            cat[order_col].alias("orden"),
+        )
+        .orderBy("orden")
     )
 
 

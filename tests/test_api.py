@@ -125,6 +125,18 @@ def domain(spark, tmp_path_factory):
         [(1, "K-EXT", "Extintores", 2), (2, "K-GAS", "Fugas de gas", 1)],
         "id int, codigo string, nombre string, numero int",
     )
+    # the OTHER seguridad detail pair (supervision_kpis/catalogo_kpis,
+    # app.py:1028-1034 — the reference's by-supervision-id route reads
+    # these, inconsistently with the /areas branch route); NULL
+    # porcentaje exercises the 0/'critico' display coalesce
+    sup_kpis = spark.createDataFrame(
+        [(101, 11, 88.0), (101, 12, None)],
+        "supervision_id long, kpi_id int, porcentaje double",
+    )
+    cat_kpis = spark.createDataFrame(
+        [(12, "Q-ALM", "Alarmas", 1), (11, "Q-BOT", "Botiquin", 2)],
+        "id int, codigo string, nombre string, numero int",
+    )
     tables = {
         "periodos_cas": periodos,
         "grupos_operativos": grupos,
@@ -135,6 +147,8 @@ def domain(spark, tmp_path_factory):
         "catalogo_areas": cat_areas,
         "seguridad_kpis": seg_kpis,
         "catalogo_kpis_seguridad": cat_kpis_seg,
+        "supervision_kpis": sup_kpis,
+        "catalogo_kpis": cat_kpis,
     }
     con = duckdb.connect()
     for name, df in tables.items():
@@ -683,6 +697,172 @@ def test_periodos_selector(domain):
     rows = api.periodos_selector(tables, n=2).collect()
     # latest 2 by fecha_inicio DESC (app.py:269-274)
     assert [r.id for r in rows] == [3, 2]
+
+
+def test_kpis_parity(domain):
+    tables, con = domain
+    df = api.kpis(tables, "operativas", periodo_id=2)
+    sql = f"""
+    WITH f AS (
+      SELECT * FROM supervisiones_operativas WHERE periodo_id = 2
+    ), per AS (
+      SELECT COALESCE({_det_avg('calificacion_general')}, 0.0) AS prom_sel,
+             CAST(COUNT(id) AS BIGINT) AS total_supervisiones,
+             CAST(COUNT(DISTINCT sucursal_id) AS BIGINT)
+               AS sucursales_supervisadas,
+             CAST(COALESCE(SUM(CASE WHEN calificacion_general >= 90 THEN 1 ELSE 0 END), 0) AS BIGINT) AS excelente,
+             CAST(COALESCE(SUM(CASE WHEN calificacion_general >= 80 AND calificacion_general < 90 THEN 1 ELSE 0 END), 0) AS BIGINT) AS bueno,
+             CAST(COALESCE(SUM(CASE WHEN calificacion_general >= 70 AND calificacion_general < 80 THEN 1 ELSE 0 END), 0) AS BIGINT) AS regular,
+             CAST(COALESCE(SUM(CASE WHEN calificacion_general < 70 THEN 1 ELSE 0 END), 0) AS BIGINT) AS critico
+      FROM f
+    ), acum AS (
+      SELECT COALESCE({_det_avg('calificacion_general')}, 0.0)
+        AS promedio_acumulado
+      FROM supervisiones_operativas
+    ), ts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_sucursales
+      FROM sucursales WHERE COALESCE(activo, false)
+    ), tg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_grupos
+      FROM grupos_operativos WHERE COALESCE(activo, false)
+    )
+    SELECT prom_sel AS promedio, prom_sel AS promedio_periodo,
+           promedio_acumulado,
+           CASE WHEN prom_sel >= 90 THEN 'excelente'
+                WHEN prom_sel >= 80 THEN 'bueno'
+                WHEN prom_sel >= 70 THEN 'regular'
+                ELSE 'critico' END AS color,
+           total_supervisiones, sucursales_supervisadas,
+           total_sucursales, total_grupos,
+           COALESCE(ROUND(sucursales_supervisadas * 100.0
+             / NULLIF(total_sucursales, 0), 1), 0.0) AS cobertura,
+           excelente, bueno, regular, critico
+    FROM per, acum, ts, tg
+    """
+    _compare(df, con, sql)
+    r = df.first()
+    # displayed promedio = the period average when a period is given
+    assert r.promedio == r.promedio_periodo
+    assert r.promedio_acumulado != r.promedio  # history includes P1
+    # no-period call: promedio_periodo NULL, displayed = accumulated
+    r2 = api.kpis(tables, "operativas").first()
+    assert r2.promedio_periodo is None
+    assert r2.promedio == r2.promedio_acumulado
+    # empty-period trap (app.py:356 `scalar() or 0`): promedio 0,
+    # classed 'critico' — NOT NULL / 'sin-datos'
+    r3 = api.kpis(tables, "operativas", periodo_id=3).first()
+    assert (r3.promedio, r3.color) == (0.0, "critico")
+
+
+def test_periodos_list(domain):
+    tables, con = domain
+    from pyspark.sql import functions as F
+
+    df = api.periodos_list(tables, n=10).select(
+        "id", "codigo", "nombre",
+        F.date_format("fecha_inicio", "yyyy-MM-dd").alias("f0"),
+        F.date_format("fecha_fin", "yyyy-MM-dd").alias("f1"),
+        "activo",
+    )
+    sql = """
+    SELECT id, codigo, nombre,
+           strftime(fecha_inicio, '%Y-%m-%d') AS f0,
+           strftime(fecha_fin, '%Y-%m-%d') AS f1, activo
+    FROM periodos_cas ORDER BY id DESC LIMIT 10
+    """
+    _compare(df, con, sql)
+
+
+def test_grupo_detalle_parity(domain):
+    tables, con = domain
+    # branch table for grupo 1 (PLOG NORTE), periodo 2 — transcribed
+    # with the reference's post-join OR-IS-NULL filter (app.py:796-797)
+    df = api.grupo_detalle_sucursales(tables, 1, "operativas", periodo_id=2)
+    sql = f"""
+    WITH s AS (
+      SELECT id AS sucursal_id, nombre FROM sucursales
+      WHERE COALESCE(activo, false) AND grupo_operativo_id = 1
+    ), f AS (
+      SELECT id AS sup_id, sucursal_id, periodo_id, calificacion_general
+      FROM supervisiones_operativas
+    ), base AS (
+      SELECT s.sucursal_id, s.nombre, f.sup_id, f.calificacion_general
+      FROM s LEFT JOIN f ON s.sucursal_id = f.sucursal_id
+      WHERE f.periodo_id = 2 OR f.periodo_id IS NULL
+    ), agg AS (
+      SELECT sucursal_id AS id, nombre,
+             COALESCE({_det_avg('calificacion_general')}, 0.0) AS promedio,
+             CAST(COUNT(sup_id) AS BIGINT) AS supervisiones
+      FROM base GROUP BY sucursal_id, nombre
+    )
+    SELECT id, nombre, promedio,
+           CASE WHEN promedio >= 90 THEN 'excelente'
+                WHEN promedio >= 80 THEN 'bueno'
+                WHEN promedio >= 70 THEN 'regular'
+                ELSE 'critico' END AS color,
+           supervisiones
+    FROM agg ORDER BY promedio DESC, id
+    """
+    _compare(df, con, sql)
+    rows = {r.id: r for r in df.collect()}
+    # inactive Suc G (id 7) excluded; actives of grupo 1: Suc A, B
+    assert set(rows) == {1, 2}
+    # the OR-IS-NULL trap in action for a branch with no periodo-2
+    # rows would keep it at 0 supervisions — here both have data
+    assert rows[2].supervisiones == 1
+
+    # header: group average is computed over ALL branches (inner join,
+    # no activo filter), while totals come from the ACTIVE branch rows
+    hdr = api.grupo_detalle_stats(tables, 1, "operativas", periodo_id=2).first()
+    assert hdr.nombre == "PLOG NORTE"
+    assert hdr.total_sucursales == 2
+    # all periodo-2 supervisions of grupo-1 branches: Suc A (95,85,0),
+    # Suc B (90), inactive Suc G has none → weighted avg 67.5
+    assert hdr.promedio == 67.5
+    assert hdr.total_supervisiones == 4
+
+
+def test_sucursal_detail_endpoints(domain):
+    tables, con = domain
+    # header block (LEFT-joined group, no activo filters)
+    info = api.sucursal_info(tables, 9).first()
+    assert (info.nombre, info.grupo_nombre) == (
+        "Suc I grupo inactivo", "GRUPO INACTIVO",
+    )
+    # periodo-filtered latest: Suc A's latest in periodo 1 is id 9
+    latest_p1 = api.branch_latest(tables, 1, "operativas", periodo_id=1).first()
+    assert latest_p1.id == 9
+    # supervision-by-id header: score/fecha display coalescing +
+    # periodo name left join
+    hdr = api.supervision_header(tables, 7, "operativas").first()
+    assert (hdr.calificacion, hdr.periodo) == (0.0, "Periodo 2")
+    assert hdr.fecha == "10/02/2026"
+    # by-id drill-down, operativas: supervision 2's areas in catalog
+    # numero order
+    ops = api.supervision_areas_by_id(tables, 2, "operativas")
+    sql = """
+    SELECT ca.nombre,
+           COALESCE(sa.porcentaje, 0.0) AS porcentaje,
+           CASE WHEN COALESCE(sa.porcentaje, 0.0) >= 90 THEN 'excelente'
+                WHEN COALESCE(sa.porcentaje, 0.0) >= 80 THEN 'bueno'
+                WHEN COALESCE(sa.porcentaje, 0.0) >= 70 THEN 'regular'
+                ELSE 'critico' END AS color,
+           CAST(ca.numero AS BIGINT) AS orden
+    FROM supervision_areas sa
+    JOIN catalogo_areas ca ON sa.area_id = ca.id
+    WHERE sa.supervision_id = 2
+    ORDER BY ca.numero
+    """
+    _compare(ops.select("nombre", "porcentaje", "color",
+                        ops.orden.cast("long").alias("orden")), con, sql)
+    # by-id drill-down, seguridad: the INCONSISTENT reference pair
+    # (supervision_kpis x catalogo_kpis, ordered by catalog id) — and
+    # the NULL porcentaje displays 0/'critico'
+    seg = api.supervision_areas_by_id(tables, 101, "seguridad").collect()
+    assert [(r.nombre, r.porcentaje, r.color) for r in seg] == [
+        ("Botiquin", 88.0, "bueno"),
+        ("Alarmas", 0.0, "critico"),
+    ]
 
 
 def test_health_and_preview(domain, spark):
