@@ -17,6 +17,12 @@ What it does:
   (new rounds default to the current generation).
 
 Usage: python tools/update_gate_ledger.py [--assume-changed a,b,c]
+
+NOTE: --assume-changed is not sticky across invocations — a LATER run
+of this tool re-records any dropped name that was green in the latest
+round (it cannot distinguish "dropped on purpose" from "missing").
+Pass the COMPLETE list of changed names in every run until the next
+CORRECTNESS round lands.
 """
 
 from __future__ import annotations
