@@ -94,3 +94,113 @@ def test_bitmap_distinct_rejects_negative_ids(spark, tmp_path):
     df.write.parquet(os.path.join(d, "events.parquet"))
     with pytest.raises(Exception, match="non-negative"):
         events_bitmap_distinct_rollup(spark, d).collect()
+
+
+def test_interval_overlap_blocking_is_lossless(spark, tmp_path):
+    """Random bounded-span intervals: the bucket-blocked equi-join must
+    find EXACTLY the pairs the quadratic predicate finds — including
+    touching endpoints and intervals straddling a bucket boundary."""
+    import datetime as dt
+    import os
+    import random
+
+    from epl_cas_etl_2026_spark.plans.warehouse import (
+        orders_interval_overlap_join,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for k in range(1, 600):
+        d = dt.date(1995, 1, 1) + dt.timedelta(days=rng.randrange(400))
+        rows.append((k, k % 150, d, 100.0))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, "
+        "o_totalprice double",
+    )
+    d = str(tmp_path)
+    df.write.parquet(os.path.join(d, "orders.parquet"))
+    got = {
+        (r.a_id, r.b_id, r.overlap_days)
+        for r in orders_interval_overlap_join(spark, d).collect()
+    }
+    # brute-force twin in plain Python
+    def iv(mod):
+        out = []
+        for k, _, day, _ in rows:
+            if k % mod == 0:
+                s = (day - dt.date(1970, 1, 1)).days
+                out.append((k, s, s + (k % 30) + 1))
+        return out
+
+    expect = {
+        (a, b, min(ae, be) - max(as_, bs) + 1)
+        for a, as_, ae in iv(97)
+        for b, bs, be in iv(89)
+        if as_ <= be and bs <= ae
+    }
+    assert got == expect and expect  # non-vacuous
+
+
+def test_cdc_apply_semantics(spark, tmp_path):
+    """Delete-last keys vanish; upsert-last keys carry the value of the
+    highest-seq row, not any earlier one."""
+    import datetime as dt
+    import os
+
+    from epl_cas_etl_2026_spark.plans.warehouse import orders_cdc_apply_state
+
+    # key 1: seqs 10 (U), 18 (D) -> deleted; key 2: seqs 11 (U), 24 (U)
+    # -> value of 24; key 3: single delete 28 -> absent; key 4: 31 (U)
+    rows = [
+        (10, 1, dt.date(1995, 1, 1), 1.00),
+        (18, 1, dt.date(1995, 1, 2), 2.00),
+        (11, 2, dt.date(1995, 1, 3), 3.00),
+        (24, 2, dt.date(1995, 1, 4), 4.00),
+        (28, 3, dt.date(1995, 1, 5), 5.00),
+        (31, 4, dt.date(1995, 1, 6), 6.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, "
+        "o_totalprice double",
+    )
+    d = str(tmp_path)
+    df.write.parquet(os.path.join(d, "orders.parquet"))
+    got = {
+        r.key: (r.last_seq, r.val_cents)
+        for r in orders_cdc_apply_state(spark, d).collect()
+    }
+    assert got == {2: (24, 400), 4: (31, 600)}
+
+
+def test_join_view_delta_invariants_hold(spark):
+    """The delta algebra must reconcile with the direct recompute on
+    the real testdata (sf-smoke)."""
+    from epl_cas_etl_2026_spark.plans.warehouse import (
+        orders_join_view_delta_maintenance,
+    )
+
+    r = orders_join_view_delta_maintenance(
+        spark, "/root/testdata/sf0.001"
+    ).first()
+    assert r.counts_match and r.sums_match
+    assert r.n_incremental == r.n_direct
+
+
+def test_zorder_prunes_at_least_as_well_on_2d_box(spark):
+    """On the real data the z-layout must scan no more rows than the
+    date layout for the 2-D box (the reason z-order exists), and both
+    layouts must agree on the matching-row count."""
+    from epl_cas_etl_2026_spark.plans.warehouse import (
+        orders_zorder_pruning_stats,
+    )
+
+    rows = {
+        r.layout: r
+        for r in orders_zorder_pruning_stats(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    z, d = rows["zorder"], rows["date_sort"]
+    assert z.rows_matching == d.rows_matching > 0
+    assert z.rows_scanned <= d.rows_scanned
+    assert z.rows_scanned >= z.rows_matching  # pruning is sound
