@@ -107,6 +107,10 @@ HEADLINE = [
     "api_ranking_sucursales_all",
     "api_heatmap_wide",
     "events_mg_topk",
+    "orders_cdc_apply_state",
+    "orders_interval_overlap_join",
+    "orders_zorder_pruning_stats",
+    "orders_join_view_delta_maintenance",
 ]
 
 
