@@ -441,3 +441,63 @@ _ESTADOS_ORACLE = f"""
 def api_estados_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = domain_tables(spark, sf_dir)
     return api.estados(t)
+
+
+# ---------------------------------------------------------------------------
+# /api/kpis — the dashboard's headline KPI card: period-filtered
+# aggregates + the ALWAYS-all-history accumulated average, the
+# reference's or-0 NULL coalescing, color class, active dim totals,
+# coverage, and the 4-bucket distribution — seven reference
+# round-trips collapsed into one row.
+# ---------------------------------------------------------------------------
+def _kpis_oracle() -> str:
+    det = det_avg_sql("calificacion_general")
+    return f"""
+    WITH {_DOMAIN_CTES},
+    f AS (
+      SELECT * FROM supervisiones_operativas WHERE periodo_id = 2
+    ), per AS (
+      SELECT COALESCE({det}, 0.0) AS prom_sel,
+             CAST(COUNT(id) AS BIGINT) AS total_supervisiones,
+             CAST(COUNT(DISTINCT sucursal_id) AS BIGINT)
+               AS sucursales_supervisadas,
+             CAST(COALESCE(SUM(CASE WHEN calificacion_general >= 90
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS excelente,
+             CAST(COALESCE(SUM(CASE WHEN calificacion_general >= 80
+               AND calificacion_general < 90 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS bueno,
+             CAST(COALESCE(SUM(CASE WHEN calificacion_general >= 70
+               AND calificacion_general < 80 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS regular,
+             CAST(COALESCE(SUM(CASE WHEN calificacion_general < 70
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS critico
+      FROM f
+    ), acum AS (
+      SELECT COALESCE({det}, 0.0) AS promedio_acumulado
+      FROM supervisiones_operativas
+    ), ts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_sucursales
+      FROM sucursales WHERE COALESCE(activo, false)
+    ), tg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_grupos
+      FROM grupos_operativos WHERE COALESCE(activo, false)
+    )
+    SELECT prom_sel AS promedio, prom_sel AS promedio_periodo,
+           promedio_acumulado,
+           CASE WHEN prom_sel >= 90 THEN 'excelente'
+                WHEN prom_sel >= 80 THEN 'bueno'
+                WHEN prom_sel >= 70 THEN 'regular'
+                ELSE 'critico' END AS color,
+           total_supervisiones, sucursales_supervisadas,
+           total_sucursales, total_grupos,
+           COALESCE(ROUND(sucursales_supervisadas * 100.0
+             / NULLIF(total_sucursales, 0), 1), 0.0) AS cobertura,
+           excelente, bueno, regular, critico
+    FROM per, acum, ts, tg
+    """
+
+
+@_register("api_kpis_card", _kpis_oracle())
+def api_kpis_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_tables(spark, sf_dir)
+    return api.kpis(t, "operativas", periodo_id=2)
