@@ -205,3 +205,70 @@ def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# FastSS deletion-neighborhood edit-distance SELF-join (Bocek et al.,
+# "Fast Similarity Search in Large Dictionaries", 2007 — public
+# algorithm): find every pair of names within Levenshtein distance 1
+# across the WHOLE set, without a quadratic compare and without the
+# broadcast-probe restriction of parts_fuzzy_probe_match (whose probe
+# side must be tiny). Each name emits its deletion neighborhood —
+# itself plus every single-character-deletion variant (len+1 strings);
+# two names at distance ≤ 1 (substitution / insert / delete — NOT
+# transposition, which is distance 2) provably share a variant, so an
+# EQUI-join on the variant finds every true pair; the exact
+# levenshtein ≤ 1 predicate then discards hash-bucket coincidences.
+#
+# Scale shape: the explosion factor is len+1 (≈ 19 here) — linear in
+# data size; the join is a plain equi-shuffle on variant strings whose
+# bucket sizes are bounded by the alphabet (a variant is shared only
+# by names one edit apart, +1 for the rare delete-collision); the
+# verification is per-pair. The DuckDB oracle is the UNblocked
+# quadratic spec (with the lossless |Δlen| ≤ 1 prefilter), so the
+# hash match proves the deletion-neighborhood blocking loses nothing.
+# ---------------------------------------------------------------------------
+_FASTSS_VARIANTS = (
+    "array_distinct(concat(array(nm), transform(sequence(1, length(nm)),"
+    " i -> concat(substring(nm, 1, i - 1),"
+    " substring(nm, i + 1, length(nm))))))"
+)
+
+
+@_register(
+    "customers_fastss_editdist_pairs",
+    """
+    WITH n AS (
+      SELECT DISTINCT c_name AS nm FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT a.nm AS name_a, b.nm AS name_b
+    FROM n a JOIN n b ON a.nm < b.nm
+    WHERE ABS(LENGTH(a.nm) - LENGTH(b.nm)) <= 1
+      AND levenshtein(a.nm, b.nm) <= 1
+    ORDER BY name_a, name_b
+    """,
+)
+def customers_fastss_editdist_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    names = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select(F.col("c_name").alias("nm"))
+        .distinct()
+    )
+    va = names.select(
+        F.col("nm").alias("name_a"),
+        F.explode(F.expr(_FASTSS_VARIANTS)).alias("variant"),
+    )
+    vb = va.select(
+        F.col("name_a").alias("name_b"), F.col("variant")
+    )
+    return (
+        va.join(vb, "variant")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .orderBy("name_a", "name_b")
+    )
