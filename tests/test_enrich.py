@@ -260,3 +260,45 @@ def test_prefix_join_short_docs_do_not_crash_ansi(spark):
         out = docs_jaccard_prefix_join(spark, d).collect()
     assert out == [] or all(r.j_pct == 100 for r in out)
     assert sum(r.n_pairs for r in out) == 1  # only the 3-4 exact pair
+
+
+def test_fastss_blocking_edge_cases(spark, tmp_path):
+    """Deletion-neighborhood blocking: substitution / insertion /
+    deletion neighbors pair up; transpositions (distance 2) and
+    unrelated names do NOT; duplicate-name rows collapse."""
+    import os
+
+    from epl_cas_etl_2026_spark.plans.enrich import (
+        customers_fastss_editdist_pairs,
+    )
+
+    rows = [
+        (7, "abcd"),     # base
+        (14, "abxd"),    # substitution → pairs with abcd
+        (21, "abcde"),   # insertion → pairs with abcd
+        (28, "abc"),     # deletion → pairs with abcd
+        (35, "abdc"),    # transposition → distance 2, NO pair w/ abcd
+        (42, "zzzz"),    # unrelated
+        (49, "abcd"),    # duplicate name → no self-pair
+        (50, "abce"),    # custkey % 7 != 0 → excluded entirely
+    ]
+    df = spark.createDataFrame(
+        [(k, n, 0.0, 1, "s") for k, n in rows],
+        "c_custkey long, c_name string, c_acctbal double, "
+        "c_nationkey int, c_mktsegment string",
+    )
+    d = str(tmp_path)
+    df.write.parquet(os.path.join(d, "customer.parquet"))
+    got = {
+        (r.name_a, r.name_b)
+        for r in customers_fastss_editdist_pairs(spark, d).collect()
+    }
+    assert got == {
+        ("abc", "abcd"),    # deletion
+        ("abc", "abdc"),    # abc→abdc is ONE insertion — distance 1
+        ("abcd", "abcde"),  # insertion
+        ("abcd", "abxd"),   # substitution
+        # NOT (abcd, abdc): transposition is Levenshtein distance 2
+        # NOT anything with zzzz; no self-pair for the dup "abcd";
+        # "abce" (custkey 50) excluded by the mod-7 subset
+    }
