@@ -11,20 +11,25 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Score-bucket thresholds (reference app.py:32-42 / README.md:110-115:
-# >=90 excellent, >=80 good, >=70 regular, else critical, NULL -> gray).
+# Score-bucket thresholds AND labels — the reference's get_color_class
+# verbatim (app.py:32-42): >=90 'excellent', >=80 'good', >=70
+# 'regular', else 'critical', NULL -> 'gray'. (The reference's
+# DISTRIBUTION dict keys are the Spanish 'excelente/bueno/regular/
+# critico' — app.py:401-405 — that split is preserved: bucket_counts
+# below keeps the Spanish keys, color_class the English classes.)
 DEFAULT_BUCKETS: tuple[tuple[float, str], ...] = (
-    (90.0, "excelente"),
-    (80.0, "bueno"),
+    (90.0, "excellent"),
+    (80.0, "good"),
     (70.0, "regular"),
 )
 
 
-def color_class(score: Column, buckets=DEFAULT_BUCKETS, fallback: str = "critico",
-                null_label: str = "sin-datos") -> Column:
+def color_class(score: Column, buckets=DEFAULT_BUCKETS, fallback: str = "critical",
+                null_label: str = "gray") -> Column:
     """F1 — bucketing CASE (reference get_color_class, app.py:32-42).
 
-    NULL guard first: a NULL score is its own class, not 'critical'.
+    NULL guard first: a NULL score is its own class ('gray'), not
+    'critical'.
     """
     expr = F.when(score.isNull(), F.lit(null_label))
     for threshold, label in buckets:

@@ -484,10 +484,10 @@ def _kpis_oracle() -> str:
     )
     SELECT prom_sel AS promedio, prom_sel AS promedio_periodo,
            promedio_acumulado,
-           CASE WHEN prom_sel >= 90 THEN 'excelente'
-                WHEN prom_sel >= 80 THEN 'bueno'
+           CASE WHEN prom_sel >= 90 THEN 'excellent'
+                WHEN prom_sel >= 80 THEN 'good'
                 WHEN prom_sel >= 70 THEN 'regular'
-                ELSE 'critico' END AS color,
+                ELSE 'critical' END AS color,
            total_supervisiones, sucursales_supervisadas,
            total_sucursales, total_grupos,
            COALESCE(ROUND(sucursales_supervisadas * 100.0

@@ -1190,17 +1190,19 @@ def intra_group_nation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "acctbal_color_class",
     """
-    SELECT CASE WHEN c_acctbal IS NULL THEN 'sin-datos'
-                WHEN c_acctbal >= 9000 THEN 'excelente'
-                WHEN c_acctbal >= 8000 THEN 'bueno'
+    SELECT CASE WHEN c_acctbal IS NULL THEN 'gray'
+                WHEN c_acctbal >= 9000 THEN 'excellent'
+                WHEN c_acctbal >= 8000 THEN 'good'
                 WHEN c_acctbal >= 7000 THEN 'regular'
-                ELSE 'critico' END AS clase,
+                ELSE 'critical' END AS clase,
            COUNT(*) AS n
     FROM customer GROUP BY clase ORDER BY clase
     """,
 )
 def acctbal_color_class(spark: SparkSession, sf_dir: str) -> DataFrame:
-    buckets = ((9000.0, "excelente"), (8000.0, "bueno"), (7000.0, "regular"))
+    # thresholds adapted to acctbal scale; labels are the reference's
+    # get_color_class classes verbatim (app.py:32-42)
+    buckets = ((9000.0, "excellent"), (8000.0, "good"), (7000.0, "regular"))
     return (
         load_table(spark, sf_dir, "customer")
         .withColumn("clase", color_class(F.col("c_acctbal"), buckets=buckets))

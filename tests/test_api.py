@@ -420,17 +420,17 @@ def test_map_markers_parity(domain):
       GROUP BY s.sucursal, s.lat, s.lng
     )
     SELECT sucursal, lat, lng, promedio, supervisiones,
-           CASE WHEN promedio IS NULL THEN 'sin-datos'
-                WHEN promedio >= 90 THEN 'excelente'
-                WHEN promedio >= 80 THEN 'bueno'
+           CASE WHEN promedio IS NULL THEN 'gray'
+                WHEN promedio >= 90 THEN 'excellent'
+                WHEN promedio >= 80 THEN 'good'
                 WHEN promedio >= 70 THEN 'regular'
-                ELSE 'critico' END AS color
+                ELSE 'critical' END AS color
     FROM agg ORDER BY sucursal
     """
     _compare(df, con, sql)
     rows = {r.sucursal: r for r in df.collect()}
     assert "Suc C" not in rows  # NULL coords filtered
-    assert rows["Suc H sin datos"].color == "sin-datos"  # F1 null guard
+    assert rows["Suc H sin datos"].color == "gray"  # F1 null guard
 
 
 def test_alerts_parity(domain):
@@ -728,10 +728,10 @@ def test_kpis_parity(domain):
     )
     SELECT prom_sel AS promedio, prom_sel AS promedio_periodo,
            promedio_acumulado,
-           CASE WHEN prom_sel >= 90 THEN 'excelente'
-                WHEN prom_sel >= 80 THEN 'bueno'
+           CASE WHEN prom_sel >= 90 THEN 'excellent'
+                WHEN prom_sel >= 80 THEN 'good'
                 WHEN prom_sel >= 70 THEN 'regular'
-                ELSE 'critico' END AS color,
+                ELSE 'critical' END AS color,
            total_supervisiones, sucursales_supervisadas,
            total_sucursales, total_grupos,
            COALESCE(ROUND(sucursales_supervisadas * 100.0
@@ -751,7 +751,7 @@ def test_kpis_parity(domain):
     # empty-period trap (app.py:356 `scalar() or 0`): promedio 0,
     # classed 'critico' — NOT NULL / 'sin-datos'
     r3 = api.kpis(tables, "operativas", periodo_id=3).first()
-    assert (r3.promedio, r3.color) == (0.0, "critico")
+    assert (r3.promedio, r3.color) == (0.0, "critical")
 
 
 def test_periodos_list(domain):
@@ -796,10 +796,10 @@ def test_grupo_detalle_parity(domain):
       FROM base GROUP BY sucursal_id, nombre
     )
     SELECT id, nombre, promedio,
-           CASE WHEN promedio >= 90 THEN 'excelente'
-                WHEN promedio >= 80 THEN 'bueno'
+           CASE WHEN promedio >= 90 THEN 'excellent'
+                WHEN promedio >= 80 THEN 'good'
                 WHEN promedio >= 70 THEN 'regular'
-                ELSE 'critico' END AS color,
+                ELSE 'critical' END AS color,
            supervisiones
     FROM agg ORDER BY promedio DESC, id
     """
@@ -843,10 +843,10 @@ def test_sucursal_detail_endpoints(domain):
     sql = """
     SELECT ca.nombre,
            COALESCE(sa.porcentaje, 0.0) AS porcentaje,
-           CASE WHEN COALESCE(sa.porcentaje, 0.0) >= 90 THEN 'excelente'
-                WHEN COALESCE(sa.porcentaje, 0.0) >= 80 THEN 'bueno'
+           CASE WHEN COALESCE(sa.porcentaje, 0.0) >= 90 THEN 'excellent'
+                WHEN COALESCE(sa.porcentaje, 0.0) >= 80 THEN 'good'
                 WHEN COALESCE(sa.porcentaje, 0.0) >= 70 THEN 'regular'
-                ELSE 'critico' END AS color,
+                ELSE 'critical' END AS color,
            CAST(ca.numero AS BIGINT) AS orden
     FROM supervision_areas sa
     JOIN catalogo_areas ca ON sa.area_id = ca.id
@@ -860,8 +860,8 @@ def test_sucursal_detail_endpoints(domain):
     # the NULL porcentaje displays 0/'critico'
     seg = api.supervision_areas_by_id(tables, 101, "seguridad").collect()
     assert [(r.nombre, r.porcentaje, r.color) for r in seg] == [
-        ("Botiquin", 88.0, "bueno"),
-        ("Alarmas", 0.0, "critico"),
+        ("Botiquin", 88.0, "good"),
+        ("Alarmas", 0.0, "critical"),
     ]
 
 

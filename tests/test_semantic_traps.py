@@ -80,7 +80,7 @@ def test_color_class_boundaries_and_null(spark):
         "score double",
     )
     got = [r[0] for r in df.select(color_class(F.col("score"))).collect()]
-    assert got == ["excelente", "bueno", "bueno", "regular", "critico", "sin-datos"]
+    assert got == ["excellent", "good", "good", "regular", "critical", "gray"]
 
 
 def test_territorio_first_match_wins(spark):
