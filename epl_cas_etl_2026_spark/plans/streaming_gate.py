@@ -343,3 +343,91 @@ def events_stream_dedup_watermark_gate(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# STREAM-STREAM inner join under the hard gate: the fifth gate query,
+# exercising the dual-sided join state store (each side buffers rows
+# and probes the other side's state) — the one streaming operator
+# class previously covered only by pytest (streaming/joins.py).
+#
+# Shape: click→purchase attribution — purchases (even event ids) join
+# clicks (odd ids) of the same user within [click.ts, click.ts + 1 h].
+# Both sides carry watermarks and the join has the time-range bound,
+# as stream-stream inner joins require. Determinism: each side's
+# whole input arrives in its FIRST micro-batch (AvailableNow, single
+# file, no maxFilesPerTrigger), and state eviction only applies
+# watermarks computed from PREVIOUS batches — zero at batch 1 — so no
+# match can be lost to eviction and the streamed result equals the
+# batch join exactly. The per-user rollup happens in batch on the
+# sink (a streaming query cannot chain an aggregation after a
+# stream-stream join in append mode), with an exact id-sum column so
+# the hash certifies the full pair set, not just counts.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_stream_stream_join_gate",
+    """
+    WITH c AS (
+      SELECT event_id AS cid, user_id, ts::TIMESTAMP AS cts
+      FROM events WHERE event_id % 2 = 1
+    ), p AS (
+      SELECT event_id AS pid, user_id, ts::TIMESTAMP AS pts
+      FROM events WHERE event_id % 2 = 0
+    ), pairs AS (
+      SELECT c.user_id, cid, pid
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(cid + pid) AS BIGINT) AS id_sum
+    FROM pairs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_stream_stream_join_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            F.col("event_id").alias("cid"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "1 hour")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_id") % 2 == 0)
+        .select(
+            F.col("event_id").alias("pid"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND pts >= cts"
+            " AND pts <= cts + INTERVAL 1 HOUR"
+        ),
+    ).select(F.col("c_user").alias("user_id"), "cid", "pid")
+    name = f"stream_ss_join_gate_{next(_run_ids)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("cid") + F.col("pid")).cast("long").alias("id_sum"),
+        )
+        .orderBy("user_id")
+    )
