@@ -570,3 +570,55 @@ def orders_join_view_delta_maintenance(
             ).alias("sums_match"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join under the hard gate: the proactive anti-straggler
+# join (fact salted uniformly, dim replicated n_salts×, join on
+# (key, salt) — sources/layout.salted_skew_join) was previously
+# plan-asserted in pytest only. Here it runs as a real gated query:
+# lineitem ⋈ supplier executed THROUGH the salted path, rolled up to
+# per-nation counts + exact-cents revenue, hash-matched to the plain
+# equi-join oracle — salting must be result-invariant (it only
+# redistributes rows across reducers; the salt values themselves are
+# partition-dependent and never escape the join). At scale this is
+# the shape for a fact skewed on a hot key joining a dim too big to
+# broadcast but too small to tolerate a straggler reducer.
+# ---------------------------------------------------------------------------
+@_register(
+    "lineitem_salted_skew_join_rollup",
+    """
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+def lineitem_salted_skew_join_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from epl_cas_etl_2026_spark.sources.layout import salted_skew_join
+
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice"
+    )
+    dim = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    joined = salted_skew_join(fact, dim, key="suppkey", n_salts=8)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("s_nationkey")
+    )
