@@ -111,6 +111,8 @@ HEADLINE = [
     "orders_interval_overlap_join",
     "orders_zorder_pruning_stats",
     "orders_join_view_delta_maintenance",
+    "customers_fastss_editdist_pairs",
+    "lineitem_salted_skew_join_rollup",
 ]
 
 
