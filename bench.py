@@ -178,7 +178,7 @@ def main() -> None:
         # compile or a host-IO burst lands on (observed 1.4s ↔ 9.2s on
         # the same query+plan across identical runs). The only cut-down
         # is a GLOBAL wall budget (not a per-query condition): past
-        # 220 s of measurement, remaining queries drop to min-of-2 so a
+        # 360 s of measurement, remaining queries drop to min-of-2 so a
         # noisy host can't push the process past the driver's budget.
         best = None
         runs = 0

@@ -250,6 +250,15 @@ def ranking_sucursales(
     if grupo_id is not None:
         s = s.filter(F.col("grupo_operativo_id") == grupo_id)
     if territorio_filtro is not None and territorio_filtro != "todas":
+        if territorio_filtro not in ("local", "foranea", "mixto"):
+            raise ValueError(
+                "territorio_filtro must be local/foranea/mixto/todas, "
+                f"got {territorio_filtro!r}"
+            )
+        # 'mixto' applies NO filter here — the reference's sucursales
+        # endpoint handles only 'local'/'foranea' (app.py:698-701), so
+        # 'mixto' falls through unfiltered (preserved quirk); unknown
+        # values raise instead of silently returning everything
         col_value = {"local": "local", "foranea": "foraneo"}.get(
             territorio_filtro
         )
@@ -322,13 +331,15 @@ def heatmap_matrix(tables: dict, tipo: str = "operativas") -> DataFrame:
         .join(F.broadcast(p), "periodo_id")
         .groupBy("grupo", "codigo")
         .agg(det_avg(F.col("calificacion_general")).alias("promedio"))
-        # persisted: three downstream branches (EPL CAS row, pivot,
-        # per-group overall) consume the densified matrix — without
-        # this the FACT aggregation (a full fact scan at 100 TB)
-        # re-executes once per branch. The cached frame is
-        # |groups|×|periods| rows; lazy persist, so building the plan
-        # without executing it stays free.
-        .persist()
+        # localCheckpoint (lazy), NOT persist: three downstream
+        # branches (EPL CAS row, pivot, per-group overall) consume the
+        # densified matrix — without materializing it once, the FACT
+        # aggregation (a full fact scan at 100 TB) re-executes per
+        # branch. localCheckpoint blocks are released when the frame
+        # is garbage-collected, so repeated invocations don't
+        # accumulate cache entries the way .persist() would (the
+        # sync_job precedent); the frame is |groups|×|periods| rows.
+        .localCheckpoint(eager=False)
     )
     # J4 densification: EVERY active group appears, even with zero
     # supervisions anywhere — the reference builds the grid with a

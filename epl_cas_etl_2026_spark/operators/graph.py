@@ -50,9 +50,13 @@ def pagerank_fixed_point(
         raise ValueError("iterations must be >= 1")
     outw = edges.groupBy(src).agg(F.sum(weight).alias("out_w"))
     # attach each source's total out-weight once, persist the small
-    # normalized edge frame for reuse across iterations
+    # normalized edge frame for reuse across iterations; only persist
+    # (and later release) the nodes frame if the CALLER hasn't cached
+    # it — unpersisting a caller-owned cache would silently evict it
     edges_n = edges.join(outw, src).persist()
-    nodes = nodes.persist()
+    nodes_was_cached = nodes.is_cached
+    if not nodes_was_cached:
+        nodes = nodes.persist()
     ranks = nodes.select(
         F.col(node_col), F.lit(RANK_SCALE).cast("bigint").alias("r")
     )
@@ -83,7 +87,8 @@ def pagerank_fixed_point(
         F.col(node_col), F.col("r").alias("rank_micros")
     ).localCheckpoint(eager=True)
     edges_n.unpersist()
-    nodes.unpersist()
+    if not nodes_was_cached:
+        nodes.unpersist()
     return result
 
 

@@ -340,6 +340,10 @@ def events_stream_dedup_watermark_gate(
         )
         rows = result.collect()
         schema = result.schema
+        # the result is rebuilt from the collected rows, so the memory
+        # sink table has no further reader — drop it instead of
+        # accumulating orphaned in-memory sinks across invocations
+        spark.catalog.dropTempView(name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)

@@ -441,7 +441,11 @@ def orders_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cust_b").alias("max_c"),
         F.count(F.lit(1)).alias("n"),
         F.sum("in_box").alias("n_box"),
-    ).persist()  # ≤ 4096 cells feed BOTH per-layout rollups
+        # lazy localCheckpoint, not persist: ≤ 4096 cells feed BOTH
+        # per-layout rollups (one scan total), and the blocks free
+        # themselves on GC instead of accumulating cache entries
+        # across repeated bench/gate invocations
+    ).localCheckpoint(eager=False)
 
     scanned = (
         (F.col("min_d") <= _BOX_HI)
