@@ -441,3 +441,45 @@ def test_pagerank_matches_python_reference(spark, edges, iters):
         for r in pagerank_fixed_point(ndf, edf, iterations=iters).collect()
     }
     assert got == {str(n): r for n, r in ranks.items()}
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=25),
+        st.integers(min_value=0, max_value=25),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(edges=edge_lists)
+@settings(**_SETTINGS)
+def test_connected_components_star_matches_union_find(spark, edges):
+    """Property: large-star/small-star contraction labels every node
+    with the MIN id of its component — checked against an independent
+    pure-Python union-find oracle on arbitrary small graphs
+    (self-loops, parallel/reversed edges, multiple components)."""
+    from epl_cas_etl_2026_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(df, max_iter=20).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+    assert got == expect
