@@ -218,6 +218,66 @@ def ranking_grupos(
     )
 
 
+def ranking_grupos_members(
+    tables: dict,
+    tipo: str = "operativas",
+    periodo_id: int | None = None,
+) -> DataFrame:
+    """The agrupación MEMBER rows nested inside /api/ranking/grupos
+    (app.py:566-586): each PLOG member group with its own LEFT-JOIN
+    average, color class, and ``posicion_interna`` — competition rank
+    within the agrupación, NULL-promedio members unranked (the
+    reference's tie loop is exactly competition-rank semantics).
+    Entity-level rows are :func:`ranking_grupos`; this is the
+    ``grupos`` list of its 'agrupacion' items."""
+    g = _active(tables["grupos_operativos"]).select(
+        F.col("id").alias("grupo_id"),
+        F.col("nombre"),
+        F.when(
+            F.upper(F.col("nombre")).startswith("PLOG"), F.lit("PLOG")
+        ).alias("entidad"),
+        territorio(F.col("nombre")).alias("territorio"),
+    ).filter(F.col("entidad").isNotNull())
+    s = _active(tables["sucursales"]).select(
+        F.col("id").alias("sucursal_id"), F.col("grupo_operativo_id")
+    )
+    f = _fact(tables, tipo, periodo_id).select(
+        F.col("id").alias("sup_id"),
+        F.col("sucursal_id").alias("f_sucursal_id"),
+        F.col("calificacion_general"),
+    )
+    per_group = (
+        g.join(s, g.grupo_id == s.grupo_operativo_id, "left")
+        .join(f, s.sucursal_id == f.f_sucursal_id, "left")
+        .groupBy("grupo_id", "nombre", "entidad", "territorio")
+        .agg(
+            det_avg(F.col("calificacion_general")).alias("promedio"),
+            F.countDistinct("sucursal_id")
+            .cast("long")
+            .alias("total_sucursales"),
+            F.count("sup_id").cast("long").alias("total_supervisiones"),
+        )
+    )
+    from epl_cas_etl_2026_spark.operators.ranking import intra_group_rank
+
+    ranked = intra_group_rank(per_group, "entidad", "promedio")
+    return ranked.select(
+        "entidad",
+        F.col("grupo_id").alias("id"),
+        "nombre",
+        "territorio",
+        "promedio",
+        # app.py:582/586: ranked members get get_color_class(promedio),
+        # unranked (NULL promedio) members 'gray'
+        color_class(F.col("promedio")).alias("color"),
+        "total_sucursales",
+        "total_supervisiones",
+        "posicion_interna",
+    ).orderBy(
+        "entidad", F.desc_nulls_last("promedio"), "nombre"
+    )
+
+
 def ranking_sucursales(
     tables: dict,
     tipo: str = "operativas",
@@ -486,9 +546,15 @@ def kpis(
 def map_markers(
     tables: dict, tipo: str = "operativas", periodo_id: int | None = None
 ) -> DataFrame:
-    """GET /api/mapa/sucursales (app.py:1065-1130): branches with
-    coordinates (P4 NULL filter), per-branch average + count, color
-    class with the NULL guard (F1)."""
+    """GET /api/mapa/<tipo> (app.py:1062-1128): ALL active branches
+    with coordinates (P4 NULL filter), their group LEFT-joined with NO
+    activo filter (app.py:1078), per-branch average + count, color
+    class with the NULL guard (F1).
+
+    Display quirk preserved from the reference (app.py:1102 —
+    ``round(float(row[5]), 2) if row[5] else None``): a branch whose
+    average is exactly 0.0 displays promedio = NULL and color 'gray',
+    exactly like a branch with no scored supervisions."""
     s = (
         _active(tables["sucursales"])
         .filter(
@@ -497,9 +563,13 @@ def map_markers(
         .select(
             F.col("id").alias("sucursal_id"),
             F.col("nombre").alias("sucursal"),
+            "grupo_operativo_id",
             F.col("latitud").alias("lat"),
             F.col("longitud").alias("lng"),
         )
+    )
+    g = tables["grupos_operativos"].select(
+        F.col("id").alias("g_id"), F.col("nombre").alias("grupo")
     )
     f = _fact(tables, tipo, periodo_id).select(
         F.col("id").alias("sup_id"),
@@ -507,15 +577,19 @@ def map_markers(
         "calificacion_general",
     )
     agg = (
-        s.join(f, s.sucursal_id == f.f_sucursal_id, "left")
-        .groupBy("sucursal_id", "sucursal", "lat", "lng")
+        s.join(F.broadcast(g), s.grupo_operativo_id == g.g_id, "left")
+        .join(f, s.sucursal_id == f.f_sucursal_id, "left")
+        .groupBy("sucursal_id", "sucursal", "grupo", "lat", "lng")
         .agg(
-            det_avg(F.col("calificacion_general")).alias("promedio"),
+            F.nullif(
+                det_avg(F.col("calificacion_general")), F.lit(0.0)
+            ).alias("promedio"),
             F.count("sup_id").cast("long").alias("supervisiones"),
         )
     )
     return agg.select(
         "sucursal",
+        "grupo",
         "lat",
         "lng",
         "promedio",

@@ -402,24 +402,30 @@ def test_dashboard_stats_parity(domain):
 def test_map_markers_parity(domain):
     tables, con = domain
     df = api.map_markers(tables, "operativas", periodo_id=2)
+    # transcribed from app.py:1070-1108: grupos LEFT-joined with NO
+    # activo filter; the `if row[5]` truthiness makes a 0.0 average
+    # display NULL/'gray'
     sql = f"""
     WITH s AS (
-      SELECT id AS sucursal_id, nombre AS sucursal, latitud AS lat,
-             longitud AS lng
+      SELECT id AS sucursal_id, nombre AS sucursal, grupo_operativo_id,
+             latitud AS lat, longitud AS lng
       FROM sucursales
       WHERE COALESCE(activo, false)
         AND latitud IS NOT NULL AND longitud IS NOT NULL
+    ), g AS (
+      SELECT id, nombre AS grupo FROM grupos_operativos
     ), f AS (
       SELECT id AS sup_id, sucursal_id, calificacion_general
       FROM supervisiones_operativas WHERE periodo_id = 2
     ), agg AS (
-      SELECT s.sucursal, s.lat, s.lng,
-             {_det_avg('f.calificacion_general')} AS promedio,
+      SELECT s.sucursal, g.grupo, s.lat, s.lng,
+             NULLIF({_det_avg('f.calificacion_general')}, 0.0) AS promedio,
              CAST(COUNT(f.sup_id) AS BIGINT) AS supervisiones
-      FROM s LEFT JOIN f ON s.sucursal_id = f.sucursal_id
-      GROUP BY s.sucursal, s.lat, s.lng
+      FROM s LEFT JOIN g ON s.grupo_operativo_id = g.id
+             LEFT JOIN f ON s.sucursal_id = f.sucursal_id
+      GROUP BY s.sucursal_id, s.sucursal, g.grupo, s.lat, s.lng
     )
-    SELECT sucursal, lat, lng, promedio, supervisiones,
+    SELECT sucursal, grupo, lat, lng, promedio, supervisiones,
            CASE WHEN promedio IS NULL THEN 'gray'
                 WHEN promedio >= 90 THEN 'excellent'
                 WHEN promedio >= 80 THEN 'good'
@@ -953,3 +959,58 @@ def test_set_periodo_activo(domain):
     assert {r.id: r.activo for r in out} == {1: False, 2: False, 3: True}
     with pytest.raises(ValueError):
         api.set_periodo_activo(tables, 99)
+
+
+def test_ranking_grupos_members_parity(domain):
+    """The nested agrupación member rows (app.py:566-586):
+    posicion_interna is competition rank within the PLOG entity,
+    NULL-promedio members unranked and 'gray'."""
+    tables, con = domain
+    df = api.ranking_grupos_members(tables, "operativas", periodo_id=2)
+    sql = f"""
+    WITH g AS (
+      SELECT id AS grupo_id, nombre,
+             CASE WHEN upper(nombre) LIKE 'PLOG%' THEN 'PLOG' END AS entidad,
+             {TERRITORIO_SQL} AS territorio
+      FROM grupos_operativos WHERE COALESCE(activo, false)
+    ), gm AS (SELECT * FROM g WHERE entidad IS NOT NULL),
+    s AS (
+      SELECT id AS sucursal_id, grupo_operativo_id
+      FROM sucursales WHERE COALESCE(activo, false)
+    ), f AS (
+      SELECT id AS sup_id, sucursal_id, calificacion_general
+      FROM supervisiones_operativas WHERE periodo_id = 2
+    ), pg AS (
+      SELECT g.entidad, g.grupo_id AS id, g.nombre, g.territorio,
+             {_det_avg('f.calificacion_general')} AS promedio,
+             CAST(COUNT(DISTINCT s.sucursal_id) AS BIGINT)
+               AS total_sucursales,
+             CAST(COUNT(f.sup_id) AS BIGINT) AS total_supervisiones
+      FROM gm g LEFT JOIN s ON g.grupo_id = s.grupo_operativo_id
+                LEFT JOIN f ON s.sucursal_id = f.sucursal_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT entidad, id, nombre, territorio, promedio,
+           CASE WHEN promedio IS NULL THEN 'gray'
+                WHEN promedio >= 90 THEN 'excellent'
+                WHEN promedio >= 80 THEN 'good'
+                WHEN promedio >= 70 THEN 'regular'
+                ELSE 'critical' END AS color,
+           total_sucursales, total_supervisiones,
+           CASE WHEN promedio IS NOT NULL THEN
+             CAST(RANK() OVER (PARTITION BY entidad
+                               ORDER BY promedio DESC NULLS LAST)
+                  AS BIGINT)
+           END AS posicion_interna
+    FROM pg ORDER BY entidad, promedio DESC NULLS LAST, nombre
+    """
+    _compare(df, con, sql)
+    rows = {r.nombre: r for r in df.collect()}
+    # members: PLOG NORTE (Suc A 95,85,0 + Suc B 90 → 67.5),
+    # PLOG SUR (Suc C 65), PLOG NUEVO LEON (Suc J, no periodo-2 rows)
+    assert set(rows) == {"PLOG NORTE", "PLOG SUR", "PLOG NUEVO LEON"}
+    assert rows["PLOG NORTE"].posicion_interna == 1
+    assert rows["PLOG SUR"].posicion_interna == 2
+    assert rows["PLOG NUEVO LEON"].posicion_interna is None
+    assert rows["PLOG NUEVO LEON"].color == "gray"
+    assert rows["PLOG NUEVO LEON"].territorio == "local"
