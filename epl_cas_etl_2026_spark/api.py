@@ -47,6 +47,9 @@ from epl_cas_etl_2026_spark.functions.scalars import (
     pct_of,
     territorio,
 )
+from epl_cas_etl_2026_spark.functions.scalars import (
+    territorio as territorio_col,
+)
 from epl_cas_etl_2026_spark.operators.ranking import competition_rank
 from epl_cas_etl_2026_spark.operators.reshape import pivot_matrix
 
@@ -84,6 +87,23 @@ def _fact(tables: dict, tipo: str, periodo_id: int | None) -> DataFrame:
 
 def _active(df: DataFrame) -> DataFrame:
     return df.filter(F.coalesce(F.col("activo"), F.lit(False)))
+
+
+def _territorio_keep(filtro: str) -> tuple:
+    """The reference's territory filter is INCLUSIVE (app.py:486-492,
+    1167-1171): 'local' keeps local+mixto, 'foranea' keeps
+    foranea+mixto, 'mixto' keeps only mixto."""
+    keep = {
+        "local": ("local", "mixto"),
+        "foranea": ("foranea", "mixto"),
+        "mixto": ("mixto",),
+    }.get(filtro)
+    if keep is None:
+        raise ValueError(
+            f"territorio filter must be local/foranea/mixto/todas, "
+            f"got {filtro!r}"
+        )
+    return keep
 
 
 def ranking_grupos(
@@ -133,17 +153,9 @@ def ranking_grupos(
         territorio(F.col("nombre")).alias("territorio"),
     )
     if territorio_filtro is not None and territorio_filtro != "todas":
-        keep = {
-            "local": ("local", "mixto"),
-            "foranea": ("foranea", "mixto"),
-            "mixto": ("mixto",),
-        }.get(territorio_filtro)
-        if keep is None:
-            raise ValueError(
-                f"territorio_filtro must be local/foranea/mixto/todas, "
-                f"got {territorio_filtro!r}"
-            )
-        g = g.filter(F.col("territorio").isin(*keep))
+        g = g.filter(
+            F.col("territorio").isin(*_territorio_keep(territorio_filtro))
+        )
     s = _active(tables["sucursales"]).select(
         F.col("id").alias("sucursal_id"),
         F.col("grupo_operativo_id"),
@@ -362,15 +374,32 @@ def ranking_sucursales(
     )
 
 
-def heatmap_matrix(tables: dict, tipo: str = "operativas") -> DataFrame:
-    """GET /api/analisis/heatmap (app.py:1135-1210): (grupo × periodo)
+def heatmap_matrix(
+    tables: dict,
+    tipo: str = "operativas",
+    territorio: str = "todas",
+) -> DataFrame:
+    """GET /api/historico/<tipo> (app.py:1128-1215): (grupo × periodo)
     densified matrix (J4) pivoted wide (A10), per-group overall =
     unweighted mean of period averages (A11), plus an 'EPL CAS' row =
     unweighted mean over group averages per period (A12). Period
-    columns are the period codes, ordered by fecha_inicio."""
+    columns are the period codes, ordered by fecha_inicio.
+
+    ``territorio`` is the reference's INCLUSIVE filter
+    (app.py:1167-1171) applied BEFORE the EPL CAS row is computed, so
+    the system average reflects only the visible groups — exactly the
+    reference's ordering of filter vs. epl_cas accumulation
+    (app.py:1190-1196). Deviation: rows come back ordered by grupo
+    name, not promedio_general DESC (app.py:1187) — the wide frame is
+    re-sorted client-side and a stable key order keeps the gate hash
+    deterministic."""
     g = _active(tables["grupos_operativos"]).select(
         F.col("id").alias("grupo_id"), F.col("nombre").alias("grupo")
     )
+    if territorio != "todas" and territorio != "all":
+        g = g.filter(
+            territorio_col(F.col("grupo")).isin(*_territorio_keep(territorio))
+        )
     p = tables["periodos_cas"].select(
         F.col("id").alias("periodo_id"),
         F.col("codigo"),

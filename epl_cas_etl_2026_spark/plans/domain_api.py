@@ -358,6 +358,72 @@ def api_heatmap_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# /api/historico/<tipo>?territorio=foranea — the heatmap under the
+# reference's INCLUSIVE territory filter (app.py:1167-1171: 'foranea'
+# keeps foranea+mixto), applied BEFORE the EPL CAS row accumulates
+# (app.py:1190-1196) so the system average is recomputed over only the
+# visible groups. The fixture's 12-name cycle guarantees all three
+# classes are present, so the filter genuinely changes membership AND
+# the EPL CAS values.
+# ---------------------------------------------------------------------------
+_HISTORICO_TERR_ORACLE = f"""
+    WITH {_DOMAIN_CTES},
+    g AS (
+      SELECT id, nombre AS grupo FROM grupos_operativos
+      WHERE COALESCE(activo, false)
+        AND {_TERRITORIO_CASE} IN ('foranea', 'mixto')
+    ),
+    s AS (
+      SELECT id, grupo_operativo_id FROM sucursales
+      WHERE COALESCE(activo, false)
+    ),
+    cell AS (
+      SELECT g.grupo, p.codigo,
+             {det_avg_sql('f.calificacion_general')} AS promedio
+      FROM supervisiones_operativas f
+      JOIN s ON f.sucursal_id = s.id
+      JOIN g ON s.grupo_operativo_id = g.id
+      JOIN periodos_cas p ON f.periodo_id = p.id
+      GROUP BY g.grupo, p.codigo
+    ),
+    grid AS (SELECT g.grupo, p.codigo FROM g CROSS JOIN periodos_cas p),
+    dense AS (
+      SELECT grid.grupo, grid.codigo, cell.promedio
+      FROM grid LEFT JOIN cell USING (grupo, codigo)
+    ),
+    epl AS (
+      SELECT 'EPL CAS' AS grupo, codigo,
+             {det_avg_sql('promedio')} AS promedio
+      FROM dense GROUP BY codigo
+    ),
+    longt AS (
+      SELECT grupo, codigo, promedio FROM dense
+      UNION ALL SELECT grupo, codigo, promedio FROM epl
+    ),
+    wide AS (
+      SELECT grupo,
+             MAX(CASE WHEN codigo = 'P1' THEN promedio END) AS P1,
+             MAX(CASE WHEN codigo = 'P2' THEN promedio END) AS P2,
+             MAX(CASE WHEN codigo = 'P3' THEN promedio END) AS P3
+      FROM longt GROUP BY grupo
+    ),
+    overall AS (
+      SELECT grupo, {det_avg_sql('promedio')} AS promedio_general
+      FROM longt GROUP BY grupo
+    )
+    SELECT w.grupo, P1, P2, P3, promedio_general
+    FROM wide w JOIN overall USING (grupo)
+    ORDER BY grupo
+"""
+
+
+@_register("api_historico_territorio", _HISTORICO_TERR_ORACLE)
+def api_historico_territorio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = domain_tables(spark, sf_dir)
+    return api.heatmap_matrix(t, "operativas", territorio="foranea")
+
+
+# ---------------------------------------------------------------------------
 # /api/periodo-contexto — the 3-level resolution chain. The fixture's
 # periods are all activo=false and hoy=1999-06-01 misses every date
 # range, so resolution must fall through BOTH upper levels to

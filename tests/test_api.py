@@ -534,6 +534,45 @@ def test_heatmap_matrix_semantics(domain):
     )
 
 
+def test_heatmap_territorio_inclusive_filter(domain):
+    """/api/historico territorio filter (app.py:1167-1171): INCLUSIVE
+    membership ('local' keeps local+mixto), applied BEFORE the EPL CAS
+    row accumulates (app.py:1190-1196) so the system average reflects
+    only visible groups."""
+    tables, _ = domain
+    local = api.heatmap_matrix(tables, "operativas", territorio="local")
+    rows = {r.grupo: r.asDict() for r in local.collect()}
+    # local + mixto stay; foranea drops (PLOG NORTE/SUR are NOT
+    # 'PLOG NUEVO LEON' so they classify foranea under the verbatim
+    # reference keywords)
+    assert "TEPEYAC CENTRO" in rows and "EXPO MTY" in rows  # local, mixto
+    assert "GRUPO SALTILLO" in rows                         # mixto
+    assert "PLOG NORTE" not in rows and "INDEPENDIENTE X" not in rows
+    # EPL CAS is recomputed over ONLY the visible groups
+    vis = [
+        rows[g]["CAS-02"]
+        for g in rows
+        if g != "EPL CAS" and rows[g]["CAS-02"] is not None
+    ]
+    assert rows["EPL CAS"]["CAS-02"] == round(sum(vis) / len(vis), 2)
+    allrows = {
+        r.grupo: r.asDict()
+        for r in api.heatmap_matrix(tables, "operativas").collect()
+    }
+    assert rows["EPL CAS"]["CAS-02"] != allrows["EPL CAS"]["CAS-02"]
+    # foranea keeps mixto too
+    for_rows = {
+        r.grupo
+        for r in api.heatmap_matrix(
+            tables, "operativas", territorio="foranea"
+        ).collect()
+    }
+    assert "EXPO MTY" in for_rows and "PLOG NORTE" in for_rows
+    assert "TEPEYAC CENTRO" not in for_rows
+    with pytest.raises(ValueError):
+        api.heatmap_matrix(tables, "operativas", territorio="bogus")
+
+
 def test_branch_endpoints(domain):
     tables, _ = domain
     latest = api.branch_latest(tables, 6, "operativas").collect()
