@@ -3246,3 +3246,124 @@ def docs_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "col", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
     ).orderBy("col")
+
+
+# ---------------------------------------------------------------------------
+# Rank-DISTRIBUTION window functions — ntile/percent_rank/cume_dist in
+# one keyed window pass (reference analogue: the ranking endpoints'
+# competition_rank, app.py:505-530, generalized to the three
+# distribution forms Spark/ANSI define). Ordering is made total by the
+# (cents, custkey) tiebreak: ntile SPLITS peer groups by physical row
+# order, so an ambiguous sort would be nondeterministic across engines
+# AND across runs. percent_rank/cume_dist are emitted as
+# FLOOR(x*1e6+0.5) parts-per-million — both engines compute the same
+# (rank-1)/(n-1) / rank/n IEEE doubles, the scaled floor just keeps
+# the hash compare integer-exact.
+#
+# 100 TB note: the window partitions by c_mktsegment (5 giant groups);
+# per-group exact sorts at that scale go through the two-phase
+# global-rank decomposition (operators/ranking.py,
+# orders_global_rank_two_phase) — same outputs, no per-group
+# single-reducer sort. This query pins the SEMANTICS on the window
+# form; the scale path is already gated separately.
+# ---------------------------------------------------------------------------
+@_register(
+    "customer_balance_distribution_ranks",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT)
+               AS bal_cents
+      FROM customer
+    )
+    SELECT c_custkey, c_mktsegment, bal_cents,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           CAST(FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) AS BIGINT)
+             AS pr_ppm,
+           CAST(FLOOR(CUME_DIST() OVER w * 1000000 + 0.5) AS BIGINT)
+             AS cd_ppm
+    FROM c
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_cents, c_custkey)
+    ORDER BY c_mktsegment, bal_cents, c_custkey
+    """,
+)
+def customer_balance_distribution_ranks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("bal_cents", "c_custkey")
+    ppm = lambda col: F.floor(col * 1000000 + 0.5).cast("long")  # noqa: E731
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal_cents",
+        F.ntile(4).over(w).alias("quartile"),
+        ppm(F.percent_rank().over(w)).alias("pr_ppm"),
+        ppm(F.cume_dist().over(w)).alias("cd_ppm"),
+    ).orderBy("c_mktsegment", "bal_cents", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# RANGE frame (value-based window) — per customer, the rolling count
+# and spend over the trailing 30 DAYS ending at each order, computed
+# with RANGE BETWEEN 30 PRECEDING AND CURRENT ROW over an integer
+# day ordinal. Distinct operator from the ROWS frame
+# (events_user_moving_sum): the frame edge is a VALUE offset, so
+# same-day peer rows all enter every peer's frame (tie handling is
+# defined by the standard, not by physical order) and gaps in the
+# date axis shrink the frame — semantics ROWS cannot express. The
+# day ordinal (days since 1970-01-01) sidesteps engine-specific
+# INTERVAL frame syntax; both engines range over the same integers.
+# 100 TB: keyed window per customer — partition-parallel, no global
+# sort; cents arithmetic keeps the hash integer-exact.
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_trailing_30d_range_frame",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+               AS day_ord,
+             CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT)
+               AS price_cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_30d,
+           CAST(SUM(price_cents) OVER w AS BIGINT) AS spend_30d_cents
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day_ord
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+    """,
+)
+def orders_trailing_30d_range_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_ord"),
+        F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_ord")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.sum("price_cents").over(w).alias("spend_30d_cents"),
+    ).orderBy("o_orderkey")
