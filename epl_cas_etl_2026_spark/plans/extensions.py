@@ -3367,3 +3367,125 @@ def orders_trailing_30d_range_frame(
         F.count(F.lit(1)).over(w).alias("n_orders_30d"),
         F.sum("price_cents").over(w).alias("spend_30d_cents"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split — the cluster-aware upgrade of
+# docs_train_val_test_split: near-duplicate documents must NEVER
+# straddle a split boundary (a train/val near-dup pair leaks training
+# text into evaluation), so the split key is the near-dup CLUSTER
+# representative (connected-component min label; singletons key on
+# their own id), not the doc id. The output carries the
+# straddling-pair count — 0 by construction — so the cross-engine gate
+# PROVES the leakage property, not just the distribution counts.
+# Oracle: recursive-CTE closure recomputes components independently.
+# 100 TB: pairs/labels are slim id-frames; the straddle audit is two
+# id-keyed joins; split assignment is a pure hash of the label — no
+# shuffle beyond what the CC step already did.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_leakage_safe_split",
+    f"""
+    WITH RECURSIVE sim AS ({_SIMHASH_SQL}),
+    banded AS (
+      SELECT doc_id, k AS band, (h >> (k * 15)) & 32767 AS key
+      FROM sim, generate_series(0, 3) AS t(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM banded a JOIN banded c
+        ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sim sa ON sa.doc_id = id_a
+      JOIN sim sb ON sb.doc_id = id_b
+      WHERE bit_count(xor(sa.h, sb.h)) <= 3
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS n FROM sym),
+    reach(a, b) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.a, e.d FROM reach r JOIN sym e ON r.b = e.s
+    ),
+    comp AS (SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a),
+    assign AS (
+      SELECT d.doc_id,
+             comp.node IS NOT NULL AS is_dup,
+             CASE WHEN {_hash_pct_sql('COALESCE(comp.label, d.doc_id)')} < 80
+                    THEN 'train'
+                  WHEN {_hash_pct_sql('COALESCE(comp.label, d.doc_id)')} < 90
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+    ),
+    straddle AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS straddling_pairs
+      FROM pairs
+      JOIN assign x ON pairs.id_a = x.doc_id
+      JOIN assign y ON pairs.id_b = y.doc_id
+      WHERE x.split <> y.split
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           straddling_pairs
+    FROM assign, straddle
+    GROUP BY split, straddling_pairs
+    ORDER BY split
+    """,
+)
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.dedup import (
+        connected_components,
+        simhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_dup_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    pairs = pairs.localCheckpoint(eager=False)  # pin: reused twice below
+    comps = connected_components(pairs, "id_a", "id_b")
+    rep = F.coalesce(F.col("label"), F.col("doc_id"))
+    assign = (
+        docs.select("doc_id")
+        .join(comps, docs["doc_id"] == comps["node"], "left")
+        .select(
+            "doc_id",
+            F.col("node").isNotNull().alias("is_dup"),
+            F.when(_hash_pct_col(rep) < 80, F.lit("train"))
+            .when(_hash_pct_col(rep) < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+    straddle = (
+        pairs.join(
+            assign.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            assign.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+            ),
+            "id_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).alias("straddling_pairs"))
+    )
+    return (
+        assign.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup_docs"),
+        )
+        .crossJoin(straddle)
+        .select("split", "n_docs", "n_dup_docs", "straddling_pairs")
+        .orderBy("split")
+    )

@@ -394,3 +394,20 @@ def test_incremental_near_dup_matches_batch_restriction(spark):
         ).collect()
     }
     assert batch and incr == batch
+
+
+def test_leakage_safe_split_cluster_consistent(spark):
+    """Every near-dup cluster lands wholly inside one split: the query's
+    own straddle audit must be 0, and the split must still cover every
+    document exactly once."""
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        docs_leakage_safe_split,
+    )
+    from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = docs_leakage_safe_split(spark, sf).collect()
+    assert all(r["straddling_pairs"] == 0 for r in out)
+    n_docs = load_table(spark, sf, "documents").count()
+    assert sum(r["n_docs"] for r in out) == n_docs
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
