@@ -3489,3 +3489,247 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split", "n_docs", "n_dup_docs", "straddling_pairs")
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — corpus association mining (the classic
+# collocation-extraction step; complements docs_vocab_topk's raw
+# frequencies and docs_unigram_surprisal's LM scoring with a
+# SECOND-ORDER statistic). Bigrams come from adjacent-token zips
+# inside the scan stage; PMI = log2(p(xy) / (p(x)p(y))) evaluated
+# with the IDENTICAL double-division shape on both engines, then
+# millibit-quantized. Support floor c12 >= 5 kills hapax noise.
+# 100 TB: one map-side-combined groupBy per n-gram order, equi-joins
+# on word for the marginals, scalars broadcast, top-20 via
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_pmi_collocations",
+    """
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+    ),
+    uni AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(w) AS word FROM toks)
+      WHERE word <> '' GROUP BY word
+    ),
+    bg AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM (SELECT u.p[1] AS w1, u.p[2] AS w2
+            FROM (SELECT unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS p
+                  FROM toks) u)
+      WHERE w1 <> '' AND w2 <> ''
+      GROUP BY w1, w2
+    ),
+    tot AS (
+      SELECT (SELECT SUM(c) FROM uni) AS n_uni,
+             (SELECT SUM(c12) FROM bg) AS n_bg
+    )
+    SELECT w1, w2, c12,
+           CAST(FLOOR(log2((CAST(c12 AS DOUBLE) / n_bg)
+                           / ((CAST(u1.c AS DOUBLE) / n_uni)
+                              * (CAST(u2.c AS DOUBLE) / n_uni)))
+                      * 1000 + 0.5) AS BIGINT) AS pmi_millibits
+    FROM bg
+    JOIN uni u1 ON bg.w1 = u1.word
+    JOIN uni u2 ON bg.w2 = u2.word
+    CROSS JOIN tot
+    WHERE c12 >= 5
+    ORDER BY pmi_millibits DESC, w1, w2 LIMIT 20
+    """,
+)
+def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.col("text"), " ").alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(w, 1, greatest(size(w) - 1, 0))").alias("w1"),
+                    F.expr("slice(w, 2, greatest(size(w) - 1, 0))").alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    # totals over the UNfiltered tables (the support floor prunes
+    # candidates, it must not change the probability denominators)
+    tot = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        bg.agg(F.sum("c12").alias("n_bg"))
+    )
+    bg = bg.filter(F.col("c12") >= 5)
+    # the identical double-division shape as the oracle: ulp-parity
+    ratio = (F.col("c12").cast("double") / F.col("n_bg")) / (
+        (F.col("u1c").cast("double") / F.col("n_uni"))
+        * (F.col("u2c").cast("double") / F.col("n_uni"))
+    )
+    return (
+        bg.join(uni.select(F.col("word").alias("w1"), F.col("c").alias("u1c")), "w1")
+        .join(uni.select(F.col("word").alias("w2"), F.col("c").alias("u2c")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.floor(F.log2(ratio) * 1000 + 0.5)
+            .cast("long")
+            .alias("pmi_millibits"),
+        )
+        .orderBy(F.desc("pmi_millibits"), "w1", "w2")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form distributed OLS — univariate linear regression of order
+# line value (whole dollars) on quantity, per return flag, via the
+# normal equations: ONE scan producing exact integer moments
+# (n, Sx, Sy, Sxx, Sxy, Syy; map-side combined), then slope /
+# intercept / r² from the moments in IEEE doubles with the identical
+# expression shape on both engines. This is the 100 TB regression
+# recipe — no gradient iterations, no driver-side math beyond the
+# 6-number fold; Spark's regr_slope/regr_intercept aggregates are
+# deliberately avoided because their streaming-float merge order is
+# partition-dependent (non-reproducible across engines AND runs).
+# y is quantized to whole dollars so Syy stays inside BIGINT at any
+# realistic row count.
+# ---------------------------------------------------------------------------
+@_register(
+    "lineitem_ols_price_on_qty",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(q * q) AS BIGINT) AS sxx,
+             CAST(SUM(q * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM (SELECT l_returnflag,
+                   CAST(FLOOR(CAST(l_quantity AS DOUBLE) + 0.5) AS BIGINT)
+                     AS q,
+                   CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) + 0.5)
+                        AS BIGINT) AS y
+            FROM lineitem)
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * 1000000 + 0.5) AS BIGINT) AS slope_micro,
+           CAST(FLOOR((CAST(sy AS DOUBLE)
+                       - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                         * sx) / n * 1000 + 0.5) AS BIGINT)
+             AS intercept_milli,
+           CAST(FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                      * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                      / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                      * 1000000 + 0.5) AS BIGINT) AS r2_ppm
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def lineitem_ols_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity").cast("double") + 0.5)
+        .cast("long")
+        .alias("q"),
+        F.floor(F.col("l_extendedprice").cast("double") + 0.5)
+        .cast("long")
+        .alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("q") * F.col("q")).alias("sxx"),
+        F.sum(F.col("q") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_n = nd * F.col("sxy") - sxd * F.col("sy")  # n·Sxy − Sx·Sy
+    var_x = nd * F.col("sxx") - sxd * F.col("sx")
+    var_y = nd * F.col("syy") - syd * F.col("sy")
+    slope = cov_n / var_x
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.floor(slope * 1000000 + 0.5).cast("long").alias("slope_micro"),
+        F.floor((syd - slope * F.col("sx")) / F.col("n") * 1000 + 0.5)
+        .cast("long")
+        .alias("intercept_milli"),
+        F.floor(cov_n * cov_n / (var_x * var_y) * 1000000 + 0.5)
+        .cast("long")
+        .alias("r2_ppm"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted importance resampling — the soft-filtering step of
+# modern pretraining pipelines (keep all high-quality text, a fixed
+# fraction of mid-quality, none of the junk) made DETERMINISTIC: a doc
+# survives iff hash_pct(doc_id) < acceptance(quality class). Pure
+# function of the id → reproducible across engines, runs, and
+# repartitioning, and composable with the split/shard queries (same
+# md5 family, different field). One scan, per-source counts map-side
+# combined.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_quality_resample_stats",
+    f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             CASE WHEN len(string_split(text, ' ')) < 5 THEN 'drop'
+                  WHEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                       * 1.0 / nullif(length(text), 0) < 0.8 THEN 'review'
+                  ELSE 'keep' END AS calidad
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN calidad = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep_class,
+           CAST(SUM(CASE WHEN calidad = 'review' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_review_class,
+           CAST(SUM(CASE WHEN {_hash_pct_sql('doc_id')} <
+                           CASE calidad WHEN 'keep' THEN 100
+                                        WHEN 'review' THEN 30
+                                        ELSE 0 END
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM q GROUP BY source ORDER BY source
+    """,
+)
+def docs_quality_resample_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    calidad = quality_class(F.col("text"))
+    accept = (
+        F.when(calidad == "keep", F.lit(100))
+        .when(calidad == "review", F.lit(30))
+        .otherwise(F.lit(0))
+    )
+    sampled = (_hash_pct_col(F.col("doc_id")) < accept).cast("long")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((calidad == "keep").cast("long")).alias("n_keep_class"),
+            F.sum((calidad == "review").cast("long")).alias("n_review_class"),
+            F.sum(sampled).alias("n_sampled"),
+        )
+        .orderBy("source")
+    )
