@@ -3733,3 +3733,148 @@ def docs_quality_resample_stats(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection via MAD (median absolute deviation) — the
+# robust-statistics twin of the z-score query: median and MAD shrug
+# off the heavy tail that drags mean/stddev. Two grouped exact-median
+# passes (cents → med; |cents − med| → MAD) with the tiny per-group
+# stats broadcast back between them; the outlier predicate
+# |x − med| > 3·MAD. Everything stays DYADIC-exact cross-engine:
+# cents are ints, an interpolated median of ints is a half-integer,
+# the MAD of half-integers a quarter-integer — so med·2 and MAD·4 are
+# emitted as exact BIGINTs and the 3·MAD comparison never rounds.
+# 100 TB: exact grouped medians sort within groups; the documented
+# scale path swaps in approx_percentile with identical plumbing.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_robust_outliers_mad",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+               AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(cents, 0.5) AS med
+      FROM e GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, ABS(e.cents - med.med) AS dev, med.med
+      FROM e JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(FLOOR(ANY_VALUE(dev.med) * 2 + 0.5) AS BIGINT) AS med_x2,
+           CAST(FLOOR(ANY_VALUE(mad.mad) * 4 + 0.5) AS BIGINT) AS mad_x4,
+           CAST(SUM(CASE WHEN dev.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    ORDER BY dev.event_type
+    """,
+)
+def events_robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("cents") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.any_value("med") * 2 + 0.5).cast("long").alias("med_x2"),
+            F.floor(F.any_value("mad") * 4 + 0.5).cast("long").alias("mad_x4"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA over a 16-event trailing window, per user — exponentially
+# weighted moving average with decay 1/2, the time-series smoother
+# whose recursive definition (s_t = αx_t + (1−α)s_{t−1}) looks
+# un-SQL-able but unrolls into a weighted window sum. The trick that
+# makes it CROSS-ENGINE EXACT: α = 1/2 makes every weight a power of
+# two, so each product cents·2^(i−k) is a dyadic rational well inside
+# a double's 53-bit mantissa and every addition is EXACT — the sum is
+# order-independent, immune to the float-merge nondeterminism that
+# rules out regr_*/avg-style streaming aggregates. Weights are
+# applied positionally (transform with index over the frame's
+# collect_list) — newest element weight 1, each older element halved;
+# normalized by Σ = 2 − 2^(1−k).
+# 100 TB: keyed window, 16-element arrays, no global sort.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_user_ewma_dyadic",
+    """
+    WITH arr AS (
+      SELECT event_id, user_id,
+             list(CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(FLOOR(list_sum(list_transform(range(1, len(l) + 1),
+                                              i -> l[i] * power(2, i - len(l))))
+                      / (2 - power(2, 1 - len(l))) * 1000 + 0.5) AS BIGINT)
+             AS ewma_milli
+    FROM arr ORDER BY user_id, event_id
+    """,
+)
+def events_user_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, Window.currentRow)
+    )
+    num = F.expr(
+        "aggregate(transform(l, (x, i) -> x * pow(2D, i + 1 - size(l))),"
+        " 0D, (a, v) -> a + v)"
+    )
+    denom = F.expr("2D - pow(2D, 1 - size(l))")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.collect_list("cents").over(w).alias("l"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(num / denom * 1000 + 0.5).cast("long").alias("ewma_milli"),
+        )
+        .orderBy("user_id", "event_id")
+    )
