@@ -113,6 +113,18 @@ HEADLINE = [
     "orders_join_view_delta_maintenance",
     "customers_fastss_editdist_pairs",
     "lineitem_salted_skew_join_rollup",
+    # late-round-5 additions (appended — earlier rounds' subset sums
+    # are PREFIX slices of this list and must not shift).
+    # docs_leakage_safe_split is deliberately absent: its cost is the
+    # CC iteration already benched via the near-dup cluster path, and
+    # its 9 s would crowd the budget.
+    "customer_balance_distribution_ranks",
+    "orders_trailing_30d_range_frame",
+    "docs_pmi_collocations",
+    "lineitem_ols_price_on_qty",
+    "docs_quality_resample_stats",
+    "events_robust_outliers_mad",
+    "events_user_ewma_dyadic",
 ]
 
 
@@ -211,6 +223,7 @@ def main() -> None:
     r2_subset = round(sum(timings[n] for n in HEADLINE[:28] if n in timings), 3)
     r3_subset = round(sum(timings[n] for n in HEADLINE[:34] if n in timings), 3)
     r4_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
+    r5_subset = round(sum(timings[n] for n in HEADLINE[:65] if n in timings), 3)
     print(
         json.dumps(
             {
@@ -229,6 +242,7 @@ def main() -> None:
                 "r2_queries_noop_sec": r2_subset,
                 "r3_queries_noop_sec": r3_subset,
                 "r4_queries_noop_sec": r4_subset,
+                "r5_queries_noop_sec": r5_subset,
                 "cpu_calib_sec": cpu_calibration(),
                 "sf": sf_from_dir(SF_DIR),
             }
