@@ -3878,3 +3878,50 @@ def events_user_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# String-parsing surface — regexp_extract + split_part as SCAN-STAGE
+# expressions (reference analogue: the catalog-normalization string
+# pipeline, etl_sync.py's nombre cleanup, generalized to structured
+# identifier parsing). Brand numbers come out of 'Brand#NN' by regex
+# group capture; priority ranks out of 'N-LABEL' by delimiter
+# position; both engines share the regex dialect for this class and
+# 1-based group/field indexing. Parsing happens BEFORE the groupBy,
+# inside whole-stage codegen — the classic ELT normalize-then-
+# aggregate, zero extra passes.
+# ---------------------------------------------------------------------------
+@_register(
+    "parts_string_parse_stats",
+    """
+    SELECT CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS BIGINT)
+             AS brand_num,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT split_part(p_name, ' ', 1)) AS BIGINT)
+             AS n_name_heads,
+           CAST(SUM(CAST(FLOOR(CAST(p_retailprice AS DOUBLE) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS sum_retail_cents
+    FROM part
+    GROUP BY brand_num ORDER BY brand_num
+    """,
+)
+def parts_string_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            F.regexp_extract(F.col("p_brand"), r"Brand#(\d+)", 1)
+            .cast("long")
+            .alias("brand_num"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("head"),
+            F.floor(F.col("p_retailprice").cast("double") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("brand_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.count_distinct(F.col("head")).alias("n_name_heads"),
+            F.sum("cents").alias("sum_retail_cents"),
+        )
+        .orderBy("brand_num")
+    )

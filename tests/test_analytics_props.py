@@ -1,0 +1,88 @@
+"""Independent-oracle property tests for the late-round analytic ops:
+numpy / pure-Python recomputation (a THIRD implementation, independent
+of both the Spark plan and the DuckDB twin) must agree exactly."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from epl_cas_etl_2026_spark.plans.extensions import (
+    events_robust_outliers_mad,
+    events_user_ewma_dyadic,
+    lineitem_ols_price_on_qty,
+)
+from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    rows = lineitem_ols_price_on_qty(spark, SF).collect()
+    li = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).toPandas()
+    li["q"] = np.floor(li["l_quantity"].astype(float) + 0.5).astype(np.int64)
+    li["y"] = np.floor(li["l_extendedprice"].astype(float) + 0.5).astype(
+        np.int64
+    )
+    assert rows
+    for r in rows:
+        g = li[li["l_returnflag"] == r["l_returnflag"]]
+        slope, intercept = np.polyfit(g["q"], g["y"], 1)
+        # quantization boundary tolerance: polyfit solves by SVD, the
+        # query by normal equations — agree to ~1e-6 relative, so the
+        # scaled ints match within 1
+        assert abs(r["slope_micro"] - round(slope * 1e6)) <= 1
+        assert abs(r["intercept_milli"] - round(intercept * 1e3)) <= 1
+        rho = np.corrcoef(g["q"], g["y"])[0, 1]
+        assert abs(r["r2_ppm"] - round(rho * rho * 1e6)) <= 2
+        assert r["n"] == len(g)
+
+
+def test_mad_matches_numpy_median(spark):
+    rows = events_robust_outliers_mad(spark, SF).collect()
+    ev = load_table(spark, SF, "events").select(
+        "event_type", "value"
+    ).toPandas()
+    ev["cents"] = np.floor(ev["value"].astype(float) * 100 + 0.5).astype(
+        np.int64
+    )
+    assert rows
+    for r in rows:
+        x = ev[ev["event_type"] == r["event_type"]]["cents"].to_numpy()
+        med = np.median(x)
+        mad = np.median(np.abs(x - med))
+        assert r["med_x2"] == round(med * 2)
+        assert r["mad_x4"] == round(mad * 4)
+        assert r["n_outliers"] == int(np.sum(np.abs(x - med) > 3 * mad))
+
+
+def test_ewma_matches_python_recursion(spark):
+    out = {
+        (r["user_id"], r["event_id"]): r["ewma_milli"]
+        for r in events_user_ewma_dyadic(spark, SF).collect()
+    }
+    ev = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    assert out
+    checked = 0
+    for uid, g in ev.groupby("user_id"):
+        cents = [
+            math.floor(v * 100 + 0.5) for v in g["value"].astype(float)
+        ]
+        eids = list(g["event_id"])
+        for t in range(len(cents)):
+            lo = max(0, t - 15)
+            win = cents[lo : t + 1]
+            k = len(win)
+            num = sum(x * 2.0 ** (i + 1 - k) for i, x in enumerate(win))
+            ewma = num / (2.0 - 2.0 ** (1 - k))
+            assert out[(uid, eids[t])] == math.floor(ewma * 1000 + 0.5)
+            checked += 1
+    assert checked == len(out)
