@@ -3925,3 +3925,133 @@ def parts_string_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_num")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle count + global clustering coefficient over the near-dup
+# graph — the canonical distributed-graph aggregate (wedge-closure
+# rate tells you whether near-dup pairs form coherent duplicate
+# CLIQUES or noisy hub stars — a dedup-quality diagnostic). Edges are
+# the simhash pair list (already id_a < id_b); triangles are the
+# ordered 2-path ⋈ closing-edge equi-join (a<b<c counts each triangle
+# exactly once); wedges come from the degree table as Σ d·(d−1)/2.
+# Coefficient = 3·triangles/wedges in ppm. 100 TB note: the 2-path
+# join fans out quadratically on hub vertices — the standard fix
+# (orient edges by DEGREE, join only low→high) is a drop-in once hubs
+# appear; on near-dup graphs band-capping (DF_CAP-style) already
+# bounds degrees upstream.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_near_dup_triangles",
+    f"""
+    WITH sim AS ({_SIMHASH_SQL}),
+    banded AS (
+      SELECT doc_id, k AS band, (h >> (k * 15)) & 32767 AS key
+      FROM sim, generate_series(0, 3) AS t(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM banded a JOIN banded c
+        ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+    ),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM cand
+      JOIN sim sa ON sa.doc_id = id_a
+      JOIN sim sb ON sb.doc_id = id_b
+      WHERE bit_count(xor(sa.h, sb.h)) <= 3
+    ),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+      GROUP BY v
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+        ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    wed AS (
+      SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges,
+             CAST(COUNT(*) AS BIGINT) AS n_vertices,
+             CAST(MAX(d) AS BIGINT) AS max_degree
+      FROM deg
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           n_vertices, max_degree, n_triangles, n_wedges,
+           CAST(FLOOR(3.0 * n_triangles / n_wedges * 1000000 + 0.5)
+                AS BIGINT) AS clustering_ppm
+    FROM tri, wed
+    """,
+)
+def docs_near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = (
+        simhash_near_dup_pairs(docs, max_hamming=3)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=False)  # pin: consumed by 4 subtrees
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.max("d").alias("max_degree"),
+    )
+    # Degree-ordered orientation (Suri & Vassilvitskii's MR-friendly
+    # scheme): point every edge from its (degree, id)-smaller endpoint
+    # to the larger, enumerate wedges only between OUT-neighbors, and
+    # close with an oriented edge. Out-degree is bounded by O(√m), so
+    # the wedge fan-out is hub-proof — Σ outdeg² instead of Σ deg².
+    # The count is identical to the oracle's id-ordered enumeration
+    # (each triangle has exactly one minimum vertex under the total
+    # (degree, id) order).
+    ed = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint(eager=False)
+    x, y = o.alias("x"), o.alias("y")
+    lt = (F.col("x.dv") < F.col("y.dv")) | (
+        (F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v"))
+    )
+    tri = (
+        x.join(y, (F.col("x.u") == F.col("y.u")) & lt)
+        .join(
+            o.alias("z"),
+            (F.col("z.u") == F.col("x.v")) & (F.col("z.v") == F.col("y.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    edges_n = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        edges_n.crossJoin(wed)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_vertices",
+            "max_degree",
+            "n_triangles",
+            "n_wedges",
+            F.floor(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges") * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("clustering_ppm"),
+        )
+    )
