@@ -4055,3 +4055,77 @@ def docs_near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization index build (operators/similarity.pq_fit /
+# pq_encode — Jégou et al. 2011) under the k-means-style invariant
+# gate: PQ training is iterative (no closed-form SQL twin), so the
+# gated output is the invariant set any correct build satisfies and
+# the oracle CAN restate: complete coverage (every vector gets m
+# sub-codes), codes in range, and — the real check — every assigned
+# code is the argmin over its subspace's codebook, re-verified through
+# an INDEPENDENT code path (broadcast-joined JVM zip_with distances vs
+# the Arrow/numpy assignment). Disagreement → violations > 0 → hash
+# red. The ADC top-k serving path (pq_adc_topk) is exercised by
+# tests/test_analytics_props.py's recall check.
+# ---------------------------------------------------------------------------
+@_register(
+    "embedding_pq_codes_invariants",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(*) * 8 AS BIGINT) AS n_sub_rows,
+           CAST(8 AS BIGINT) AS m_subspaces,
+           CAST(16 AS BIGINT) AS k_codes,
+           CAST(0 AS BIGINT) AS code_range_violations,
+           CAST(0 AS BIGINT) AS argmin_violations
+    FROM embeddings
+    """,
+)
+def embedding_pq_codes_invariants(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.similarity import pq_encode, pq_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_fit(emb, dim=64, m=8, k=16, iters=2)
+    codes = pq_encode(emb, cb, dim=64, m=8)
+    cb_rows = [
+        (s, j, [float(x) for x in cb[s][j]])
+        for s in range(8)
+        for j in range(16)
+    ]
+    cbdf = spark.createDataFrame(
+        cb_rows, "sub_id int, cand_code int, centroid array<double>"
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("subvec"), F.col("centroid"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        codes.join(F.broadcast(cbdf), "sub_id")
+        .select("vec_id", "sub_id", "code", "sq_dist", dist.alias("d"))
+        .groupBy("vec_id", "sub_id", "code", "sq_dist")
+        .agg(F.min("d").alias("best_expr"))
+    )
+    return best.agg(
+        F.count_distinct("vec_id").alias("n_points"),
+        F.count(F.lit(1)).alias("n_sub_rows"),
+        F.lit(8).cast("long").alias("m_subspaces"),
+        F.lit(16).cast("long").alias("k_codes"),
+        F.sum(
+            F.when((F.col("code") < 0) | (F.col("code") >= 16), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("code_range_violations"),
+        F.sum(
+            F.when(F.col("sq_dist") > F.col("best_expr") + 1e-6, 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("argmin_violations"),
+    )
