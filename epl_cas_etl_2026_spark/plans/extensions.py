@@ -4129,3 +4129,138 @@ def embedding_pq_codes_invariants(
         .cast("long")
         .alias("argmin_violations"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge step — tokenizer training step 1 (docs_vocab_topk is step
+# 0): find the most frequent adjacent token pair, apply the merge
+# corpus-wide with GREEDY left-to-right semantics (the BPE rule: after
+# 'a a a' merges (a,a) you hold ['a_a','a'], not two overlapping
+# merges), and report the post-merge vocabulary and the NEXT merge
+# candidate. The greedy scan is sequential per document — expressed as
+# a fold (Spark aggregate / DuckDB list_reduce) over the token array,
+# accumulator = the rewritten prefix; merges can't cross document
+# boundaries so the fold parallelizes perfectly across docs. Pair
+# selection ties break (count DESC, w1, w2) so both engines pick the
+# same merge. DuckDB 1.0 pitfall baked into the oracle shape: lambda
+# STRUCT accumulators lose state (field access on the accumulated
+# struct returns the first-step value), so the accumulator is the bare
+# VARCHAR[] prefix — no struct.
+# 100 TB: two bigram groupBys (map-side combined) + one broadcast
+# 1-row join + one per-row fold — a full BPE training run repeats
+# this step with the merged stream cached, vocab-size times.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_bpe_merge_step",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT u.p[1] AS w1, u.p[2] AS w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS p
+            FROM toks) u
+      GROUP BY w1, w2
+    ),
+    top AS (
+      SELECT w1, w2, c, w1 || '_' || w2 AS m
+      FROM bg ORDER BY c DESC, w1, w2 LIMIT 1
+    ),
+    merged AS (
+      SELECT doc_id,
+             CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE list_reduce(list_transform(w, x -> [x]),
+                    (acc, x) -> CASE WHEN len(acc) > 0
+                                      AND acc[len(acc)] = top.w1
+                                      AND x[1] = top.w2
+                                THEN acc[1:len(acc) - 1] || [top.m]
+                                ELSE acc || x END)
+             END AS w
+      FROM toks CROSS JOIN top
+    ),
+    bg2 AS (
+      SELECT u.p[1] AS w1, u.p[2] AS w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS p
+            FROM merged) u
+      GROUP BY w1, w2
+    ),
+    nxt AS (SELECT w1 AS next_w1, w2 AS next_w2, c AS next_count
+            FROM bg2 ORDER BY c DESC, w1, w2 LIMIT 1),
+    vb AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS vocab_before
+           FROM (SELECT unnest(w) AS word FROM toks)),
+    va AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS vocab_after
+           FROM (SELECT unnest(w) AS word FROM merged))
+    SELECT top.w1, top.w2, top.c AS count_before,
+           vocab_before, vocab_after, next_w1, next_w2, next_count
+    FROM top, vb, va, nxt
+    """,
+)
+def docs_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("w"),
+    )
+
+    def bigram_counts(frame):
+        pairs = frame.select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(w, 1, greatest(size(w) - 1, 0))").alias("a"),
+                    F.expr("slice(w, 2, greatest(size(w) - 1, 0))").alias("b"),
+                )
+            ).alias("p")
+        ).select(F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+        return pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+
+    top = (
+        bigram_counts(toks)
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(1)
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.concat_ws("_", F.col("w1"), F.col("w2")).alias("m"),
+        )
+    )
+    merged = toks.crossJoin(F.broadcast(top)).select(
+        "doc_id",
+        F.aggregate(
+            F.col("w"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("w1"))
+                & (x == F.col("w2")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.col("m"))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        ).alias("w"),
+    )
+    nxt = (
+        bigram_counts(merged)
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(1)
+        .select(
+            F.col("w1").alias("next_w1"),
+            F.col("w2").alias("next_w2"),
+            F.col("c").alias("next_count"),
+        )
+    )
+    vb = (
+        toks.select(F.explode("w").alias("word"))
+        .agg(F.count_distinct("word").alias("vocab_before"))
+    )
+    va = (
+        merged.select(F.explode("w").alias("word"))
+        .agg(F.count_distinct("word").alias("vocab_after"))
+    )
+    return (
+        top.select("w1", "w2", F.col("c").alias("count_before"))
+        .crossJoin(vb)
+        .crossJoin(va)
+        .crossJoin(nxt)
+    )
