@@ -4264,3 +4264,105 @@ def docs_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(va)
         .crossJoin(nxt)
     )
+
+
+# ---------------------------------------------------------------------------
+# First-fit-decreasing sequence packing — the quality upgrade of
+# docs_pack_sequences' cumsum binning: FFD guarantees ≤ 11/9·OPT + 1
+# bins (classic bin-packing bound) where order-of-arrival binning has
+# no bound at all. Packing is sequential by nature, so the corpus is
+# sharded (deterministic doc_id mod) and FFD runs as a per-shard FOLD
+# over the size-descending item list (accumulator = bin loads; "first
+# bin that fits" = array_position over a predicate transform). Equal
+# sizes are interchangeable in the fold, so the size-desc sort alone
+# makes the result deterministic. Reports bins vs the ceil(total/C)
+# lower bound and the fill ratio — the packing-efficiency evidence.
+# 100 TB: shard count scales freely; each shard's fold is O(docs ×
+# bins) on a few-hundred-element array, embarrassingly parallel.
+# ---------------------------------------------------------------------------
+_FFD_CAP = 2048
+
+
+@_register(
+    "docs_pack_ffd_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id % 8 AS shard,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tok
+      FROM documents
+    ),
+    per AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             list(CAST(n_tok AS BIGINT) ORDER BY n_tok DESC) AS items
+      FROM t GROUP BY shard
+    ),
+    packed AS (
+      SELECT shard, n_docs, total_tokens,
+             list_reduce(list_transform(items, x -> [x]),
+               (acc, x) -> CASE
+                 WHEN COALESCE(list_position(
+                        list_transform(acc, v -> v + x[1] <= {_FFD_CAP}),
+                        true), 0) = 0
+                   THEN acc || x
+                 ELSE list_transform(range(1, len(acc) + 1), i ->
+                   CASE WHEN i = list_position(
+                          list_transform(acc, v -> v + x[1] <= {_FFD_CAP}),
+                          true)
+                        THEN acc[i] + x[1] ELSE acc[i] END)
+               END) AS bins
+      FROM per
+    )
+    SELECT shard, n_docs, total_tokens,
+           CAST(len(bins) AS BIGINT) AS n_bins_ffd,
+           CAST(CEIL(total_tokens * 1.0 / {_FFD_CAP}) AS BIGINT)
+             AS lower_bound,
+           CAST(FLOOR(total_tokens * 1.0 / (len(bins) * {_FFD_CAP})
+                      * 1000000 + 0.5) AS BIGINT) AS fill_ppm
+    FROM packed ORDER BY shard
+    """,
+)
+def docs_pack_ffd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    per = t.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.reverse(F.array_sort(F.collect_list("n_tok"))).alias("items"),
+    )
+
+    def step(acc, x):
+        fits = F.transform(acc, lambda v: v + x <= F.lit(_FFD_CAP))
+        pos = F.array_position(fits, F.lit(True))
+        return F.when(pos == 0, F.concat(acc, F.array(x))).otherwise(
+            F.transform(
+                acc,
+                lambda v, i: F.when(i + 1 == pos, v + x).otherwise(v),
+            )
+        )
+
+    bins = F.aggregate(F.col("items"), F.array().cast("array<long>"), step)
+    return per.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        F.size(bins).cast("long").alias("n_bins_ffd"),
+        F.ceil(F.col("total_tokens") / F.lit(float(_FFD_CAP)))
+        .cast("long")
+        .alias("lower_bound"),
+        F.floor(
+            F.col("total_tokens")
+            / (F.size(bins) * F.lit(_FFD_CAP))
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("fill_ppm"),
+    ).orderBy("shard")
