@@ -95,3 +95,41 @@ def lang_scores(text: Column, markers: dict[str, tuple[str, ...]]) -> Column:
             best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
             best_score = F.when(better, score).otherwise(best_score)
     return best_lang
+
+
+def greedy_pair_merge(
+    arr: Column, w1: Column, w2: Column, merged: Column
+) -> Column:
+    """BPE-style greedy left-to-right merge of adjacent pair
+    (w1, w2) → merged, as a fold over the token array: accumulator is
+    the rewritten prefix; a merge consumes its right token so
+    overlapping occurrences ('a a a' with pair (a,a)) merge only once
+    — exactly the BPE training rule. Mirrors the DuckDB list_reduce
+    shape in plans/extensions.docs_bpe_merge_step's oracle."""
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == w1) & (x == w2),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def first_fit_pack(items: Column, capacity: int) -> Column:
+    """First-fit bin packing as a fold: accumulator is the bin-load
+    array; each item lands in the first bin it fits (array_position
+    over a predicate transform) or opens a new bin. Feed it a
+    size-DESCENDING list for the FFD 11/9·OPT+1 guarantee. Returns
+    the final bin loads."""
+
+    def step(acc, x):
+        fits = F.transform(acc, lambda v: v + x <= F.lit(capacity))
+        pos = F.array_position(fits, F.lit(True))
+        return F.when(pos == 0, F.concat(acc, F.array(x))).otherwise(
+            F.transform(
+                acc, lambda v, i: F.when(i + 1 == pos, v + x).otherwise(v)
+            )
+        )
+
+    return F.aggregate(items, F.array().cast("array<long>"), step)

@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 from epl_cas_etl_2026_spark.functions.text import (
     bpe_token_count,
     fingerprint,
+    first_fit_pack,
+    greedy_pair_merge,
     lang_scores,
     quality_class,
     token_count,
@@ -4227,17 +4229,8 @@ def docs_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = toks.crossJoin(F.broadcast(top)).select(
         "doc_id",
-        F.aggregate(
-            F.col("w"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.col("w1"))
-                & (x == F.col("w2")),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.col("m"))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
+        greedy_pair_merge(
+            F.col("w"), F.col("w1"), F.col("w2"), F.col("m")
         ).alias("w"),
     )
     nxt = (
@@ -4338,17 +4331,7 @@ def docs_pack_ffd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse(F.array_sort(F.collect_list("n_tok"))).alias("items"),
     )
 
-    def step(acc, x):
-        fits = F.transform(acc, lambda v: v + x <= F.lit(_FFD_CAP))
-        pos = F.array_position(fits, F.lit(True))
-        return F.when(pos == 0, F.concat(acc, F.array(x))).otherwise(
-            F.transform(
-                acc,
-                lambda v, i: F.when(i + 1 == pos, v + x).otherwise(v),
-            )
-        )
-
-    bins = F.aggregate(F.col("items"), F.array().cast("array<long>"), step)
+    bins = first_fit_pack(F.col("items"), _FFD_CAP)
     return per.select(
         "shard",
         "n_docs",

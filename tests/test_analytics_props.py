@@ -148,3 +148,91 @@ def test_pq_adc_recall_and_monotone_mse(spark):
     # measured 10/10 at shortlist=100 on this fixture; ≥8 leaves noise
     # margin while still proving the ADC ordering is informative
     assert len(approx & true10) >= 8
+
+
+def test_greedy_pair_merge_edge_cases(spark):
+    """The BPE fold's greedy rule on crafted streams, vs a pure-Python
+    greedy scan."""
+    from pyspark.sql import functions as F
+
+    from epl_cas_etl_2026_spark.functions.text import greedy_pair_merge
+
+    cases = [
+        (["a", "b", "a", "a", "b"], ("a", "b")),
+        (["a", "a", "a"], ("a", "a")),
+        (["a", "a", "a", "a"], ("a", "a")),
+        (["b", "a", "b"], ("a", "b")),
+        ([], ("a", "b")),
+        (["x"], ("a", "b")),
+        (["a", "b", "b"], ("a", "b")),
+    ]
+
+    def py_greedy(ws, w1, w2):
+        out, i = [], 0
+        while i < len(ws):
+            if i + 1 < len(ws) and ws[i] == w1 and ws[i + 1] == w2:
+                out.append(f"{w1}_{w2}")
+                i += 2
+            else:
+                out.append(ws[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame(
+        [(i, ws, p[0], p[1]) for i, (ws, p) in enumerate(cases)],
+        "i int, w array<string>, w1 string, w2 string",
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i",
+            greedy_pair_merge(
+                F.col("w"),
+                F.col("w1"),
+                F.col("w2"),
+                F.concat_ws("_", F.col("w1"), F.col("w2")),
+            ).alias("m"),
+        ).collect()
+    }
+    for i, (ws, (w1, w2)) in enumerate(cases):
+        assert got[i] == py_greedy(ws, w1, w2), (i, ws)
+
+
+def test_first_fit_pack_matches_python(spark):
+    """The FFD fold vs a pure-Python first-fit, including
+    exact-fit/overflow boundaries."""
+    from pyspark.sql import functions as F
+
+    from epl_cas_etl_2026_spark.functions.text import first_fit_pack
+
+    cases = [
+        [60, 50, 40, 30, 20, 10],
+        [100, 100, 100],
+        [51, 51, 51, 49, 49, 49],
+        [1] * 7,
+        [],
+    ]
+
+    def py_ff(items, cap=100):
+        bins = []
+        for x in items:
+            for j, b in enumerate(bins):
+                if b + x <= cap:
+                    bins[j] = b + x
+                    break
+            else:
+                bins.append(x)
+        return bins
+
+    df = spark.createDataFrame(
+        [(i, [int(x) for x in items]) for i, items in enumerate(cases)],
+        "i int, items array<long>",
+    )
+    got = {
+        r["i"]: list(r["b"])
+        for r in df.select(
+            "i", first_fit_pack(F.col("items"), 100).alias("b")
+        ).collect()
+    }
+    for i, items in enumerate(cases):
+        assert got[i] == py_ff(items), (i, items)
