@@ -435,3 +435,134 @@ def events_stream_stream_join_gate(
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch → transactional MERGE under the hard gate: the SIXTH
+# gate query, closing the loop between the streaming engine and the
+# versioned table (sources/versioned.py). A 3-file CDC feed (ordered
+# by mtime, maxFilesPerTrigger=1 → three sequential micro-batches)
+# streams into foreachBatch; each batch reduces to its latest-per-key
+# ops and applies them to the VersionedTable as one transactional
+# commit — deletes drop keys, upserts replace rows, each micro-batch
+# = one new snapshot (the Delta/Iceberg streaming-CDC-apply shape).
+# Determinism: the feed is seq-range partitioned, so every key's ops
+# arrive in global seq order across batches and latest-per-key within
+# a batch composes to the global latest-per-key — exactly the batch
+# CDC oracle (orders_cdc_apply_state's spec). The gate result is read
+# back from the table's FINAL snapshot, so the hash certifies the
+# whole chain: stream → state reduction → MERGE protocol → snapshot
+# isolation → read.
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_stream_cdc_merge_gate",
+    """
+    WITH log AS (
+      SELECT o_custkey AS key, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 10 >= 8 THEN 'D' ELSE 'U' END AS op,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS val_cents
+      FROM orders
+    ), last AS (
+      SELECT key, seq, op, val_cents,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+      FROM log
+    )
+    SELECT CAST(key AS BIGINT) AS key, CAST(seq AS BIGINT) AS last_seq,
+           val_cents
+    FROM last WHERE rn = 1 AND op = 'U'
+    ORDER BY key
+    """,
+)
+def orders_stream_cdc_merge_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Window
+
+    from epl_cas_etl_2026_spark.sources.parquet import load_table
+    from epl_cas_etl_2026_spark.sources.versioned import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders")
+    pdf = o.select(
+        F.col("o_custkey").cast("long").alias("key"),
+        F.col("o_orderkey").cast("long").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 >= 8, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("val_cents"),
+    ).toPandas()
+    max_seq = int(pdf["seq"].max())
+    pdf["batch"] = pdf["seq"] * 3 // (max_seq + 1)
+
+    tmp = tempfile.mkdtemp(prefix="stream_cdc_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for i in range(3):
+            part = pdf[pdf["batch"] == i]
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array(part["key"], type=pa.int64()),
+                    pa.array(part["seq"], type=pa.int64()),
+                    pa.array(part["op"], type=pa.string()),
+                    pa.array(part["val_cents"], type=pa.int64()),
+                ],
+                names=["key", "seq", "op", "val_cents"],
+            )
+            path = os.path.join(src, f"batch_{i:03d}.parquet")
+            pq.write_table(tbl, path)
+            os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+
+        table = VersionedTable(os.path.join(tmp, "vt"))
+        w = Window.partitionBy("key").orderBy(F.desc("seq"))
+
+        def apply_batch(batch_df, _batch_id):
+            latest = (
+                batch_df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            upserts = latest.filter(F.col("op") == "U").select(
+                "key", F.col("seq").alias("last_seq"), "val_cents"
+            )
+            deletes = latest.filter(F.col("op") == "D").select("key")
+            if table.latest_version() is None:
+                state = batch_df.sparkSession.createDataFrame(
+                    [], "key long, last_seq long, val_cents long"
+                )
+            else:
+                state = table.read(batch_df.sparkSession)
+            new_state = (
+                state.join(deletes, "key", "left_anti")
+                .join(upserts.select("key"), "key", "left_anti")
+                .unionByName(upserts)
+            )
+            table.commit(new_state.localCheckpoint())
+
+        stream = (
+            spark.readStream.schema(
+                "key long, seq long, op string, val_cents long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = table.read(spark).orderBy("key")
+        rows = final.collect()
+        schema = final.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
