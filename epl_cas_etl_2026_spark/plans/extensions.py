@@ -4349,3 +4349,63 @@ def docs_pack_ffd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fill_ppm"),
     ).orderBy("shard")
+
+
+# ---------------------------------------------------------------------------
+# JSONL source round-trip — the "another source format" surface: write
+# the documents table as line-delimited JSON, read it back through
+# Spark's JSON source with an EXPLICIT schema (schema inference is a
+# full extra pass at 100 TB — never rely on it) plus PERMISSIVE
+# corrupt-record capture (two planted garbage lines land in
+# _corrupt_rec instead of failing the job — the dead-letter pattern).
+# The cross-field checksum Σ doc_id·n_chars proves field PAIRING
+# survived serialization, not just row counts; the oracle recomputes
+# everything from the original parquet.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_jsonl_roundtrip_stats",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(2 AS BIGINT) AS n_corrupt,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(doc_id * n_chars) AS BIGINT) AS pair_checksum,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    """,
+)
+def docs_jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="jsonl_rt_")
+    try:
+        out = os.path.join(tmp, "docs_jsonl")
+        docs.write.mode("overwrite").json(out)
+        with open(os.path.join(out, "part-corrupt.json"), "w") as f:
+            f.write('{"doc_id": broken\nnot json at all}\n')
+        back = spark.read.schema(
+            "doc_id long, lang string, n_chars long, text string, "
+            "_corrupt_rec string"
+        ).option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_rec"
+        ).json(out)
+        stats = back.agg(
+            F.sum(F.when(F.col("_corrupt_rec").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_rows"),
+            F.sum(F.when(F.col("_corrupt_rec").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_corrupt"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum(F.col("doc_id") * F.col("n_chars")).alias("pair_checksum"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        rows = stats.collect()
+        schema = stats.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
