@@ -236,3 +236,80 @@ def test_first_fit_pack_matches_python(spark):
     }
     for i, items in enumerate(cases):
         assert got[i] == py_ff(items), (i, items)
+
+
+def test_folds_randomized_against_python(spark):
+    """200 seeded random streams per fold, all checked in ONE Spark
+    job each — broad coverage of merge/packing edge interactions
+    (runs of equal tokens, exact fits, singletons) beyond the crafted
+    cases above."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from epl_cas_etl_2026_spark.functions.text import (
+        first_fit_pack,
+        greedy_pair_merge,
+    )
+
+    rng = random.Random(42)
+    merge_cases = []
+    for i in range(200):
+        ws = [rng.choice("abc") for _ in range(rng.randint(0, 12))]
+        w1, w2 = rng.choice("abc"), rng.choice("abc")
+        merge_cases.append((i, ws, w1, w2))
+
+    def py_greedy(ws, w1, w2):
+        out, i = [], 0
+        while i < len(ws):
+            if i + 1 < len(ws) and ws[i] == w1 and ws[i + 1] == w2:
+                out.append(f"{w1}_{w2}")
+                i += 2
+            else:
+                out.append(ws[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame(
+        merge_cases, "i int, w array<string>, w1 string, w2 string"
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i",
+            greedy_pair_merge(
+                F.col("w"),
+                F.col("w1"),
+                F.col("w2"),
+                F.concat_ws("_", F.col("w1"), F.col("w2")),
+            ).alias("m"),
+        ).collect()
+    }
+    for i, ws, w1, w2 in merge_cases:
+        assert got[i] == py_greedy(ws, w1, w2), (i, ws, w1, w2)
+
+    pack_cases = [
+        (i, [rng.randint(1, 100) for _ in range(rng.randint(0, 20))])
+        for i in range(200)
+    ]
+
+    def py_ff(items, cap=100):
+        bins = []
+        for x in items:
+            for j, b in enumerate(bins):
+                if b + x <= cap:
+                    bins[j] = b + x
+                    break
+            else:
+                bins.append(x)
+        return bins
+
+    df2 = spark.createDataFrame(pack_cases, "i int, items array<long>")
+    got2 = {
+        r["i"]: list(r["b"])
+        for r in df2.select(
+            "i", first_fit_pack(F.col("items"), 100).alias("b")
+        ).collect()
+    }
+    for i, items in pack_cases:
+        assert got2[i] == py_ff(items), (i, items)
