@@ -231,3 +231,46 @@ def test_cms_sketch_shares_exact_aggregate(spark, sf_oracle):
     the InMemoryTableScan nodes, not the FileScan count)."""
     plan = _plan(spark, sf_oracle, "events_heavy_hitters_cms")
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_triangles_degree_oriented_no_cartesian(spark, sf_oracle):
+    """Triangle counting must stay equi-join shaped (degree-ordered
+    wedge enumeration) — no cartesian/nested-loop pair generation, and
+    the wedge join is keyed (hub-proof)."""
+    plan = _plan(spark, sf_oracle, "docs_near_dup_triangles")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are the two 1-row scalar
+    # cross joins assembling the final (n_edges × wedge-stats ×
+    # triangle-count) row — the wedge/closing joins must be equi
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
+def test_distribution_ranks_window_is_keyed(spark, sf_oracle):
+    """ntile/percent_rank/cume_dist run in ONE window pass partitioned
+    by segment — a second Window node or a global (unkeyed) window
+    would be a plan regression."""
+    plan = _plan(spark, sf_oracle, "customer_balance_distribution_ranks")
+    windows = re.findall(r"Window .*", plan)
+    assert windows, plan
+    for w in windows:
+        assert "c_mktsegment" in w, w
+
+
+def test_range_frame_window_is_keyed(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "orders_trailing_30d_range_frame")
+    for w in re.findall(r"Window .*", plan):
+        assert "o_custkey" in w, w
+
+
+def test_ols_single_scan_pruned(spark, sf_oracle):
+    """Closed-form OLS is one scan over exactly the three needed
+    columns — moments fold in the aggregate, nothing else reads the
+    table."""
+    plan = _plan(spark, sf_oracle, "lineitem_ols_price_on_qty")
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(scans) == 1, plan
+    assert len(scans[0].split(",")) == 3, scans
