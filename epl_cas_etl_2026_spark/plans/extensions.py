@@ -4409,3 +4409,65 @@ def docs_jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test — experiment analysis over the events stream:
+# variant = user_id parity (deterministic assignment), conversion =
+# value ≥ 50. One scan to four exact integers (n, conversions per
+# arm), then the pooled two-proportion z statistic evaluated with the
+# IDENTICAL double expression shape on both engines and milli-scaled.
+# The A/B readout every experimentation platform computes — here as a
+# single map-side-combined aggregate instead of a metrics service.
+# 100 TB: the scan is the whole cost; the statistic folds from 4
+# numbers.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_ab_conversion_ztest",
+    """
+    WITH arms AS (
+      SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 AND value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 AND value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      FROM events
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           CAST(FLOOR((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                      / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                             * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                             * (1.0 / n_a + 1.0 / n_b))
+                      * 1000 + 0.5) AS BIGINT) AS z_milli,
+           CAST(FLOOR((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                      * 1000000 + 0.5) AS BIGINT) AS lift_ppm
+    FROM arms
+    """,
+)
+def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm_a = (F.col("user_id") % 2 == 0).cast("long")
+    conv = (F.col("value") >= 50).cast("long")
+    arms = ev.agg(
+        F.sum(arm_a).alias("n_a"),
+        F.sum(arm_a * conv).alias("c_a"),
+        F.sum(1 - arm_a).alias("n_b"),
+        F.sum((1 - arm_a) * conv).alias("c_b"),
+    )
+    pa_, pb = (
+        F.col("c_a").cast("double") / F.col("n_a"),
+        F.col("c_b").cast("double") / F.col("n_b"),
+    )
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (pa_ - pb) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return arms.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.floor(z * 1000 + 0.5).cast("long").alias("z_milli"),
+        F.floor((pa_ - pb) * 1000000 + 0.5).cast("long").alias("lift_ppm"),
+    )
