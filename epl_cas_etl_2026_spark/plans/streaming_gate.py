@@ -498,6 +498,13 @@ def orders_stream_cdc_merge_gate(
         .cast("long")
         .alias("val_cents"),
     ).toPandas()
+    if len(pdf) == 0:
+        # empty feed → empty final state, same schema (no stream run:
+        # FileStreamSource needs at least one file, and zero batches
+        # would commit zero snapshots anyway)
+        return spark.createDataFrame(
+            [], "key long, last_seq long, val_cents long"
+        )
     max_seq = int(pdf["seq"].max())
     pdf["batch"] = pdf["seq"] * 3 // (max_seq + 1)
 

@@ -19,7 +19,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_VALUEERRORS = {"embedding_kmeans_clusters", "embedding_ann_ivf_kmeans"}
+EXPECTED_VALUEERRORS = {
+    "embedding_kmeans_clusters",
+    "embedding_ann_ivf_kmeans",
+    # pq_fit's deterministic init (codebooks from rows id 0..k-1) has
+    # the same by-design guard as kmeans_fit: empty input raises a
+    # clear ValueError instead of training on nothing
+    "embedding_pq_codes_invariants",
+}
 
 
 def main() -> int:
