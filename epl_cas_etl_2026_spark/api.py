@@ -47,9 +47,7 @@ from epl_cas_etl_2026_spark.functions.scalars import (
     pct_of,
     territorio,
 )
-from epl_cas_etl_2026_spark.functions.scalars import (
-    territorio as territorio_col,
-)
+from epl_cas_etl_2026_spark.functions.scalars import territorio as territorio_col
 from epl_cas_etl_2026_spark.operators.ranking import competition_rank
 from epl_cas_etl_2026_spark.operators.reshape import pivot_matrix
 
@@ -377,7 +375,7 @@ def ranking_sucursales(
 def heatmap_matrix(
     tables: dict,
     tipo: str = "operativas",
-    territorio: str = "todas",
+    territorio: str | None = "todas",
 ) -> DataFrame:
     """GET /api/historico/<tipo> (app.py:1128-1215): (grupo × periodo)
     densified matrix (J4) pivoted wide (A10), per-group overall =
@@ -396,7 +394,9 @@ def heatmap_matrix(
     g = _active(tables["grupos_operativos"]).select(
         F.col("id").alias("grupo_id"), F.col("nombre").alias("grupo")
     )
-    if territorio != "todas" and territorio != "all":
+    # None and 'todas' both mean unfiltered, matching the
+    # territorio_filtro convention of ranking_grupos/ranking_sucursales
+    if territorio is not None and territorio != "todas":
         g = g.filter(
             territorio_col(F.col("grupo")).isin(*_territorio_keep(territorio))
         )

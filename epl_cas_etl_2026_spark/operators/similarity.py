@@ -447,9 +447,9 @@ def _pq_assign_udf(codebooks):
         return pd.DataFrame({"code": code, "sq_dist": best})
 
     assign.__annotations__ = {
-        "sub_id": __import__("pandas").Series,
-        "subvec": __import__("pandas").Series,
-        "return": __import__("pandas").DataFrame,
+        "sub_id": pd.Series,
+        "subvec": pd.Series,
+        "return": pd.DataFrame,
     }
     return pandas_udf(assign, "code int, sq_dist double")
 
@@ -463,7 +463,11 @@ def pq_subvectors(
 ) -> DataFrame:
     """(id, sub_id, subvec) long form: each vector split into m
     contiguous subspaces — per-row array slicing inside the scan
-    stage, fan-out m."""
+    stage, fan-out m. ``dim`` must divide evenly into m subspaces;
+    anything else would silently drop trailing dimensions from the
+    codes while the exact re-rank still sees them."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     dsub = dim // m
     v = to_double(F.col(vec_col))
     parts = F.array(

@@ -3464,6 +3464,10 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("test"))
             .alias("split"),
         )
+        # pin: three consumers (per-split rollup + both straddle-join
+        # sides) — without this the docs⋈labels join and double md5
+        # re-execute per consumer
+        .localCheckpoint(eager=False)
     )
     straddle = (
         pairs.join(
@@ -3603,20 +3607,20 @@ def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 6-number fold; Spark's regr_slope/regr_intercept aggregates are
 # deliberately avoided because their streaming-float merge order is
 # partition-dependent (non-reproducible across engines AND runs).
-# y is quantized to whole dollars so Syy stays inside BIGINT at any
-# realistic row count.
+# Moments accumulate in OVERFLOW-FREE exact types — Spark
+# decimal(38,0), DuckDB's native HUGEINT SUM — so Σy² stays exact to
+# ~1e38 (int64 would wrap near 8e8 rows/group); each moment is cast
+# to DOUBLE once, and the formula runs over pure doubles with the
+# identical shape on both engines.
 # ---------------------------------------------------------------------------
 @_register(
     "lineitem_ols_price_on_qty",
     """
     WITH m AS (
       SELECT l_returnflag,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(q) AS BIGINT) AS sx,
-             CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(q * q) AS BIGINT) AS sxx,
-             CAST(SUM(q * y) AS BIGINT) AS sxy,
-             CAST(SUM(y * y) AS BIGINT) AS syy
+             COUNT(*) AS n,
+             SUM(q) AS sx, SUM(y) AS sy, SUM(q * q) AS sxx,
+             SUM(q * y) AS sxy, SUM(y * y) AS syy
       FROM (SELECT l_returnflag,
                    CAST(FLOOR(CAST(l_quantity AS DOUBLE) + 0.5) AS BIGINT)
                      AS q,
@@ -3624,22 +3628,23 @@ def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS BIGINT) AS y
             FROM lineitem)
       GROUP BY l_returnflag
+    ), d AS (
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sx,
+             CAST(sy AS DOUBLE) AS sy, CAST(sxx AS DOUBLE) AS sxx,
+             CAST(sxy AS DOUBLE) AS sxy, CAST(syy AS DOUBLE) AS syy
+      FROM m
     )
     SELECT l_returnflag, n,
-           CAST(FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+           CAST(FLOOR((nd * sxy - sx * sy) / (nd * sxx - sx * sx)
                       * 1000000 + 0.5) AS BIGINT) AS slope_micro,
-           CAST(FLOOR((CAST(sy AS DOUBLE)
-                       - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                         * sx) / n * 1000 + 0.5) AS BIGINT)
+           CAST(FLOOR((sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+                            * sx) / nd * 1000 + 0.5) AS BIGINT)
              AS intercept_milli,
-           CAST(FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                      * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                      / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           CAST(FLOOR((nd * sxy - sx * sy) * (nd * sxy - sx * sy)
+                      / ((nd * sxx - sx * sx) * (nd * syy - sy * sy))
                       * 1000000 + 0.5) AS BIGINT) AS r2_ppm
-    FROM m ORDER BY l_returnflag
+    FROM d ORDER BY l_returnflag
     """,
 )
 def lineitem_ols_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3652,25 +3657,34 @@ def lineitem_ols_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
+    dec = "decimal(38,0)"
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("q").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("q") * F.col("q")).alias("sxx"),
-        F.sum(F.col("q") * F.col("y")).alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("q").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("q") * F.col("q")).cast(dec)).alias("sxx"),
+        F.sum((F.col("q") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
     )
-    nd = F.col("n").cast("double")
-    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
-    cov_n = nd * F.col("sxy") - sxd * F.col("sy")  # n·Sxy − Sx·Sy
-    var_x = nd * F.col("sxx") - sxd * F.col("sx")
-    var_y = nd * F.col("syy") - syd * F.col("sy")
+    d = m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.col("n").cast("double").alias("nd"),
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("sx", "sy", "sxx", "sxy", "syy")
+        ],
+    )
+    nd = F.col("nd")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = nd * F.col("syy") - F.col("sy") * F.col("sy")
     slope = cov_n / var_x
-    return m.select(
+    return d.select(
         "l_returnflag",
         "n",
         F.floor(slope * 1000000 + 0.5).cast("long").alias("slope_micro"),
-        F.floor((syd - slope * F.col("sx")) / F.col("n") * 1000 + 0.5)
+        F.floor((F.col("sy") - slope * F.col("sx")) / nd * 1000 + 0.5)
         .cast("long")
         .alias("intercept_milli"),
         F.floor(cov_n * cov_n / (var_x * var_y) * 1000000 + 0.5)
@@ -4433,13 +4447,18 @@ def docs_jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT n_a, c_a, n_b, c_b,
-           CAST(FLOOR((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+           CASE WHEN n_a = 0 OR n_b = 0 OR c_a + c_b = 0
+                     OR c_a + c_b = n_a + n_b THEN NULL
+                ELSE CAST(FLOOR((CAST(c_a AS DOUBLE) / n_a
+                                 - CAST(c_b AS DOUBLE) / n_b)
                       / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
                              * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
                              * (1.0 / n_a + 1.0 / n_b))
-                      * 1000 + 0.5) AS BIGINT) AS z_milli,
-           CAST(FLOOR((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
-                      * 1000000 + 0.5) AS BIGINT) AS lift_ppm
+                      * 1000 + 0.5) AS BIGINT) END AS z_milli,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                ELSE CAST(FLOOR((CAST(c_a AS DOUBLE) / n_a
+                                 - CAST(c_b AS DOUBLE) / n_b)
+                      * 1000000 + 0.5) AS BIGINT) END AS lift_ppm
     FROM arms
     """,
 )
@@ -4463,11 +4482,21 @@ def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (pa_ - pb) / F.sqrt(
         pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
     )
+    conv = F.col("c_a") + F.col("c_b")
+    tot = F.col("n_a") + F.col("n_b")
+    # degenerate designs (empty arm, 0% or 100% pooled conversion)
+    # yield NULL, not an Infinity/NaN cast that crashes or diverges
+    arm_ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     return arms.select(
         "n_a",
         "c_a",
         "n_b",
         "c_b",
-        F.floor(z * 1000 + 0.5).cast("long").alias("z_milli"),
-        F.floor((pa_ - pb) * 1000000 + 0.5).cast("long").alias("lift_ppm"),
+        F.when(
+            arm_ok & (conv > 0) & (conv < tot),
+            F.floor(z * 1000 + 0.5).cast("long"),
+        ).alias("z_milli"),
+        F.when(
+            arm_ok, F.floor((pa_ - pb) * 1000000 + 0.5).cast("long")
+        ).alias("lift_ppm"),
     )

@@ -14,8 +14,7 @@ from epl_cas_etl_2026_spark.plans.extensions import (
     lineitem_ols_price_on_qty,
 )
 from epl_cas_etl_2026_spark.sources.parquet import load_table
-
-SF = "/root/testdata/sf0.001"
+from tests.conftest import SF_SMOKE as SF
 
 
 def test_ols_matches_numpy_lstsq(spark):

@@ -405,7 +405,7 @@ def test_leakage_safe_split_cluster_consistent(spark):
     )
     from epl_cas_etl_2026_spark.sources.parquet import load_table
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SF_SMOKE as sf  # noqa: N806
     out = docs_leakage_safe_split(spark, sf).collect()
     assert all(r["straddling_pairs"] == 0 for r in out)
     n_docs = load_table(spark, sf, "documents").count()
