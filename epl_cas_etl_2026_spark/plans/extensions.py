@@ -4500,3 +4500,161 @@ def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             arm_ok, F.floor((pa_ - pb) * 1000000 + 0.5).cast("long")
         ).alias("lift_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence test (event_type × variant) — the
+# categorical companion of the z-test. The statistic is a SUM of
+# per-cell float terms, and a naive SUM() over cells would be
+# partition-order-dependent — so the cells are collected into ONE
+# SORTED array and folded in (event_type, variant) order on both
+# engines: the deterministic-float-reduction pattern (sorted-array
+# fold) that makes cross-engine hashes possible for float sums that
+# don't telescope into exact integers. Cell counts/marginals stay
+# exact BIGINTs (o·N fits int64 to ~3e9 rows; past that, lift the
+# diff into DOUBLE or decimal). The cell list is tiny (|types|·2) —
+# the one-row fold costs nothing; the scan is the whole cost.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_chi2_type_variant",
+    """
+    WITH c AS (
+      SELECT event_type, user_id % 2 AS variant,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY event_type, variant
+    ),
+    t AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt
+          FROM c GROUP BY event_type),
+    v AS (SELECT variant, CAST(SUM(o) AS BIGINT) AS ct
+          FROM c GROUP BY variant),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+    cells AS (
+      SELECT c.event_type, c.variant, o, rt, ct, n
+      FROM c JOIN t USING (event_type) JOIN v USING (variant)
+      CROSS JOIN tot
+    ),
+    arr AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+             list({'o': o, 'rt': rt, 'ct': ct, 'n': n}
+                  ORDER BY event_type, variant) AS l
+      FROM cells
+    )
+    SELECT n_cells, CAST((n_types - 1) * 1 AS BIGINT) AS dof,
+           CAST(FLOOR(list_reduce(
+                  list_transform(l, x ->
+                    CAST(x.o * x.n - x.rt * x.ct AS DOUBLE)
+                    * CAST(x.o * x.n - x.rt * x.ct AS DOUBLE)
+                    / (CAST(x.n AS DOUBLE) * x.rt * x.ct)),
+                  (a, b) -> a + b) * 1000 + 0.5) AS BIGINT) AS chi2_milli
+    FROM arr
+    """,
+)
+def events_chi2_type_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("variant")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    t = c.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    v = c.groupBy("variant").agg(F.sum("o").alias("ct"))
+    tot = c.agg(F.sum("o").alias("n"))
+    cells = (
+        c.join(F.broadcast(t), "event_type")
+        .join(F.broadcast(v), "variant")
+        .crossJoin(F.broadcast(tot))
+    )
+    arr = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("event_type", "variant", "o", "rt", "ct", "n")
+            )
+        ).alias("l"),
+    )
+
+    def term(x):
+        d = (x["o"] * x["n"] - x["rt"] * x["ct"]).cast("double")
+        return d * d / (x["n"].cast("double") * x["rt"] * x["ct"])
+
+    chi2 = F.aggregate(
+        F.transform(F.col("l"), term), F.lit(0.0), lambda a, b: a + b
+    )
+    return arr.select(
+        "n_cells",
+        ((F.col("n_types") - 1) * 1).cast("long").alias("dof"),
+        F.floor(chi2 * 1000 + 0.5).cast("long").alias("chi2_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U — the rank-based (nonparametric) companion of the
+# z-test, and a query whose every output is an EXACT INTEGER: with
+# average ranks doubled (2·avg_rank = 2·min_rank + tie_count − 1),
+# the rank sum and U statistic never touch a float, so no
+# quantization is needed at all. The global value rank comes from
+# two_phase_competition_rank (range-partition + local rank + prefix
+# offsets — no single-partition window), making this the 100 TB form
+# of a test usually written with one big ORDER BY; tie counts ride a
+# keyed window on the value.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_mannwhitney_value",
+    """
+    WITH e AS (
+      SELECT user_id % 2 AS variant,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+               AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT variant,
+             CAST(RANK() OVER (ORDER BY cents) AS BIGINT) AS rnk,
+             CAST(COUNT(*) OVER (PARTITION BY cents) AS BIGINT) AS tie
+      FROM e
+    )
+    SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_a,
+           CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_b,
+           CAST(SUM(CASE WHEN variant = 0 THEN 2 * rnk + tie - 1
+                         ELSE 0 END) AS BIGINT) AS rank_sum_a_x2,
+           CAST(SUM(CASE WHEN variant = 0 THEN 2 * rnk + tie - 1
+                         ELSE 0 END)
+                - SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                  * (SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) + 1)
+                AS BIGINT) AS u_a_x2
+    FROM r
+    """,
+)
+def events_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.ranking import (
+        two_phase_competition_rank,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.floor(F.col("value").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    # ascending value rank via the descending two-phase ranker on the
+    # negated value (competition/min-rank semantics match RANK())
+    ranked = two_phase_competition_rank(
+        ev.withColumn("neg", -F.col("cents")), "neg", rank_col="rnk"
+    )
+    tie_w = Window.partitionBy("cents")
+    r = ranked.select(
+        "variant",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(tie_w).cast("long").alias("tie"),
+    )
+    is_a = (F.col("variant") == 0).cast("long")
+    ra2 = F.sum(is_a * (2 * F.col("rnk") + F.col("tie") - 1))
+    na = F.sum(is_a)
+    return r.agg(
+        na.cast("long").alias("n_a"),
+        F.sum(1 - is_a).cast("long").alias("n_b"),
+        ra2.cast("long").alias("rank_sum_a_x2"),
+        (ra2 - na * (na + 1)).cast("long").alias("u_a_x2"),
+    )
