@@ -569,6 +569,14 @@ def test_heatmap_territorio_inclusive_filter(domain):
     }
     assert "EXPO MTY" in for_rows and "PLOG NORTE" in for_rows
     assert "TEPEYAC CENTRO" not in for_rows
+    # None follows the territorio_filtro convention: no filter
+    none_rows = {
+        r.grupo
+        for r in api.heatmap_matrix(
+            tables, "operativas", territorio=None
+        ).collect()
+    }
+    assert none_rows == set(allrows)
     with pytest.raises(ValueError):
         api.heatmap_matrix(tables, "operativas", territorio="bogus")
 
