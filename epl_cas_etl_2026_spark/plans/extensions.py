@@ -4658,3 +4658,155 @@ def events_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ra2.cast("long").alias("rank_sum_a_x2"),
         (ra2 - na * (na + 1)).cast("long").alias("u_a_x2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change detection — the sequential drift monitor
+# (s_t = max(0, s_{t−1} + x_t − k); alarm and reset at s ≥ h) that,
+# like EWMA, looks un-SQL-able but runs as a per-key FOLD over the
+# time-ordered value list: accumulator [s, alarms], both exact
+# integer cents, so the recursion never touches a float. DuckDB's
+# list_reduce has no explicit init (it seeds from the first element),
+# so the oracle PREPENDS the [0, 0] init as a sentinel element — the
+# cross-engine trick for seeding a typed accumulator. Per-user fold =
+# embarrassingly parallel; reference constants k=50.00, h=200.00.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_cusum_drift_alarms",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+               AS cents
+      FROM events
+    ),
+    per AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             list(cents ORDER BY cents) AS items
+      FROM e GROUP BY user_id
+    ),
+    folded AS (
+      SELECT user_id, n_events,
+             list_reduce([[CAST(0 AS BIGINT), 0]]
+                         || list_transform(items, x -> [x]),
+               (acc, x) -> CASE
+                 WHEN greatest(0, acc[1] + x[1] - 5000) >= 20000
+                   THEN [CAST(0 AS BIGINT), acc[2] + 1]
+                 ELSE [greatest(0, acc[1] + x[1] - 5000), acc[2]]
+               END) AS r
+      FROM per
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(r[2]) AS BIGINT) AS n_alarms,
+           CAST(SUM(CASE WHEN r[2] > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_users_alarmed,
+           CAST(MAX(r[1]) AS BIGINT) AS max_final_s
+    FROM folded
+    """,
+)
+def events_cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fold order: cents ASC (deterministic total order not needed —
+    # CUSUM over a fixed reference k only needs SOME agreed order, and
+    # value order is reproducible without a (ts, event_id) tiebreak
+    # because equal cents are interchangeable in the recursion)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(F.collect_list("cents")).alias("items"),
+    )
+    step = lambda acc, x: F.when(  # noqa: E731
+        F.greatest(F.lit(0).cast("long"), acc[0] + x - 5000) >= 20000,
+        F.array(F.lit(0).cast("long"), acc[1] + 1),
+    ).otherwise(
+        F.array(
+            F.greatest(F.lit(0).cast("long"), acc[0] + x - 5000), acc[1]
+        )
+    )
+    folded = per.select(
+        "user_id",
+        "n_events",
+        F.aggregate(
+            F.col("items"),
+            F.array(F.lit(0).cast("long"), F.lit(0).cast("long")),
+            step,
+        ).alias("r"),
+    )
+    return folded.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum(F.element_at("r", 2)).cast("long").alias("n_alarms"),
+        F.sum(
+            F.when(F.element_at("r", 2) > 0, 1).otherwise(0)
+        ).cast("long").alias("n_users_alarmed"),
+        F.max(F.element_at("r", 1)).cast("long").alias("max_final_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest — forecasting EVALUATION as a
+# query: forecast(hour) = actual(hour − 24h) per event type, scored
+# by WAPE (Σ|actual−forecast| / Σactual — the integer-sum-friendly
+# accuracy metric; per-hour MAPE would divide per row and lose
+# exactness). The t↔t−24h alignment is an equi-join on the shifted
+# hour timestamp — robust to gaps, unlike lag(24) over a dense-hour
+# assumption. Both sums are exact BIGINTs; the single division is
+# ppm-floored. 100 TB: one hourly rollup (map-side combined) + one
+# self-equi-join on (type, hour).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_seasonal_naive_backtest",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hr
+    )
+    SELECT a.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours_scored,
+           CAST(SUM(a.n) AS BIGINT) AS actual_total,
+           CAST(SUM(ABS(a.n - f.n)) AS BIGINT) AS abs_err_total,
+           CAST(FLOOR(CAST(SUM(ABS(a.n - f.n)) AS DOUBLE)
+                      / SUM(a.n) * 1000000 + 0.5) AS BIGINT) AS wape_ppm
+    FROM h a JOIN h f
+      ON a.event_type = f.event_type
+     AND f.hr = a.hr - INTERVAL 24 HOURS
+    GROUP BY a.event_type ORDER BY a.event_type
+    """,
+)
+def events_seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a, f = h.alias("a"), h.alias("f")
+    joined = a.join(
+        f,
+        (F.col("a.event_type") == F.col("f.event_type"))
+        & (
+            F.col("f.hr")
+            == F.col("a.hr") - F.expr("INTERVAL 24 HOURS")
+        ),
+    )
+    abs_err = F.sum(F.abs(F.col("a.n") - F.col("f.n")))
+    return (
+        joined.groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours_scored"),
+            F.sum("a.n").cast("long").alias("actual_total"),
+            abs_err.cast("long").alias("abs_err_total"),
+            F.floor(
+                abs_err.cast("double") / F.sum("a.n") * 1000000 + 0.5
+            )
+            .cast("long")
+            .alias("wape_ppm"),
+        )
+        .orderBy("event_type")
+    )
