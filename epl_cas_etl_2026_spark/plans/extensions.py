@@ -3607,11 +3607,14 @@ def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 6-number fold; Spark's regr_slope/regr_intercept aggregates are
 # deliberately avoided because their streaming-float merge order is
 # partition-dependent (non-reproducible across engines AND runs).
-# Moments accumulate in OVERFLOW-FREE exact types — Spark
-# decimal(38,0), DuckDB's native HUGEINT SUM — so Σy² stays exact to
-# ~1e38 (int64 would wrap near 8e8 rows/group); each moment is cast
-# to DOUBLE once, and the formula runs over pure doubles with the
-# identical shape on both engines.
+# Overflow safety WITHOUT decimal aggregation (measured 3× slower than
+# long sums): only Σy² can wrap int64 (near 8e8 rows/group at dollar
+# scale), so y² alone is SPLIT-SUMMED as (div 2^20, mod 2^20) long
+# pairs — the hot aggregation stays in codegen-friendly longs to
+# ~1e12 rows/group — and the exact value is reassembled in decimal on
+# the 3 output rows. DuckDB's SUM promotes to HUGEINT natively, and
+# equal exact integers cast to identical doubles, so the formula (pure
+# doubles, identical shape) hash-matches.
 # ---------------------------------------------------------------------------
 @_register(
     "lineitem_ols_price_on_qty",
@@ -3657,14 +3660,22 @@ def lineitem_ols_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
-    dec = "decimal(38,0)"
+    y2 = F.col("y") * F.col("y")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("q").cast(dec)).alias("sx"),
-        F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum((F.col("q") * F.col("q")).cast(dec)).alias("sxx"),
-        F.sum((F.col("q") * F.col("y")).cast(dec)).alias("sxy"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum("q").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("q") * F.col("q")).alias("sxx"),
+        F.sum(F.col("q") * F.col("y")).alias("sxy"),
+        F.sum(F.expr("(y * y) div 1048576")).alias("syy_hi"),
+        F.sum(y2 % 1048576).alias("syy_lo"),
+    )
+    # per-row hi ≤ y²/2^20 ≈ 1e4, lo < 2^20 → both long sums safe past
+    # 1e12 rows/group; reassemble hi·2^20 + lo exactly in decimal on
+    # the k output rows, then one cast to double
+    syy_exact = (
+        F.col("syy_hi").cast("decimal(38,0)") * 1048576
+        + F.col("syy_lo").cast("decimal(38,0)")
     )
     d = m.select(
         "l_returnflag",
@@ -3672,8 +3683,9 @@ def lineitem_ols_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("double").alias("nd"),
         *[
             F.col(c).cast("double").alias(c)
-            for c in ("sx", "sy", "sxx", "sxy", "syy")
+            for c in ("sx", "sy", "sxx", "sxy")
         ],
+        syy_exact.cast("double").alias("syy"),
     )
     nd = F.col("nd")
     cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
