@@ -37,7 +37,7 @@ aggregate grain; every ranking window is post-aggregation
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from epl_cas_etl_2026_spark.functions.scalars import (
@@ -48,7 +48,10 @@ from epl_cas_etl_2026_spark.functions.scalars import (
     territorio,
 )
 from epl_cas_etl_2026_spark.functions.scalars import territorio as territorio_col
-from epl_cas_etl_2026_spark.operators.ranking import competition_rank
+from epl_cas_etl_2026_spark.operators.ranking import (
+    MAX_GLOBAL_WINDOW_ROWS,
+    competition_rank,
+)
 from epl_cas_etl_2026_spark.operators.reshape import pivot_matrix
 
 FACT_TABLES = {
@@ -118,8 +121,26 @@ def ranking_grupos(
     - groups whose UPPER(nombre) starts with 'PLOG' (the
       GRUPOS_AGRUPACIONES patron with '%' stripped, app.py:506-508 —
       note: NOT 'PLOG ' with a space) collapse into ONE 'PLOG' entity
-      whose promedio is supervision-WEIGHTED over all surviving
-      members (A13, app.py:64-89);
+      whose promedio is supervision-WEIGHTED over member groups
+      (A13, app.py:64-89). The reference is INCONSISTENT about which
+      members feed the aggregate: membership into the collapse is
+      ``upper(nombre).startswith('PLOG')`` (app.py:506-508), but the
+      UNfiltered aggregate (calcular_promedio_agrupacion, app.py:64-89)
+      re-selects members with case-sensitive ``LIKE 'PLOG %'`` — a
+      group named 'PLOGX' or 'plog sur' is collapsed into the entity
+      yet EXCLUDED from its promedio/supervisiones/sucursales. The
+      filtered path (app.py:528-553) recomputes by member id, so there
+      both sets coincide. Both behaviors are reproduced verbatim
+      (pinned by tests/test_semantic_traps.py);
+    - an INDEPENDENT group whose raw (unrounded) average is exactly
+      0.0 is demoted to NULL by the reference's truthiness coalesce
+      (``round(float(row[2]), 2) if row[2] else None``, app.py:497)
+      and lands in the unranked tail with posicion NULL — but the
+      agrupación row keeps promedio 0.0 RANKED because its check is
+      ``is not None`` (app.py:556). The raw average is exactly 0.0
+      iff the exact decimal SUM is 0 with a nonzero count
+      (calificaciones are nonnegative), which is how the demotion is
+      expressed order-deterministically here;
     - the agrupación item carries NO territorio field in the reference
       payload (app.py:588-599), so the collapsed row's territorio is
       NULL here; independent groups keep get_territorio(nombre);
@@ -143,6 +164,9 @@ def ranking_grupos(
     g = _active(tables["grupos_operativos"]).select(
         F.col("id").alias("grupo_id"),
         F.upper(F.col("nombre")).startswith("PLOG").alias("is_agrup"),
+        # the unfiltered aggregate's stricter membership: case-sensitive
+        # 'PLOG ' prefix (SQL LIKE 'PLOG %', app.py:64-89)
+        F.col("nombre").startswith("PLOG ").alias("in_like"),
         F.when(
             F.upper(F.col("nombre")).startswith("PLOG"), F.lit("PLOG")
         )
@@ -150,7 +174,8 @@ def ranking_grupos(
         .alias("entidad"),
         territorio(F.col("nombre")).alias("territorio"),
     )
-    if territorio_filtro is not None and territorio_filtro != "todas":
+    filtered = territorio_filtro is not None and territorio_filtro != "todas"
+    if filtered:
         g = g.filter(
             F.col("territorio").isin(*_territorio_keep(territorio_filtro))
         )
@@ -168,7 +193,9 @@ def ranking_grupos(
     ).join(f, s.sucursal_id == f.f_sucursal_id, "left")
     # per-member-group partials first (branches belong to exactly one
     # group, so per-group distincts sum exactly across the collapse)
-    per_group = base.groupBy("grupo_id", "entidad", "is_agrup", "territorio").agg(
+    per_group = base.groupBy(
+        "grupo_id", "entidad", "is_agrup", "in_like", "territorio"
+    ).agg(
         F.sum(F.col("calificacion_general").cast("decimal(18,6)")).alias("sum_calif"),
         F.count("calificacion_general").cast("long").alias("n_calif"),
         F.count("sup_id").cast("long").alias("n_sup"),
@@ -177,39 +204,64 @@ def ranking_grupos(
             F.when(F.col("sup_id").isNotNull(), F.col("sucursal_id"))
         ).cast("long").alias("suc_con"),
     )
+    # which member groups feed the entity-level aggregate: the FILTERED
+    # path recomputes over every surviving member by id (app.py:528-553);
+    # the UNfiltered path re-selects agrupación members with
+    # case-sensitive LIKE 'PLOG %' (app.py:64-89), so a collapsed-but-
+    # not-LIKE member ('PLOGX', 'plog sur') is excluded. Independents
+    # are their own single member either way. suc_all (the NULL-promedio
+    # fallback count, app.py:560-564) always sums ALL members.
+    memb = (
+        F.lit(True)
+        if filtered
+        else (~F.col("is_agrup")) | F.col("in_like")
+    )
     agg = per_group.groupBy("entidad").agg(
         F.max("is_agrup").alias("is_agrup"),
         F.min(F.when(~F.col("is_agrup"), F.col("territorio"))).alias(
             "territorio"
         ),
-        # det_avg over the member union, from per-group partials:
-        # exact decimal sum / count at scale>=16, then HALF_UP to 2dp —
-        # same construction (and same DuckDB twin) as det_avg; the
-        # zero-count guard keeps ANSI mode from raising DIVIDE_BY_ZERO
-        F.when(
-            F.sum("n_calif") > 0,
-            F.round(
-                F.sum("sum_calif").cast("decimal(28,6)")
-                / F.sum("n_calif").cast("decimal(12,0)"),
-                2,
-            ),
-        ).cast("double").alias("promedio"),
-        F.sum("n_sup").alias("n_sup"),
+        F.sum(F.when(memb, F.col("sum_calif"))).alias("m_sum"),
+        F.coalesce(F.sum(F.when(memb, F.col("n_calif"))), F.lit(0)).alias(
+            "m_n"
+        ),
+        F.coalesce(F.sum(F.when(memb, F.col("n_sup"))), F.lit(0)).alias(
+            "m_sup"
+        ),
         F.sum("suc_all").alias("suc_all"),
-        F.sum("suc_con").alias("suc_con"),
+        F.coalesce(F.sum(F.when(memb, F.col("suc_con"))), F.lit(0)).alias(
+            "suc_con"
+        ),
     )
     shaped = agg.select(
         "entidad",
         "territorio",
-        "promedio",
+        # det_avg over the member union, from per-group partials: exact
+        # decimal sum / count at scale>=16, then HALF_UP to 2dp — same
+        # construction (and same DuckDB twin) as det_avg; the m_n > 0
+        # guard keeps ANSI mode from raising DIVIDE_BY_ZERO. The
+        # is_agrup | m_sum != 0 term is the reference's truthiness
+        # demotion: an INDEPENDENT group whose raw average is exactly
+        # 0.0 (exact decimal sum 0, count > 0 — calificaciones are
+        # nonnegative) displays NULL and drops to the unranked tail
+        # (app.py:497, 609-614); the agrupación keeps 0.0 (app.py:556)
         F.when(
-            F.col("is_agrup") & F.col("promedio").isNull(), F.lit(0)
+            (F.col("m_n") > 0)
+            & (F.col("is_agrup") | (F.col("m_sum") != 0)),
+            F.round(
+                F.col("m_sum").cast("decimal(28,6)")
+                / F.col("m_n").cast("decimal(12,0)"),
+                2,
+            ),
+        ).cast("double").alias("promedio"),
+        F.when(
+            F.col("is_agrup") & (F.col("m_n") == 0), F.lit(0)
         )
-        .otherwise(F.col("n_sup"))
+        .otherwise(F.col("m_sup"))
         .cast("long")
         .alias("supervisiones"),
         F.when(
-            F.col("is_agrup") & F.col("promedio").isNotNull(),
+            F.col("is_agrup") & (F.col("m_n") > 0),
             F.col("suc_con"),
         )
         .otherwise(F.col("suc_all"))
@@ -261,12 +313,31 @@ def ranking_grupos_members(
         .join(f, s.sucursal_id == f.f_sucursal_id, "left")
         .groupBy("grupo_id", "nombre", "entidad", "territorio")
         .agg(
-            det_avg(F.col("calificacion_general")).alias("promedio"),
+            F.sum(
+                F.col("calificacion_general").cast("decimal(18,6)")
+            ).alias("m_sum"),
+            F.count("calificacion_general").cast("long").alias("m_n"),
             F.countDistinct("sucursal_id")
             .cast("long")
             .alias("total_sucursales"),
             F.count("sup_id").cast("long").alias("total_supervisiones"),
         )
+        # member rows are the same item dicts the independent-group path
+        # builds (app.py:497), so the exactly-0.0 truthiness demotion
+        # applies here too: such members are unranked (posicion_interna
+        # NULL) and gray (app.py:585-586)
+        .withColumn(
+            "promedio",
+            F.when(
+                (F.col("m_n") > 0) & (F.col("m_sum") != 0),
+                F.round(
+                    F.col("m_sum").cast("decimal(28,6)")
+                    / F.col("m_n").cast("decimal(12,0)"),
+                    2,
+                ),
+            ).cast("double"),
+        )
+        .drop("m_sum", "m_n")
     )
     from epl_cas_etl_2026_spark.operators.ranking import intra_group_rank
 
@@ -348,7 +419,11 @@ def ranking_sucursales(
     agg = base.groupBy(
         "sucursal_id", "sucursal", "grupo", "raw_clasificacion"
     ).agg(
-        det_avg(F.col("calificacion_general")).alias("promedio"),
+        F.sum(
+            F.col("calificacion_general").cast("decimal(18,6)")
+        ).alias("m_sum"),
+        F.count("calificacion_general").cast("long").alias("m_n"),
+        det_avg(F.col("calificacion_general")).alias("promedio_r"),
         F.count("sup_id").cast("long").alias("supervisiones"),
     )
     shaped = agg.select(
@@ -357,18 +432,58 @@ def ranking_sucursales(
         F.coalesce(F.col("raw_clasificacion"), F.lit("local")).alias(
             "clasificacion"
         ),
-        "promedio",
+        # displayed promedio: NULL for pendientes AND for the
+        # exactly-0.0 truthiness demotion (``round(float(row[5]), 2)
+        # if row[5] else None``, app.py:721) — exact decimal sum 0
+        # with count > 0 iff the raw average is 0.0 (calificaciones
+        # are nonnegative)
+        F.when(F.col("m_sum") != 0, F.col("promedio_r")).alias(
+            "promedio"
+        ),
         "supervisiones",
+        ((F.col("m_n") > 0) & (F.col("m_sum") == 0)).alias("__ez"),
     )
-    return competition_rank(
-        shaped, "promedio", tiebreak=[F.asc("sucursal")]
-    ).select(
-        "sucursal",
-        "grupo",
-        "clasificacion",
-        "promedio",
-        "supervisiones",
-        "posicion",
+    # posicion quirk (app.py:724-742): the supervisadas membership
+    # test uses the RAW value (``row[5] is not None``, app.py:724), so
+    # an exactly-0.0 branch IS ranked — but its displayed promedio is
+    # already None, so the tie-share comparison (app.py:733) never
+    # fires and each such branch gets its own consecutive position
+    # after every positively-scored branch. Nonzero branches tie-share
+    # on the ROUNDED value (plain competition rank, which matches the
+    # loop because equal-rounded raws are contiguous in the raw sort);
+    # true pendientes stay unranked (posicion NULL, app.py:745-748).
+    # Both windows are post-aggregation (branch-grained) and carry the
+    # same runaway guard as competition_rank.
+    w_rank = Window.orderBy(F.desc_nulls_last("promedio"))
+    w_rn = Window.orderBy(
+        F.desc_nulls_last("promedio"), F.desc("__ez"), F.asc("sucursal")
+    )
+    rank_expr = F.when(
+        F.col("promedio").isNotNull(), F.rank().over(w_rank).cast("long")
+    ).when(F.col("__ez"), F.row_number().over(w_rn).cast("long"))
+    rank_expr = F.when(
+        F.row_number().over(w_rn) > MAX_GLOBAL_WINDOW_ROWS,
+        F.raise_error(
+            F.lit(
+                "ranking_sucursales: unpartitioned window exceeded "
+                f"{MAX_GLOBAL_WINDOW_ROWS} rows and would serialize "
+                "on one task — rank post-aggregation frames only"
+            )
+        ).cast("long"),
+    ).otherwise(rank_expr)
+    return (
+        shaped.withColumn("posicion", rank_expr)
+        .orderBy(
+            F.desc_nulls_last("promedio"), F.desc("__ez"), F.asc("sucursal")
+        )
+        .select(
+            "sucursal",
+            "grupo",
+            "clasificacion",
+            "promedio",
+            "supervisiones",
+            "posicion",
+        )
     )
 
 
@@ -387,7 +502,13 @@ def heatmap_matrix(
     (app.py:1167-1171) applied BEFORE the EPL CAS row is computed, so
     the system average reflects only the visible groups — exactly the
     reference's ordering of filter vs. epl_cas accumulation
-    (app.py:1190-1196). Deviation: rows come back ordered by grupo
+    (app.py:1190-1196). The reference's /api/historico filter has
+    branches ONLY for 'local' and 'foranea' (each keeping mixto too);
+    ``territorio='mixto'`` matches neither branch and falls through
+    UNFILTERED — the same preserved quirk as ranking_sucursales'
+    clasificacion filter (pinned by tests). Unknown values raise
+    instead of silently returning everything.
+    Deviation: rows come back ordered by grupo
     name, not promedio_general DESC (app.py:1187) — the wide frame is
     re-sorted client-side and a stable key order keeps the gate hash
     deterministic."""
@@ -397,9 +518,20 @@ def heatmap_matrix(
     # None and 'todas' both mean unfiltered, matching the
     # territorio_filtro convention of ranking_grupos/ranking_sucursales
     if territorio is not None and territorio != "todas":
-        g = g.filter(
-            territorio_col(F.col("grupo")).isin(*_territorio_keep(territorio))
-        )
+        if territorio not in ("local", "foranea", "mixto"):
+            raise ValueError(
+                "territorio must be local/foranea/mixto/todas, "
+                f"got {territorio!r}"
+            )
+        # app.py:1167-1171 has no 'mixto' branch — that value falls
+        # through unfiltered (preserved quirk); only local/foranea
+        # apply the inclusive keep-set
+        if territorio != "mixto":
+            g = g.filter(
+                territorio_col(F.col("grupo")).isin(
+                    *_territorio_keep(territorio)
+                )
+            )
     p = tables["periodos_cas"].select(
         F.col("id").alias("periodo_id"),
         F.col("codigo"),
@@ -582,8 +714,12 @@ def map_markers(
 
     Display quirk preserved from the reference (app.py:1102 —
     ``round(float(row[5]), 2) if row[5] else None``): a branch whose
-    average is exactly 0.0 displays promedio = NULL and color 'gray',
-    exactly like a branch with no scored supervisions."""
+    RAW average is exactly 0.0 displays promedio = NULL and color
+    'gray', exactly like a branch with no scored supervisions. The
+    check is on the raw (unrounded) value — a branch averaging 0.004
+    rounds to a displayed 0.0 but stays truthy — so the demotion here
+    tests the exact decimal SUM, not the rounded average
+    (calificaciones are nonnegative)."""
     s = (
         _active(tables["sucursales"])
         .filter(
@@ -610,10 +746,15 @@ def map_markers(
         .join(f, s.sucursal_id == f.f_sucursal_id, "left")
         .groupBy("sucursal_id", "sucursal", "grupo", "lat", "lng")
         .agg(
-            F.nullif(
-                det_avg(F.col("calificacion_general")), F.lit(0.0)
-            ).alias("promedio"),
+            F.sum(
+                F.col("calificacion_general").cast("decimal(18,6)")
+            ).alias("m_sum"),
+            det_avg(F.col("calificacion_general")).alias("promedio_r"),
             F.count("sup_id").cast("long").alias("supervisiones"),
+        )
+        .withColumn(
+            "promedio",
+            F.when(F.col("m_sum") != 0, F.col("promedio_r")),
         )
     )
     return agg.select(

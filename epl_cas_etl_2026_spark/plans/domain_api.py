@@ -187,11 +187,15 @@ def _register(name: str, oracle: str | None):
 # NULL-territorio agrupación row, competition rank with NULL tail.
 # ---------------------------------------------------------------------------
 def _ranking_grupos_oracle() -> str:
-    s_units = "CAST(SUM(sum_calif) * 1000000 AS HUGEINT)"
-    d = "(SUM(n_calif) * 10000)"
+    # promedio from the entity-level partial sums, with the reference's
+    # truthiness demotion: an INDEPENDENT entity whose exact sum is 0
+    # with count > 0 displays NULL and drops to the unranked tail
+    # (app.py:497/609-614); the agrupación keeps 0.0 (app.py:556).
+    s_units = "CAST(m_sum * 1000000 AS HUGEINT)"
+    d = "(m_n * 10000)"
     up = f"((2 * ABS({s_units}) + {d}) // (2 * {d}))"
     det = (
-        f"CASE WHEN SUM(n_calif) > 0 THEN "
+        f"CASE WHEN m_n > 0 AND (is_agrup OR m_sum <> 0) THEN "
         f"CAST(CASE WHEN {s_units} < 0 THEN -{up} ELSE {up} END AS DOUBLE)"
         f" / 100 END"
     )
@@ -228,20 +232,25 @@ def _ranking_grupos_oracle() -> str:
     agg AS (
       SELECT entidad, MAX(is_agrup) AS is_agrup,
              MIN(CASE WHEN NOT is_agrup THEN territorio END) AS territorio,
-             {det} AS promedio,
+             SUM(sum_calif) AS m_sum, SUM(n_calif) AS m_n,
              SUM(n_sup) AS n_sup, SUM(suc_all) AS suc_all,
              SUM(suc_con) AS suc_con
       FROM pg GROUP BY entidad
+    ),
+    agg2 AS (
+      SELECT entidad, territorio, is_agrup, m_n, n_sup, suc_all, suc_con,
+             {det} AS promedio
+      FROM agg
     )
     SELECT entidad, territorio, promedio,
-           CAST(CASE WHEN is_agrup AND promedio IS NULL THEN 0
+           CAST(CASE WHEN is_agrup AND m_n = 0 THEN 0
                      ELSE n_sup END AS BIGINT) AS supervisiones,
-           CAST(CASE WHEN is_agrup AND promedio IS NOT NULL THEN suc_con
+           CAST(CASE WHEN is_agrup AND m_n > 0 THEN suc_con
                      ELSE suc_all END AS BIGINT) AS sucursales,
            CASE WHEN promedio IS NOT NULL THEN
              CAST(RANK() OVER (ORDER BY promedio DESC NULLS LAST) AS BIGINT)
            END AS posicion
-    FROM agg
+    FROM agg2
     ORDER BY promedio DESC NULLS LAST, entidad
     """
 
@@ -274,18 +283,33 @@ _RANKING_SUC_ORACLE = f"""
     agg AS (
       SELECT s.sucursal, g.grupo,
              COALESCE(s.clasificacion, 'local') AS clasificacion,
-             {det_avg_sql('f.calificacion_general')} AS promedio,
+             SUM(CAST(f.calificacion_general AS DECIMAL(18,6))) AS m_sum,
+             COUNT(f.calificacion_general) AS n_calif,
+             {det_avg_sql('f.calificacion_general')} AS promedio_r,
              CAST(COUNT(f.sup_id) AS BIGINT) AS supervisiones
       FROM s LEFT JOIN g ON s.grupo_operativo_id = g.id
              LEFT JOIN f ON s.sucursal_id = f.sucursal_id
       GROUP BY s.sucursal_id, s.sucursal, g.grupo, s.clasificacion
+    ),
+    shaped AS (
+      -- displayed promedio: NULL for pendientes AND the exactly-0.0
+      -- truthiness demotion (app.py:721); ez marks the quirky
+      -- ranked-but-NULL-promedio branches (app.py:724-742)
+      SELECT sucursal, grupo, clasificacion,
+             CASE WHEN m_sum <> 0 THEN promedio_r END AS promedio,
+             supervisiones,
+             (n_calif > 0 AND m_sum = 0) AS ez
+      FROM agg
     )
     SELECT sucursal, grupo, clasificacion, promedio, supervisiones,
            CASE WHEN promedio IS NOT NULL THEN
              CAST(RANK() OVER (ORDER BY promedio DESC NULLS LAST) AS BIGINT)
+           WHEN ez THEN
+             CAST(ROW_NUMBER() OVER (ORDER BY promedio DESC NULLS LAST,
+                                     ez DESC, sucursal) AS BIGINT)
            END AS posicion
-    FROM agg
-    ORDER BY promedio DESC NULLS LAST, sucursal
+    FROM shaped
+    ORDER BY promedio DESC NULLS LAST, ez DESC, sucursal
 """
 
 
