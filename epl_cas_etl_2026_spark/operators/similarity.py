@@ -628,3 +628,147 @@ def pq_adc_topk(
         .orderBy("exact_dist", id_col)
         .limit(topk)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the two halves composed into the production ANN serving
+# path (Jégou et al. 2011 §IV; the faiss IVFPQ layout): a learned
+# coarse quantizer (k-means) partitions the corpus into inverted
+# lists; each vector's RESIDUAL against its list centroid is
+# PQ-encoded; a query probes only its nprobe nearest lists, scans
+# their codes with a per-list ADC lookup table built from the query's
+# residual against that list's centroid, and exact-reranks the ADC
+# shortlist. At 100 TB: the corpus-side state is (cluster, m codes)
+# per vector (≈10 bytes at the defaults); a probe touches
+# nprobe/n_clusters of the codes and reads raw vectors only for the
+# shortlist. The inverted lists ARE a partitioning column — written
+# out partitioned by `cluster`, the probe prunes file listings.
+# ---------------------------------------------------------------------------
+def ivfpq_topk(
+    emb: DataFrame,
+    dim: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    coarse_iters: int = 2,
+    pq_iters: int = 2,
+    query_id: int = 0,
+    shortlist: int = 50,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    return_debug: bool = False,
+):
+    """End-to-end IVF-PQ top-k.
+
+    Pipeline (driver-side state is ONLY the k×dim centroids, the
+    m×k_codes×dsub codebook tensor, the query vector, and the
+    nprobe×m×k_codes LUT — all tiny):
+
+    1. coarse quantizer: :func:`kmeans_fit` → inverted-list
+       assignments + centroids;
+    2. residual encode: r = v − centroid[cluster] (JVM ``zip_with``
+       against the broadcast centroid table), :func:`pq_fit` +
+       :func:`pq_encode` over the residuals;
+    3. probe selection: rank centroids by distance to the query,
+       keep the nprobe nearest (numpy, k×dim);
+    4. per-probed-list ADC LUT: T_c[s][j] = ||(q − centroid_c)_s −
+       cb[s][j]||², shipped as a 256-row broadcast frame keyed
+       (cluster, sub_id, code) — the scan over probed lists' codes is
+       a broadcast equi-join + per-id SUM, all codegen;
+    5. exact re-rank of the ADC ``shortlist`` over raw vectors.
+
+    With ``return_debug`` also returns (assigned, centroids,
+    codebooks, probed, codes) for invariant checks.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    dsub = dim // m
+    assigned, centroids = kmeans_fit(
+        emb,
+        k=n_clusters,
+        iters=coarse_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        return_centroids=True,
+    )
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    )
+    resid = (
+        emb.select(id_col, to_double(F.col(vec_col)).alias("__v"))
+        .join(assigned.select(id_col, "cluster"), id_col)
+        .join(F.broadcast(cent_df), "cluster")
+        .select(
+            id_col,
+            "cluster",
+            F.zip_with("__v", "centroid", lambda a, b: a - b).alias("resid"),
+        )
+        # pq_fit iterates over the residual frame: pin it once so the
+        # coarse assignment + subtraction don't re-run per Lloyd pass
+        .localCheckpoint(eager=False)
+    )
+    codebooks = pq_fit(
+        resid, dim=dim, m=m, k=k_codes, iters=pq_iters,
+        id_col=id_col, vec_col="resid",
+    )
+    codes = pq_encode(
+        resid, codebooks, dim=dim, m=m, id_col=id_col, vec_col="resid"
+    )
+    q = (
+        emb.filter(F.col(id_col) == query_id)
+        .select(to_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    if not q:
+        raise ValueError(f"query {id_col}={query_id} not found")
+    qv = np.asarray(q[0]["v"], dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    dc = ((C - qv) ** 2).sum(axis=1)
+    probed = [int(i) for i in np.argsort(dc, kind="stable")[:nprobe]]
+    CB = np.asarray(codebooks, dtype=np.float64)  # m × k × dsub
+    lut_rows = []
+    for c in probed:
+        qr = qv - C[c]
+        for s in range(m):
+            qs = qr[s * dsub : (s + 1) * dsub]
+            for j in range(k_codes):
+                lut_rows.append(
+                    (c, s, j, float(((qs - CB[s][j]) ** 2).sum()))
+                )
+    lut = spark.createDataFrame(
+        lut_rows, "cluster int, sub_id int, code int, t double"
+    )
+    member_codes = (
+        codes.select(id_col, "sub_id", "code")
+        .join(assigned.select(id_col, "cluster"), id_col)
+        .filter(F.col("cluster").isin(probed))
+        .filter(F.col(id_col) != query_id)
+    )
+    adc = (
+        member_codes.join(F.broadcast(lut), ["cluster", "sub_id", "code"])
+        .groupBy(id_col, "cluster")
+        .agg(F.sum("t").alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(shortlist)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    exact = F.aggregate(
+        F.zip_with(
+            to_double(F.col(vec_col)), qlit, lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    out = (
+        adc.join(emb.select(id_col, vec_col), id_col)
+        .select(F.col(id_col), "cluster", "adc_dist", exact.alias("exact_dist"))
+        .orderBy("exact_dist", id_col)
+        .limit(topk)
+    )
+    if return_debug:
+        return out, assigned, centroids, codebooks, probed, codes
+    return out

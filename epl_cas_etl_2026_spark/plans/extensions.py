@@ -1733,33 +1733,247 @@ def docs_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the embeddings, the query probes only its nearest centroid's
 # inverted list, exact cosine inside it. This is the production IVF
 # shape (faiss-style); the sign-bit variants above are the
-# quantizer-free alternatives. Rows-only check: the centroids come
-# from the iterative k-means, which has no closed-form SQL twin.
+# quantizer-free alternatives. K-means is iterative (no closed-form
+# SQL twin), so — like its siblings embedding_kmeans_clusters /
+# embedding_pq_codes_invariants — the GATED output is the invariant
+# set any correct build satisfies and the oracle CAN restate:
+# complete coverage, the assignment argmin re-verified through an
+# INDEPENDENT code path (JVM least-of-zip_with distances vs the
+# Arrow/numpy argmin), cosine bounds on the served top-5, and the
+# top-5 fill check. Disagreement anywhere → a violation count > 0 →
+# hash red. Recall-vs-brute-force is property-tested in
+# tests/test_analytics_props.py (a hard recall bound in the gate
+# would break on a testdata regeneration without a code bug — the
+# events_mg_topk lesson).
 # ---------------------------------------------------------------------------
-@_register("embedding_ann_ivf_kmeans", None)
+@_register(
+    "embedding_ann_ivf_kmeans",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_assigned,
+           CAST(8 AS BIGINT) AS n_clusters,
+           CAST(0 AS BIGINT) AS argmin_violations,
+           CAST(0 AS BIGINT) AS sim_range_violations,
+           true AS returned_ok
+    FROM embeddings
+    """,
+)
 def embedding_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from epl_cas_etl_2026_spark.operators.similarity import kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
     # coarse quantizer: k=8 centroids, 2 Lloyd iterations
-    assigned = kmeans_fit(emb, k=8, iters=2)
+    assigned, centroids = kmeans_fit(
+        emb, k=8, iters=2, return_centroids=True
+    )
+    # invariant 1: coverage + argmin, re-verified JVM-side (the exact
+    # pattern of embedding_kmeans_clusters at k=8)
+    v = to_double(F.col("embedding"))
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+    checked = assigned.join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).select("vec_id", "sq_dist", F.least(*dists).alias("best_expr"))
+    inv_assign = checked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.count_distinct("vec_id").cast("long").alias("n_assigned"),
+        F.sum(
+            F.when(F.col("sq_dist") > F.col("best_expr") + 1e-6, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("argmin_violations"),
+    )
+    # invariant 2: the serve — probe the query's own list, exact
+    # cosine top-5 inside it; sims must be valid cosines and the
+    # result must fill min(5, |list| - 1) rows
     lists = emb.join(assigned.select("vec_id", "cluster"), "vec_id")
     q = lists.filter(F.col("vec_id") == 0).select(
         to_double(F.col("embedding")).alias("qv"),
         F.col("cluster").alias("qc"),
     )
-    probed = lists.join(F.broadcast(q), F.col("cluster") == F.col("qc")).filter(
-        F.col("vec_id") != 0
-    )
-    return (
-        probed.select(
-            "vec_id",
-            F.round(
-                cosine(to_double(F.col("embedding")), F.col("qv")), 6
-            ).alias("sim"),
+    probed = lists.join(
+        F.broadcast(q), F.col("cluster") == F.col("qc")
+    ).filter(F.col("vec_id") != 0)
+    top5 = probed.select(
+        "vec_id",
+        F.round(cosine(to_double(F.col("embedding")), F.col("qv")), 6).alias(
+            "sim"
+        ),
+    ).orderBy(F.desc("sim"), F.asc("vec_id")).limit(5)
+    inv_serve = top5.agg(
+        F.count(F.lit(1)).cast("long").alias("n_returned"),
+        F.coalesce(
+            F.sum(F.when(F.abs(F.col("sim")) > 1.0 + 1e-9, 1).otherwise(0)),
+            F.lit(0),
         )
-        .orderBy(F.desc("sim"), F.asc("vec_id"))
-        .limit(5)
+        .cast("long")
+        .alias("sim_range_violations"),
+    )
+    n_cand = probed.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    return (
+        inv_assign.crossJoin(inv_serve)
+        .crossJoin(n_cand)
+        .select(
+            "n_points",
+            "n_assigned",
+            F.lit(8).cast("long").alias("n_clusters"),
+            "argmin_violations",
+            "sim_range_violations",
+            (F.col("n_returned") == F.least(F.lit(5), F.col("n_cand"))).alias(
+                "returned_ok"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ END-TO-END — the two halves composed into the production ANN
+# serving path (operators/similarity.ivfpq_topk; Jégou et al. 2011):
+# learned coarse quantizer → inverted lists → PQ-encoded RESIDUALS per
+# list → probed-list ADC scan via per-list lookup tables → exact
+# re-rank. Training is iterative, so the gate checks the invariant
+# set: coverage, probe discipline (every served row came from a probed
+# list), the ADC distances re-derived through an INDEPENDENT path
+# (raw codebook entries + query residual arrays via zip_with, vs the
+# serving path's broadcast LUT join), and the top-k fill. Recall vs
+# brute force is property-tested (tests/test_analytics_props.py).
+# ---------------------------------------------------------------------------
+@_register(
+    "embedding_ivfpq_topk",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_assigned,
+           CAST(8 AS BIGINT) AS n_lists,
+           CAST(2 AS BIGINT) AS nprobe,
+           CAST(0 AS BIGINT) AS probe_violations,
+           CAST(0 AS BIGINT) AS adc_lut_violations,
+           true AS returned_ok
+    FROM embeddings
+    """,
+)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.similarity import ivfpq_topk
+
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim, m, k_codes, n_clusters, nprobe, topk = 64, 8, 16, 8, 2, 10
+    dsub = dim // m
+    out, assigned, centroids, codebooks, probed, codes = ivfpq_topk(
+        emb,
+        dim=dim,
+        m=m,
+        k_codes=k_codes,
+        n_clusters=n_clusters,
+        nprobe=nprobe,
+        query_id=0,
+        shortlist=50,
+        topk=topk,
+        return_debug=True,
+    )
+    out = out.localCheckpoint(eager=False)  # 3 consumers below
+    # coverage over the inverted lists
+    cov = assigned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.count_distinct("vec_id").cast("long").alias("n_assigned"),
+    )
+    # probe discipline: served rows only from probed lists
+    probe_v = out.agg(
+        F.coalesce(
+            F.sum(F.when(~F.col("cluster").isin(probed), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("probe_violations"),
+        F.count(F.lit(1)).cast("long").alias("n_returned"),
+    )
+    # independent ADC re-derivation: raw codebook entries + query
+    # residual subvectors, zip_with/aggregate per (id, sub) row — no
+    # LUT anywhere in this path
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == 0)
+        .select(to_double(F.col("embedding")).alias("v"))
+        .collect()[0]["v"],
+        dtype=np.float64,
+    )
+    C = np.asarray(centroids, dtype=np.float64)
+    cbdf = spark.createDataFrame(
+        [
+            (s, j, [float(x) for x in codebooks[s][j]])
+            for s in range(m)
+            for j in range(k_codes)
+        ],
+        "sub_id int, code int, centroid array<double>",
+    )
+    qres = spark.createDataFrame(
+        [
+            (
+                c,
+                s,
+                [float(x) for x in (qv - C[c])[s * dsub : (s + 1) * dsub]],
+            )
+            for c in probed
+            for s in range(m)
+        ],
+        "cluster int, sub_id int, qsub array<double>",
+    )
+    sub_d = F.aggregate(
+        F.zip_with(
+            F.col("qsub"), F.col("centroid"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    adc2 = (
+        out.select("vec_id", "cluster", "adc_dist")
+        .join(codes.select("vec_id", "sub_id", "code"), "vec_id")
+        .join(F.broadcast(cbdf), ["sub_id", "code"])
+        .join(F.broadcast(qres), ["cluster", "sub_id"])
+        .select("vec_id", "adc_dist", sub_d.alias("d"))
+        .groupBy("vec_id", "adc_dist")
+        .agg(F.sum("d").alias("adc_re"))
+    )
+    lut_v = adc2.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.abs(F.col("adc_re") - F.col("adc_dist")) > 1e-6, 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("adc_lut_violations")
+    )
+    n_members = assigned.filter(
+        F.col("cluster").isin(probed) & (F.col("vec_id") != 0)
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    return (
+        cov.crossJoin(probe_v)
+        .crossJoin(lut_v)
+        .crossJoin(n_members)
+        .select(
+            "n_points",
+            "n_assigned",
+            F.lit(n_clusters).cast("long").alias("n_lists"),
+            F.lit(nprobe).cast("long").alias("nprobe"),
+            "probe_violations",
+            "adc_lut_violations",
+            (
+                F.col("n_returned")
+                == F.least(F.lit(topk).cast("long"), F.col("n_members"))
+            ).alias("returned_ok"),
+        )
     )
 
 

@@ -213,6 +213,18 @@ def _mg_partition_summaries(iterator):
     yield pd.DataFrame({"v": counters.index.astype(str)})
 
 
+# ORACLE PRECONDITION (gate-pairing validity): the oracle takes the
+# exact top-k over ALL values, while the Spark side recounts only the
+# MG survivors. The two agree iff every top-k value's frequency
+# exceeds n/(m+1) — then Misra-Gries provably cannot have evicted it
+# from every partition (pigeonhole), so it IS a candidate. On the
+# current skew transform the 10th value's count is ~n/220 > n/257, so
+# the precondition holds with margin — but a REGENERATED testdata with
+# a flatter distribution would hash-mismatch here WITHOUT a code bug.
+# tests/test_sketch_fingerprint.py::test_mg_topk_oracle_precondition
+# asserts the precondition on current data so such a regeneration
+# fails visibly in pytest, not mysteriously in the gate; if it ever
+# trips, lower MG_K or raise MG_M (both sides) to restore the margin.
 @_register(
     "events_mg_topk",
     f"""

@@ -232,3 +232,22 @@ def test_misra_gries_no_eviction_small_domain(spark):
         ).collect()
     }
     assert survivors == {str(i) for i in range(50)}
+
+
+def test_mg_topk_oracle_precondition(spark, sf_oracle):
+    """events_mg_topk's gate pairing is valid ONLY while every exact
+    top-k value's frequency exceeds n/(m+1) — the Spark side recounts
+    MG survivors, the oracle counts everything, and pigeonhole
+    guarantees agreement exactly under that condition (see the
+    precondition comment above the oracle, plans/sketches.py). Assert
+    it on the CURRENT data so a flatter regenerated distribution fails
+    here visibly instead of hash-mismatching in the gate; if this ever
+    trips, lower MG_K or raise MG_M on both sides."""
+    from epl_cas_etl_2026_spark.plans.sketches import events_mg_topk
+
+    rows = events_mg_topk(spark, sf_oracle).collect()
+    assert rows, "events table empty — precondition vacuous"
+    assert all(r["mg_guarantee_ok"] for r in rows), (
+        "top-k frequency fell to <= n/(m+1): the MG candidate set is no "
+        "longer guaranteed to contain the exact top-k; re-tune MG_K/MG_M"
+    )
