@@ -772,3 +772,163 @@ def ivfpq_topk(
     if return_debug:
         return out, assigned, centroids, codebooks, probed, codes
     return out
+
+
+# ---------------------------------------------------------------------------
+# Graph ANN (NSW-style; Malkov & Yashunin's HNSW is the hierarchical
+# refinement of the same navigable-small-world idea — public
+# algorithms). Two pieces:
+#   * knn_graph — a distributed M-NN neighbor-graph build:
+#     banded-LSH candidate pairs (sub-quadratic, the band_lsh_pairs
+#     machinery) → per-node top-M by exact cosine, UNIONed with a
+#     deterministic ring edge i→(i+1) mod n that plays NSW's
+#     long-link/connectivity role (beam search can never strand in an
+#     isolated LSH component). Adjacency is (id, neighbors array) —
+#     ~M ids per node; at scale it's written bucketed by id so probes
+#     prune.
+#   * graph_beam_search_topk — best-first beam search over that
+#     graph: each hop filters the adjacency to the current frontier
+#     (an IN-list of ≤ ef ids — a pushed scan filter at scale),
+#     explodes neighbors, scores the unvisited ones with exact
+#     cosine (JVM expressions), and keeps the top-ef visited set.
+#     Driver state is bounded: ≤ ef×M new ids per hop, ids+dists
+#     only. The hierarchy of full HNSW is a sequential-serving
+#     latency optimization; for batch/Spark serving the flat NSW
+#     beam search is the idiomatic shape.
+# ---------------------------------------------------------------------------
+def knn_graph(
+    emb: DataFrame,
+    dim: int,
+    m_neighbors: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_sim: float = 0.8,
+    target_recall: float = 0.9,
+    seed: int = 11,
+) -> DataFrame:
+    """Build the (id, neighbors array<struct<nb,sim>>) M-NN graph.
+
+    Candidates come from banded hyperplane LSH sized for the corpus
+    (lsh_params_for), so the build is ~O(n·b) candidate pairs, never
+    all-pairs; the ring edge guarantees weak connectivity whatever the
+    LSH recall. Neighbor lists are per-node top-M by exact cosine —
+    one window over the candidate edges, partitioned by node.
+    """
+    from pyspark.sql import Window
+
+    n = emb.count()
+    b, r = lsh_params_for(n, target_sim, target_recall)
+    planes = [
+        [round(x, 4) for x in p] for p in hyperplanes(dim, b * r, seed=seed)
+    ]
+    pairs = band_lsh_pairs(
+        emb, planes, n_bands=b, rows_per_band=r,
+        id_col=id_col, vec_col=vec_col, threshold=-1.0,
+    )
+    # ring edges for connectivity (exact cosine via one shifted join)
+    ring = (
+        emb.select(
+            F.col(id_col).alias("id_a"),
+            ((F.col(id_col) + 1) % n).alias("id_b"),
+            to_double(F.col(vec_col)).alias("va"),
+        )
+        .join(
+            emb.select(
+                F.col(id_col).alias("id_b"),
+                to_double(F.col(vec_col)).alias("vb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+    )
+    edges = pairs.unionByName(ring).filter(F.col("id_a") != F.col("id_b"))
+    # symmetric adjacency, deduped (an LSH pair and a ring edge can
+    # coincide), top-M per node
+    sym = (
+        edges.select("id_a", "id_b", "sim")
+        .unionByName(
+            edges.select(
+                F.col("id_b").alias("id_a"),
+                F.col("id_a").alias("id_b"),
+                "sim",
+            )
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("sim").alias("sim"))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
+    return (
+        sym.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= m_neighbors)
+        .groupBy(F.col("id_a").alias(id_col))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("id_b").alias("nb"), "sim"))
+            ).alias("neighbors")
+        )
+    )
+
+
+def graph_beam_search_topk(
+    emb: DataFrame,
+    graph: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    ef: int = 48,
+    max_hops: int = 8,
+    entry_ids: tuple[int, ...] = (0,),
+    exclude_ids: tuple[int, ...] = (),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Best-first beam search: returns (result_df, n_visited, hops).
+
+    Each hop runs two pruned Spark jobs — an adjacency probe filtered
+    to the frontier ids and an exact-cosine scoring of the newly
+    discovered ids (both IN-list filters that push to the scans at
+    scale). Terminates when no frontier id improves the beam or after
+    ``max_hops``. Driver holds only (id, sim) pairs, ≤ ef×M per hop.
+    """
+    spark = emb.sparkSession
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim_expr = F.round(cosine(to_double(F.col(vec_col)), qlit), 6)
+
+    def score(ids):
+        rows = (
+            emb.filter(F.col(id_col).isin(list(ids)))
+            .select(F.col(id_col).alias("id"), sim_expr.alias("sim"))
+            .collect()
+        )
+        return {r["id"]: r["sim"] for r in rows}
+
+    visited = score(set(entry_ids))
+    frontier = sorted(visited, key=lambda i: (-visited[i], i))
+    hops = 0
+    while frontier and hops < max_hops:
+        hops += 1
+        nbr_rows = (
+            graph.filter(F.col(id_col).isin(frontier))
+            .select(F.explode("neighbors").alias("e"))
+            .select(F.col("e.nb").alias("nb"))
+            .distinct()
+            .collect()
+        )
+        new_ids = {r["nb"] for r in nbr_rows} - set(visited)
+        if not new_ids:
+            break
+        visited.update(score(new_ids))
+        beam = sorted(visited, key=lambda i: (-visited[i], i))[:ef]
+        # expand only beam members discovered this hop — the
+        # best-first rule; if none made the beam, search has converged
+        frontier = [i for i in beam if i in new_ids]
+    served = [
+        (int(i), float(visited[i]))
+        for i in sorted(visited, key=lambda i: (-visited[i], i))
+        if i not in exclude_ids
+    ][:k]
+    out = spark.createDataFrame(served, f"{id_col} long, sim double")
+    return out, len(visited), hops

@@ -1978,6 +1978,92 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GRAPH ANN (NSW-style beam search; the last mainstream ANN family —
+# IVF/LSH/PQ all exist above): distributed M-NN graph build
+# (banded-LSH candidates → per-node top-M, plus a deterministic ring
+# edge for connectivity) and a best-first beam search whose per-hop
+# work is two IN-list-pruned jobs (operators/similarity.knn_graph /
+# graph_beam_search_topk). The build is iterative-free but the search
+# is driver-coordinated, so — like the k-means/PQ/IVF family — the
+# gate checks STRUCTURAL invariants any correct build satisfies:
+# every node present (ring guarantees degree ≥ 1), top-M degree cap,
+# no self-loops, no dangling neighbor ids, and the beam's top-k fill.
+# Recall vs brute force and the exact-cosine agreement of served sims
+# are property-tested (tests/test_analytics_props.py).
+# ---------------------------------------------------------------------------
+@_register(
+    "embedding_graph_ann_topk",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(8 AS BIGINT) AS m_neighbors,
+           CAST(0 AS BIGINT) AS degree_violations,
+           CAST(0 AS BIGINT) AS self_loop_violations,
+           CAST(0 AS BIGINT) AS dangling_violations,
+           true AS returned_ok
+    FROM embeddings
+    """,
+)
+def embedding_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.similarity import (
+        graph_beam_search_topk,
+        knn_graph,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m_nb, k = 8, 10
+    graph = knn_graph(emb, dim=64, m_neighbors=m_nb).localCheckpoint(
+        eager=False
+    )
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(to_double(F.col("embedding")).alias("v"))
+        .collect()[0]["v"]
+    ]
+    out, n_visited, _hops = graph_beam_search_topk(
+        emb, graph, qv, k=k, ef=48, max_hops=8,
+        entry_ids=(0,), exclude_ids=(0,),
+    )
+    n_returned = out.count()
+    struct_inv = graph.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(
+            F.when(F.size("neighbors") > m_nb, 1).otherwise(0)
+        ).cast("long").alias("degree_violations"),
+        F.sum(
+            F.size(
+                F.filter("neighbors", lambda e: e["nb"] == F.col("vec_id"))
+            )
+        ).cast("long").alias("self_loop_violations"),
+    )
+    # dangling check: every neighbor id must be a real vector id
+    dangling = (
+        graph.select(F.explode("neighbors").alias("e"))
+        .select(F.col("e.nb").alias("vec_id"))
+        .distinct()
+        .join(emb.select("vec_id"), "vec_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("dangling_violations"))
+    )
+    n_pts = emb.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    return (
+        n_pts.crossJoin(struct_inv)
+        .crossJoin(dangling)
+        .select(
+            "n_points",
+            "n_nodes",
+            F.lit(m_nb).cast("long").alias("m_neighbors"),
+            "degree_violations",
+            "self_loop_violations",
+            "dangling_violations",
+            F.lit(
+                n_returned == min(k, max(n_visited - 1, 0))
+            ).alias("returned_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # F11 — priority-ordered JSON field extraction (etl_sync.py:160-177:
 # first matching title wins) re-expressed as a coalesce chain over the
 # events props document.
