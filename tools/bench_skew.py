@@ -3,10 +3,21 @@ uniform, so the salted-join and AQE-skew paths were correctness-proven
 (lineitem_salted_skew_join_rollup) but never MEASURED under real skew.
 
 This script generates a zipf-skewed fact once (gitignored
-.localdata/skew: ~6M rows whose join key follows a heavy zipf head —
-the hottest key owns ~25-30% of all rows) plus a 200k-row dim (too big
-to broadcast at the default 10 MB threshold, the salted-join target
-zone), then times three strategies for fact ⋈ dim → global agg:
+.localdata/skew: 60M rows whose join key follows a heavy zipf head —
+the hottest key owns ~38% of all rows, so ONE reducer gets ~23M rows
+while the median gets ~1.2M: a 20× straggler, and a hot shuffle
+partition (~460 MB) past AQE's 256 MB skew-split threshold so the
+reactive path actually engages) plus a 200k-row dim (too big to
+broadcast at the default 10 MB threshold, the salted-join target
+zone), then times three strategies for fact ⋈ dim → global agg.
+
+A first cut at 6M rows measured salted 2.6× SLOWER than plain: the
+hot reducer held only ~1M rows (<1 s of work, and under AQE's split
+threshold), so the bench was timing the salt's dim-replication
+overhead against no straggler at all. The lesson is part of the
+result: salting pays only when the hot key's single-reducer time
+dominates the job — size the bench (and production decision) by
+straggler share, not by "the data is skewed".
 
   plain   — AQE off, sort-merge join on the raw key: the hot key's
             rows land on ONE reducer (the straggler baseline);
@@ -19,7 +30,7 @@ Each strategy runs noop-sink min-of-N on the same session (runtime
 confs flipped per scenario; results verified equal across strategies
 first). Prints one JSON line; the round-6 BENCH note records it.
 
-Usage: python tools/bench_skew.py [--rows 6000000] [--reps 3]
+Usage: python tools/bench_skew.py [--rows 60000000] [--reps 3]
 """
 
 from __future__ import annotations
@@ -47,9 +58,10 @@ def _gen(rows: int) -> None:
 
     os.makedirs(SKEW_DIR, exist_ok=True)
     rng = np.random.default_rng(7)
-    # zipf(1.2) clipped to the dim domain: k=1 (→ key 0) captures
-    # ~25-30% of draws — one genuinely hot reducer under hash shuffle
-    z = rng.zipf(1.2, rows)
+    # zipf(1.5) clipped to the dim domain: k=1 (→ key 0) captures
+    # ~38% of draws (1/ζ(1.5)) — one genuinely hot reducer under
+    # hash shuffle, far past AQE's skew-split threshold at 60M rows
+    z = rng.zipf(1.5, rows)
     key = np.minimum(z - 1, N_DIM - 1)
     pq.write_table(
         pa.table({"key": key.astype(np.int64),
@@ -65,7 +77,7 @@ def _gen(rows: int) -> None:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=6_000_000)
+    ap.add_argument("--rows", type=int, default=60_000_000)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
     if not os.path.exists(os.path.join(SKEW_DIR, "fact.parquet")):
