@@ -125,6 +125,18 @@ HEADLINE = [
     "docs_quality_resample_stats",
     "events_robust_outliers_mad",
     "events_user_ewma_dyadic",
+    # round-6 additions (appended — prefix subsets stay valid): the
+    # composed IVF-PQ serving path (coarse k-means + residual PQ fit
+    # + probed ADC scan + exact rerank — the full ANN build+serve
+    # cost) and the quirk-complete branch ranking after the r6
+    # reference-parity transcriptions
+    "embedding_ivfpq_topk",
+    # round-6 mid-round additions: decontamination (broadcast semi-
+    # join gram scrub), E-S weighted sampling (TakeOrdered, zero
+    # exchanges), KMV/theta sketch (partial-minima mapInPandas)
+    "docs_benchmark_decontaminate",
+    "orders_weighted_sample_noreplace",
+    "events_kmv_theta_intersection",
 ]
 
 
@@ -224,6 +236,20 @@ def main() -> None:
     r3_subset = round(sum(timings[n] for n in HEADLINE[:34] if n in timings), 3)
     r4_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     r5_subset = round(sum(timings[n] for n in HEADLINE[:65] if n in timings), 3)
+    r6_subset = round(sum(timings[n] for n in HEADLINE[:73] if n in timings), 3)
+    # round-6 scale rehearsal artifacts (committed JSON, produced by
+    # tools/rehearse_sf1.py and tools/bench_skew.py on this host):
+    # ride along in the bench record so BENCH_r06 carries the
+    # 0.1 -> 1 scaling curve and the skew-join ratios.
+    extras = {}
+    for key, path in (
+        ("sf1_scaling", "SCALE_sf1.json"),
+        ("skew_join_bench", "SKEW_BENCH.json"),
+    ):
+        p = os.path.join(os.path.dirname(os.path.abspath(__file__)), path)
+        if os.path.exists(p):
+            with open(p) as fh:
+                extras[key] = json.load(fh)
     print(
         json.dumps(
             {
@@ -243,6 +269,8 @@ def main() -> None:
                 "r3_queries_noop_sec": r3_subset,
                 "r4_queries_noop_sec": r4_subset,
                 "r5_queries_noop_sec": r5_subset,
+                "r6_queries_noop_sec": r6_subset,
+                **extras,
                 "cpu_calib_sec": cpu_calibration(),
                 "sf": sf_from_dir(SF_DIR),
             }

@@ -5122,3 +5122,139 @@ def events_seasonal_naive_backtest(
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — the eval-set n-gram overlap scrub every
+# pretraining pipeline runs before training (the GPT-3 appendix-C
+# "13-gram decontamination" shape; word-3-grams here because the
+# synthetic fixed-vocab corpus needs the shorter gram for signal —
+# production would use 8-13). The "benchmark" is a deterministic
+# held-out slice (doc_id % 97 == 0 — the driver-regeneration-proof
+# analogue of a test-set table); a corpus doc is contaminated iff it
+# shares ANY gram with it.
+#
+# Scale shape (100 TB): benchmark suites are tiny (MMLU+friends ≈ a
+# few hundred MB of grams), so the gram set BROADCASTS and corpus
+# grams never shuffle — explode stays inside the scan stage, the
+# semi-join is map-side, and the only exchange carries the matched
+# doc_ids (slim longs, already mostly-unique) into a distinct +
+# per-source rollup. No full-data shuffle anywhere.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_benchmark_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT DISTINCT unnest([array_to_string(w[i:i+2], ' ')
+                              FOR i IN range(1, greatest(len(w) - 1, 1))]) AS gram
+      FROM toks WHERE doc_id % 97 = 0
+    ),
+    cg AS (
+      SELECT doc_id, source, unnest([array_to_string(w[i:i+2], ' ')
+                                     FOR i IN range(1, greatest(len(w) - 1, 1))]) AS gram
+      FROM toks WHERE doc_id % 97 <> 0
+    ),
+    cont AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram))
+    SELECT t.source,
+           COUNT(*) AS n_docs,
+           COUNT(c.doc_id) AS n_contaminated,
+           COUNT(*) - COUNT(c.doc_id) AS n_clean
+    FROM toks t LEFT JOIN cont c ON t.doc_id = c.doc_id
+    WHERE t.doc_id % 97 <> 0
+    GROUP BY t.source ORDER BY t.source
+    """,
+)
+def docs_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.dedup import shingles_of_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("w")
+    )
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(shingles_of_words(F.col("w"), n=3)).alias("gram"),
+        )
+
+    bench_grams = (
+        grams(toks.filter(F.col("doc_id") % 97 == 0)).select("gram").distinct()
+    )
+    corpus = toks.filter(F.col("doc_id") % 97 != 0)
+    contaminated = (
+        grams(corpus)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        corpus.join(
+            contaminated.withColumn("hit", F.lit(1)), "doc_id", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("hit").alias("n_contaminated"),
+            (F.count(F.lit(1)) - F.count("hit")).alias("n_clean"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+# "Weighted random sampling with a reservoir"): assign each row the
+# key u^(1/w) — equivalently ln(u)/w, monotone-identical — and keep
+# the k largest keys; the result is a true weighted
+# without-replacement sample in ONE distributed pass. u is the
+# md5-derived 32-bit uniform shifted to (0,1) by +0.5/2^32 — both the
+# shift and the power-of-two division are float-EXACT, so u is
+# bit-identical across engines and runs (reproducible sampling, the
+# property a training pipeline actually needs; only ln() is libm, and
+# adjacent key gaps are ~1e-4 vs 1-ulp error ~1e-16, so the k-th
+# boundary cannot flip).
+#
+# Scale shape (100 TB): orderBy+limit compiles to
+# TakeOrderedAndProject — per-partition top-k heaps and a P×k driver
+# merge; NO global sort, NO shuffle of the fact. This replaces the
+# rejection/replacement samplers that need a total-weight pre-pass.
+# ---------------------------------------------------------------------------
+_ES_K = 100
+
+
+@_register(
+    "orders_weighted_sample_noreplace",
+    f"""
+    WITH keyed AS (
+      SELECT o_orderkey, o_totalprice,
+             ln((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                      AS BIGINT) + 0.5) / 4294967296.0)
+               / CAST(o_totalprice AS DOUBLE) AS es_key
+      FROM orders
+    ),
+    top AS (
+      SELECT * FROM keyed ORDER BY es_key DESC, o_orderkey LIMIT {_ES_K}
+    )
+    SELECT o_orderkey, o_totalprice FROM top ORDER BY o_orderkey
+    """,
+)
+def orders_weighted_sample_noreplace(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h32 + F.lit(0.5)) / F.lit(float(2**32))
+    es_key = F.log(u) / F.col("o_totalprice").cast("double")
+    return (
+        orders.select("o_orderkey", "o_totalprice", es_key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("o_orderkey"))
+        .limit(_ES_K)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

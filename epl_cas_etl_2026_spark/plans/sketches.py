@@ -265,3 +265,211 @@ def events_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_count"), "value")
         .limit(MG_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch distinct counting + set INTERSECTION (Bar-Yossef
+# et al. 2002; Dasgupta et al., the DataSketches theta framework) —
+# the sketch family HLL cannot replace: k-minimum-hash-values sketches
+# compose under intersection, so "distinct users in A AND B" needs no
+# second pass. Per event_type, the sketch is the K smallest distinct
+# 32-bit md5 values of user_id (md5-derived → bit-identical across
+# engines, partitionings, and merge orders — unlike real theta
+# sketches, which are seed/merge-order-dependent and could only ever
+# be rows-only gated).
+#
+#   estimate(A)   = (K-1) * 2^32 div h_K(A)     [exact-mode: |A| if < K]
+#   theta(A∩B)    = min over full sketches of h_K  (2^32 if exact-mode)
+#   estimate(A∩B) = |{h in both sketches, h < theta}| * 2^32 div theta
+#
+# All estimator arithmetic is INTEGER (long div — (K-1)*2^32 ≈ 2.7e11
+# fits int64), so both engines compute the same numbers bit-for-bit;
+# no float anywhere. The exact_distinct column rides along to let the
+# oracle double-check the sketch against ground truth — at 100 TB it
+# is the COUNT(DISTINCT) the sketch exists to avoid and would be
+# dropped. Accuracy (RSE ≈ 1/sqrt(K-1)) is bounded in
+# tests/test_analytics_props.py, NOT in the gated output (testdata-
+# regeneration safety — the events_mg_topk lesson).
+#
+# Scale shape (100 TB): k-minima form a semilattice, so per-PARTITION
+# partial sketches (Arrow-batched mapInPandas, bounded K*T state) make
+# the only shuffle carry <= partitions * types * K slim longs; the
+# full-data per-type window/sort that a naive KMV needs never runs.
+# ---------------------------------------------------------------------------
+KMV_K = 64
+_KMV_SCALE = 2**32  # h is uniform on [0, 2^32)
+_KMV_A, _KMV_B = "click", "purchase"
+_KMV_FILTER = "CAST(value AS DOUBLE) > 60"
+
+
+def _kmv_partition_minima(iterator):
+    """Per-partition K smallest DISTINCT h per event_type; state is one
+    small dict of numpy arrays across the partition's Arrow batches."""
+    import numpy as np
+    import pandas as pd
+
+    state: dict = {}
+    for pdf in iterator:
+        for et, grp in pdf.groupby("event_type"):
+            merged = np.concatenate(
+                [state.get(et, np.empty(0, dtype="int64")), grp["h"].values]
+            )
+            state[et] = np.sort(np.unique(merged))[:KMV_K]
+    if state:
+        yield pd.DataFrame(
+            {
+                "event_type": np.repeat(
+                    list(state), [len(v) for v in state.values()]
+                ),
+                "h": np.concatenate(list(state.values())),
+            }
+        )
+
+
+@_register(
+    "events_kmv_theta_intersection",
+    f"""
+    WITH dh AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM events WHERE {_KMV_FILTER}
+    ),
+    kept AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM dh) WHERE rn <= {KMV_K}
+    ),
+    sk AS (
+      SELECT event_type, COUNT(*) AS n_in_sketch, MAX(h) AS h_k
+      FROM kept GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events WHERE {_KMV_FILTER} GROUP BY event_type
+    ),
+    theta AS (
+      SELECT LEAST(
+        (SELECT CASE WHEN n_in_sketch < {KMV_K} THEN {_KMV_SCALE} ELSE h_k END
+         FROM sk WHERE event_type = '{_KMV_A}'),
+        (SELECT CASE WHEN n_in_sketch < {KMV_K} THEN {_KMV_SCALE} ELSE h_k END
+         FROM sk WHERE event_type = '{_KMV_B}')) AS th
+    ),
+    inter AS (
+      SELECT COUNT(*) AS n_common
+      FROM (SELECT h FROM kept WHERE event_type = '{_KMV_A}') a
+      JOIN (SELECT h FROM kept WHERE event_type = '{_KMV_B}') b USING (h),
+      theta WHERE a.h < theta.th
+    ),
+    exact_inter AS (
+      SELECT COUNT(*) AS xd FROM (
+        SELECT user_id FROM events
+        WHERE event_type = '{_KMV_A}' AND {_KMV_FILTER}
+        INTERSECT
+        SELECT user_id FROM events
+        WHERE event_type = '{_KMV_B}' AND {_KMV_FILTER}) t
+    )
+    SELECT s.event_type AS entity,
+           CAST(s.n_in_sketch AS BIGINT) AS n_in_sketch,
+           CAST(CASE WHEN s.n_in_sketch < {KMV_K} THEN s.n_in_sketch
+                     ELSE ({KMV_K} - 1) * {_KMV_SCALE} // s.h_k END
+                AS BIGINT) AS est_distinct,
+           x.exact_distinct
+    FROM sk s JOIN exact x USING (event_type)
+    UNION ALL
+    SELECT '{_KMV_A}&{_KMV_B}',
+           CAST(i.n_common AS BIGINT),
+           CAST(CASE WHEN t.th >= {_KMV_SCALE} THEN i.n_common
+                     ELSE i.n_common * {_KMV_SCALE} // t.th END AS BIGINT),
+           x.xd
+    FROM inter i, theta t, exact_inter x
+    ORDER BY entity
+    """,
+)
+def events_kmv_theta_intersection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.expr(_KMV_FILTER))
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    hashed = ev.select("event_type", h32.alias("h"))
+    # partial per-partition sketches -> tiny merge frame (<= P*T*K rows)
+    partials = hashed.mapInPandas(
+        _kmv_partition_minima, "event_type string, h long"
+    ).distinct()
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("h")
+    )
+    kept = partials.withColumn("rn", rn).filter(F.col("rn") <= KMV_K)
+    sk = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_in_sketch"), F.max("h").alias("h_k")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    per_type = (
+        sk.join(exact, "event_type")
+        .select(
+            F.col("event_type").alias("entity"),
+            F.col("n_in_sketch").cast("long").alias("n_in_sketch"),
+            F.when(F.col("n_in_sketch") < KMV_K, F.col("n_in_sketch"))
+            .otherwise(F.expr(f"{(KMV_K - 1) * _KMV_SCALE} div h_k"))
+            .cast("long")
+            .alias("est_distinct"),
+            "exact_distinct",
+        )
+    )
+    # theta intersection of the two named sets (dim-sized frames only)
+    eff = sk.select(
+        "event_type",
+        F.when(F.col("n_in_sketch") < KMV_K, F.lit(_KMV_SCALE))
+        .otherwise(F.col("h_k"))
+        .alias("eff_theta"),
+    )
+    theta = (
+        eff.filter(F.col("event_type") == _KMV_A)
+        .crossJoin(
+            eff.filter(F.col("event_type") == _KMV_B).select(
+                F.col("eff_theta").alias("eff_b")
+            )
+        )
+        .select(F.least("eff_theta", "eff_b").alias("th"))
+    )
+    inter = (
+        kept.filter(F.col("event_type") == _KMV_A)
+        .select("h")
+        .join(kept.filter(F.col("event_type") == _KMV_B).select("h"), "h")
+        .crossJoin(theta)
+        .filter(F.col("h") < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact_inter = (
+        ev.filter(F.col("event_type") == _KMV_A)
+        .select("user_id")
+        .distinct()
+        .join(
+            ev.filter(F.col("event_type") == _KMV_B)
+            .select("user_id")
+            .distinct(),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("xd"))
+    )
+    inter_row = (
+        inter.crossJoin(theta)
+        .crossJoin(exact_inter)
+        .select(
+            F.lit(f"{_KMV_A}&{_KMV_B}").alias("entity"),
+            F.col("n_common").cast("long").alias("n_in_sketch"),
+            F.when(F.col("th") >= _KMV_SCALE, F.col("n_common"))
+            .otherwise(F.expr(f"n_common * {_KMV_SCALE} div th"))
+            .cast("long")
+            .alias("est_distinct"),
+            F.col("xd").alias("exact_distinct"),
+        )
+    )
+    return per_type.unionAll(inter_row).orderBy("entity")

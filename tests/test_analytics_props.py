@@ -407,3 +407,139 @@ def test_graph_ann_recall_and_sim_exactness(spark):
     served = {r["vec_id"] for r in rows}
     # measured 10/10 on the clustered fixture; >= 8 leaves margin
     assert len(served & true10) >= 8
+
+
+# --------------------------------------------------------------------------
+# Round-6 ops: benchmark decontamination, Efraimidis-Spirakis weighted
+# sampling, KMV/theta distinct-intersection sketch.
+# --------------------------------------------------------------------------
+def _md5_prefix_int(val, nhex: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(val).encode()).hexdigest()[:nhex], 16)
+
+
+def test_decontaminate_matches_pure_python(spark):
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        docs_benchmark_decontaminate,
+    )
+
+    rows = {
+        r["source"]: r
+        for r in docs_benchmark_decontaminate(spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    ).toPandas()
+    grams = {
+        d: {
+            " ".join(w[i : i + 3])
+            for i in range(len(w) - 2)
+        }
+        for d, w in zip(
+            docs["doc_id"], (t.split(" ") for t in docs["text"])
+        )
+    }
+    bench = set().union(
+        *(g for d, g in grams.items() if d % 97 == 0), set()
+    )
+    by_source: dict = {}
+    for d, src in zip(docs["doc_id"], docs["source"]):
+        if d % 97 == 0:
+            continue
+        n, c = by_source.get(src, (0, 0))
+        by_source[src] = (n + 1, c + bool(grams[d] & bench))
+    assert set(rows) == set(by_source)
+    for src, (n, c) in by_source.items():
+        assert rows[src]["n_docs"] == n
+        assert rows[src]["n_contaminated"] == c
+        assert rows[src]["n_clean"] == n - c
+
+
+def test_weighted_sample_matches_numpy(spark):
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        _ES_K,
+        orders_weighted_sample_noreplace,
+    )
+
+    picked = [
+        r["o_orderkey"]
+        for r in orders_weighted_sample_noreplace(spark, SF).collect()
+    ]
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).toPandas()
+    keys = np.array(
+        [
+            math.log((_md5_prefix_int(k, 8) + 0.5) / 2**32) / float(w)
+            for k, w in zip(orders["o_orderkey"], orders["o_totalprice"])
+        ]
+    )
+    k = min(_ES_K, len(orders))
+    top = orders["o_orderkey"].to_numpy()[np.argsort(-keys)[:k]]
+    assert sorted(picked) == sorted(top.tolist())
+    # the point of weighting: the sample's mean weight must exceed the
+    # population's (price-weighted inclusion probabilities)
+    pop_mean = float(orders["o_totalprice"].astype(float).mean())
+    samp_mean = float(
+        orders[orders["o_orderkey"].isin(picked)]["o_totalprice"]
+        .astype(float)
+        .mean()
+    )
+    assert samp_mean > pop_mean
+
+
+def test_kmv_estimate_bounds_and_partition_invariance(spark):
+    from epl_cas_etl_2026_spark.plans.sketches import (
+        KMV_K,
+        events_kmv_theta_intersection,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = events_kmv_theta_intersection(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        if r["n_in_sketch"] < KMV_K and "&" not in r["entity"]:
+            # exact mode: estimator IS the count
+            assert r["est_distinct"] == r["n_in_sketch"]
+        if r["exact_distinct"] > 0:
+            rel = abs(r["est_distinct"] - r["exact_distinct"]) / r[
+                "exact_distinct"
+            ]
+            # RSE ~ 1/sqrt(K-1) = 12.6%; intersection noisier — 3 sigma
+            bound = 0.4 if "&" in r["entity"] else 0.38
+            assert rel <= bound, (r, rel)
+    # k-minima form a semilattice: the partial-sketch merge must be
+    # invariant to how the input is partitioned
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from epl_cas_etl_2026_spark.plans.sketches import (
+        _KMV_FILTER,
+        _kmv_partition_minima,
+    )
+
+    ev = load_table(spark, SF_ORACLE, "events").filter(F.expr(_KMV_FILTER))
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    hashed = ev.select("event_type", h32.alias("h"))
+    sketches = []
+    for parts in (1, 7):
+        kept = (
+            hashed.repartition(parts)
+            .mapInPandas(_kmv_partition_minima, "event_type string, h long")
+            .distinct()
+            .toPandas()
+            .sort_values(["event_type", "h"])
+            .groupby("event_type")["h"]
+            .apply(lambda s: tuple(s.head(KMV_K)))
+        )
+        sketches.append(dict(kept))
+    assert sketches[0] == sketches[1]
+    # cross-check the hash primitive against hashlib
+    sample = ev.select("user_id", h32.alias("h")).limit(20).collect()
+    assert sample
+    for r in sample:
+        assert r["h"] == _md5_prefix_int(r["user_id"], 8)

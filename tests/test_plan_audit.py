@@ -292,3 +292,78 @@ def test_heatmap_exchange_budget(spark, sf_smoke):
         .toString()
     )
     assert plan.count("Exchange") <= 8, plan.count("Exchange")
+
+
+def test_runtime_bloom_filter_injection(spark, sf_oracle):
+    """Scale feature demo: Spark's runtime bloom-filter injection
+    (SPARK-32268) — with a selective build side and a shuffle join,
+    the optimizer injects might_contain(bloom_filter_agg(...)) on the
+    probe side so the fact scan drops non-joining rows BEFORE the
+    shuffle. Local scans sit under the 10 GiB application-side
+    threshold, so the test lowers it to 0 (and disables broadcast so a
+    join survives to inject into) purely to exercise the path the
+    100 TB deployment gets by default; confs restore afterwards."""
+    from pyspark.sql import functions as F
+
+    from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, sf_oracle, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 450000)
+        )
+        li = load_table(spark, sf_oracle, "lineitem")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        row = j.collect()[0]
+        assert row["n"] > 0
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_smoke):
+    """The benchmark gram set must broadcast (left-semi, BuildRight) so
+    corpus grams never shuffle, and no cartesian form may appear."""
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        docs_benchmark_decontaminate,
+    )
+
+    plan = (
+        docs_benchmark_decontaminate(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi, BuildRight" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_smoke):
+    """Efraimidis-Spirakis top-k must compile to TakeOrderedAndProject
+    (per-partition heaps + driver merge) — zero exchanges, no global
+    sort of the fact."""
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        orders_weighted_sample_noreplace,
+    )
+
+    plan = (
+        orders_weighted_sample_noreplace(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 0, plan

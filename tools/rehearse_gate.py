@@ -21,6 +21,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="every query, not just the window")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--queries", default=None, help="comma-separated subset to rehearse"
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -33,7 +36,14 @@ def main() -> int:
     from tests.oracle_utils import compare, duckdb_connection
 
     con = duckdb_connection(args.sf)
-    names = list(qs) if args.all else list(qs)[:50]
+    if args.queries:
+        names = [n.strip() for n in args.queries.split(",") if n.strip()]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            return 1
+    else:
+        names = list(qs) if args.all else list(qs)[:50]
     t0 = time.time()
     failures = []
     for name in names:
