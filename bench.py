@@ -137,6 +137,9 @@ HEADLINE = [
     "docs_benchmark_decontaminate",
     "orders_weighted_sample_noreplace",
     "events_kmv_theta_intersection",
+    "docs_stratified_weighted_sample",
+    "embedding_jl_projection",
+    "docs_bloom_novelty_check",
 ]
 
 

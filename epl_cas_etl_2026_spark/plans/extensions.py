@@ -5258,3 +5258,321 @@ def orders_weighted_sample_noreplace(
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# STRATIFIED weighted sampling without replacement — the groupwise form
+# of the E-S sampler above and the actual data-mixing primitive of a
+# corpus build ("k docs per language, longer docs more likely"): per
+# language, keep the _ES_STRAT_K largest ln(u)/n_chars keys.
+#
+# Scale shape (100 TB): the naive per-group window shuffles the WHOLE
+# corpus by lang (en alone is 40% — a guaranteed straggler). Instead
+# the key is computed in codegen, then per-PARTITION per-group top-k
+# partials (Arrow mapInPandas, k·L state — top-k is a semilattice like
+# the KMV minima) shrink the shuffle to ≤ partitions·langs·k rows; the
+# final window runs on that dim-sized frame. No full-data exchange.
+# ---------------------------------------------------------------------------
+_ES_STRAT_K = 20
+
+
+def _es_partition_topk(iterator):
+    """Per-partition per-lang top-k rows by (es_key DESC, doc_id ASC);
+    float arithmetic happens in Spark codegen BEFORE this — here we
+    only compare already-computed doubles, identically to the final
+    window."""
+    import numpy as np
+    import pandas as pd
+
+    state: dict = {}
+    for pdf in iterator:
+        for lang, grp in pdf.groupby("lang"):
+            prev = state.get(lang)
+            cur = grp[["doc_id", "es_key"]]
+            merged = (
+                pd.concat([prev, cur]) if prev is not None else cur
+            )
+            order = np.lexsort(
+                (merged["doc_id"].values, -merged["es_key"].values)
+            )[:_ES_STRAT_K]
+            state[lang] = merged.iloc[order]
+    for lang, grp in state.items():
+        out = grp.copy()
+        out.insert(0, "lang", lang)
+        yield out
+
+
+@_register(
+    "docs_stratified_weighted_sample",
+    f"""
+    WITH keyed AS (
+      SELECT lang, doc_id,
+             ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) + 0.5) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS es_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY es_key DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT lang, doc_id FROM ranked WHERE rn <= {_ES_STRAT_K}
+    ORDER BY lang, doc_id
+    """,
+)
+def docs_stratified_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h32 + F.lit(0.5)) / F.lit(float(2**32))
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        (F.log(u) / F.col("n_chars").cast("double")).alias("es_key"),
+    )
+    partials = keyed.mapInPandas(
+        _es_partition_topk, "lang string, doc_id long, es_key double"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.desc("es_key"), F.asc("doc_id")
+        )
+    )
+    return (
+        partials.withColumn("rn", rn)
+        .filter(F.col("rn") <= _ES_STRAT_K)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (Achlioptas 2003 ±1 variant)
+# — dimensionality reduction for embedding pipelines: project d=64 →
+# k=16 with a FIXED ±1 sign matrix derived from md5 at module load
+# (data-independent, reproducible forever), scaled by 1/√k = 1/4
+# (a power of two — the scale divide is float-EXACT).
+#
+# Cross-engine determinism: the signs are Python-computed constants
+# inlined as literals into BOTH plans, and each component is a
+# SEQUENTIAL left fold in index order (Spark `aggregate` over
+# zip_with; DuckDB `list_reduce`) — (0.0+x₁)+x₂+… equals x₁+x₂+…
+# bit-for-bit, so both engines produce identical doubles and the
+# micro-quantization can be hash-gated. JL distance preservation is
+# property-tested (tests/test_analytics_props.py), not gated.
+#
+# Scale shape (100 TB): the fold runs inside the scan stage per row
+# (zero shuffles before the output sort). The HOF fold is the
+# oracle-pairing choice; a throughput deployment would swap in the
+# Arrow-batched numpy matmul (operators/similarity.py pattern) whose
+# pairwise-summation floats no SQL engine can reproduce exactly.
+# ---------------------------------------------------------------------------
+_JL_D, _JL_K = 64, 16
+
+
+def _jl_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -1
+            for i in range(_JL_D)
+        ]
+        for j in range(_JL_K)
+    ]
+
+
+_JL_S = _jl_signs()
+
+
+def _jl_oracle() -> str:
+    comps = ", ".join(
+        "list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(("
+        + "[" + ",".join(str(x) for x in _JL_S[j]) + "]"
+        + f")[i] AS DOUBLE) FOR i IN range(1, {_JL_D + 1})], "
+        "(a, b) -> a + b) / 4.0"
+        for j in range(_JL_K)
+    )
+    return f"""
+    WITH proj AS (
+      SELECT vec_id, [{comps}] AS p
+      FROM embeddings WHERE vec_id % 7 = 0
+    )
+    SELECT vec_id, i - 1 AS dim_id,
+           CAST(FLOOR(p[i] * 1000000 + 0.5) AS BIGINT) AS proj_micro
+    FROM proj, range(1, {_JL_K + 1}) AS r(i)
+    ORDER BY vec_id, dim_id
+    """
+
+
+@_register("embedding_jl_projection", _jl_oracle())
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 7 == 0
+    )
+    v = to_double(F.col("embedding"))
+    comps = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in _JL_S[j]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(4.0)
+            for j in range(_JL_K)
+        ]
+    )
+    return (
+        emb.select("vec_id", F.posexplode(comps).alias("dim_id", "p"))
+        .select(
+            "vec_id",
+            "dim_id",
+            F.floor(F.col("p") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("proj_micro"),
+        )
+        .orderBy("vec_id", "dim_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter novelty check (Bloom 1970) — the "is this incoming doc
+# probably already in the corpus?" membership gate of an incremental
+# ingest, built from pure relational algebra so BOTH engines compute
+# the identical filter: 4 md5-derived bit positions in an m=65536-bit
+# space; the filter is the DISTINCT set-bit table (≤ m rows — always
+# broadcastable, the relational form of "the bloom fits in L2"); a
+# batch doc is flagged iff ALL its positions are set (anti-join on
+# missing bits). The gated row certifies the no-false-negative
+# property itself (every exact duplicate is flagged) plus the exact
+# false-positive count; complements the runtime bloom-join test
+# (test_plan_audit.py::test_runtime_bloom_filter_injection), which
+# exercises Catalyst's own injected bloom at the scan.
+#
+# Scale shape (100 TB): building the set-bit table is one map-side-
+# combined distinct over ≤ m values; probing is explode(4) + a
+# broadcast anti-join — the batch never shuffles. OR-of-bits is
+# order-independent, so the filter is deterministic under any
+# partitioning.
+# ---------------------------------------------------------------------------
+_BLOOM_M = 65536
+_BLOOM_HASHES = 4
+
+
+def _bloom_pos_sql(h: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{h}:' || md5(text)), 1, 8)) AS BIGINT)"
+        f" % {_BLOOM_M}"
+    )
+
+
+def _bloom_pos_col(h: int) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{h}:"), F.md5(F.col("text")))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_M
+    )
+
+
+@_register(
+    "docs_bloom_novelty_check",
+    f"""
+    WITH hist AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+    batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    bits AS (
+      SELECT DISTINCT unnest([{", ".join(_bloom_pos_sql(h) for h in range(1, _BLOOM_HASHES + 1))}]) AS pos
+      FROM hist
+    ),
+    probe AS (
+      SELECT doc_id, unnest([{", ".join(_bloom_pos_sql(h) for h in range(1, _BLOOM_HASHES + 1))}]) AS pos
+      FROM batch
+    ),
+    missing AS (
+      SELECT DISTINCT doc_id FROM probe
+      WHERE pos NOT IN (SELECT pos FROM bits)
+    ),
+    flagged AS (
+      SELECT doc_id FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM missing)
+    ),
+    exact_dup AS (
+      SELECT doc_id FROM batch WHERE text IN (SELECT DISTINCT text FROM hist)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM batch) AS n_batch,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_dup) AS n_exact_dup,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM flagged) AS n_flagged,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM flagged)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_dup)
+             AS n_false_positives,
+           (SELECT COUNT(*) FROM exact_dup e
+            WHERE e.doc_id NOT IN (SELECT doc_id FROM flagged)) = 0
+             AS no_false_negatives,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_set_bits
+    """,
+)
+def docs_bloom_novelty_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    pos_arr = F.array(
+        *[_bloom_pos_col(h) for h in range(1, _BLOOM_HASHES + 1)]
+    )
+    bits = hist.select(F.explode(pos_arr).alias("pos")).distinct()
+    probe = batch.select("doc_id", F.explode(pos_arr).alias("pos"))
+    missing = (
+        probe.join(F.broadcast(bits), "pos", "left_anti")
+        .select("doc_id")
+        .distinct()
+    )
+    flagged = batch.select("doc_id").join(missing, "doc_id", "left_anti")
+    exact_dup = batch.join(
+        hist.select("text").distinct(), "text", "left_semi"
+    ).select("doc_id")
+    exact_dup = exact_dup.localCheckpoint(eager=False)  # 2 consumers
+    flagged = flagged.localCheckpoint(eager=False)  # 2 consumers
+    n_batch = batch.agg(F.count(F.lit(1)).cast("long").alias("n_batch"))
+    n_exact = exact_dup.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_dup")
+    )
+    n_flagged = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_flagged")
+    )
+    n_fn = (
+        exact_dup.join(flagged, "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_missed"))
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("n_set_bits"))
+    return (
+        n_batch.crossJoin(n_exact)
+        .crossJoin(n_flagged)
+        .crossJoin(n_fn)
+        .crossJoin(n_bits)
+        .select(
+            "n_batch",
+            "n_exact_dup",
+            "n_flagged",
+            (F.col("n_flagged") - F.col("n_exact_dup")).alias(
+                "n_false_positives"
+            ),
+            (F.col("n_missed") == 0).alias("no_false_negatives"),
+            "n_set_bits",
+        )
+    )

@@ -543,3 +543,154 @@ def test_kmv_estimate_bounds_and_partition_invariance(spark):
     assert sample
     for r in sample:
         assert r["h"] == _md5_prefix_int(r["user_id"], 8)
+
+
+def test_stratified_weighted_sample_matches_numpy(spark):
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        _ES_STRAT_K,
+        docs_stratified_weighted_sample,
+    )
+
+    got: dict = {}
+    for r in docs_stratified_weighted_sample(spark, SF).collect():
+        got.setdefault(r["lang"], []).append(r["doc_id"])
+    docs = load_table(spark, SF, "documents").select(
+        "lang", "doc_id", "n_chars"
+    ).toPandas()
+    docs["key"] = [
+        math.log((_md5_prefix_int(d, 8) + 0.5) / 2**32) / float(w)
+        for d, w in zip(docs["doc_id"], docs["n_chars"])
+    ]
+    for lang, grp in docs.groupby("lang"):
+        order = np.lexsort((grp["doc_id"].values, -grp["key"].values))
+        want = sorted(
+            grp["doc_id"].values[order[:_ES_STRAT_K]].tolist()
+        )
+        assert got[lang] == want, lang
+    # partial top-k is a semilattice: result invariant to partitioning
+    from pyspark.sql import functions as F
+
+    from epl_cas_etl_2026_spark.plans.extensions import _es_partition_topk
+
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    keyed = load_table(spark, SF, "documents").select(
+        "lang",
+        "doc_id",
+        (
+            F.log((h32 + F.lit(0.5)) / F.lit(float(2**32)))
+            / F.col("n_chars").cast("double")
+        ).alias("es_key"),
+    )
+    outs = []
+    for parts in (1, 5):
+        pdf = (
+            keyed.repartition(parts)
+            .mapInPandas(
+                _es_partition_topk, "lang string, doc_id long, es_key double"
+            )
+            .toPandas()
+        )
+        top = {
+            lang: sorted(
+                grp.sort_values(
+                    ["es_key", "doc_id"], ascending=[False, True]
+                )["doc_id"]
+                .head(_ES_STRAT_K)
+                .tolist()
+            )
+            for lang, grp in pdf.groupby("lang")
+        }
+        outs.append(top)
+    assert outs[0] == outs[1]
+
+
+def test_jl_projection_matches_numpy_and_preserves_distances(spark):
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        _JL_K,
+        _JL_S,
+        embedding_jl_projection,
+    )
+
+    rows = embedding_jl_projection(spark, SF).collect()
+    assert rows
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["vec_id"], [0] * _JL_K)[r["dim_id"]] = r[
+            "proj_micro"
+        ]
+    emb = load_table(spark, SF, "embeddings").toPandas()
+    S = np.array(_JL_S, dtype=np.float64)  # k x d
+    P: dict = {}
+    for vid, v in zip(emb["vec_id"], emb["embedding"]):
+        if vid % 7 != 0:
+            continue
+        p = S @ np.asarray(v, dtype=np.float64) / 4.0
+        P[vid] = p
+        want = np.floor(p * 1e6 + 0.5).astype(np.int64)
+        # numpy matmul sums pairwise; the query folds sequentially —
+        # agree to the last ulp of the double, so the micro ints
+        # match within 1
+        assert np.max(np.abs(np.array(got[vid]) - want)) <= 1, vid
+    # JL property (loose — k=16 is a noisy projection): squared-
+    # distance ratios concentrate around 1
+    orig = {
+        vid: np.asarray(v, dtype=np.float64)
+        for vid, v in zip(emb["vec_id"], emb["embedding"])
+        if vid % 7 == 0
+    }
+    ids = sorted(orig)[:20]
+    ratios = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            d0 = float(((orig[a] - orig[b]) ** 2).sum())
+            d1 = float(((P[a] - P[b]) ** 2).sum())
+            if d0 > 0:
+                ratios.append(d1 / d0)
+    assert ratios
+    med = float(np.median(ratios))
+    assert 0.4 <= med <= 2.5, med
+
+
+def test_bloom_novelty_matches_pure_python(spark):
+    import hashlib
+
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        _BLOOM_HASHES,
+        _BLOOM_M,
+        docs_bloom_novelty_check,
+    )
+
+    row = docs_bloom_novelty_check(spark, SF).collect()[0]
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text"
+    ).toPandas()
+
+    def positions(text: str):
+        inner = hashlib.md5(text.encode()).hexdigest()
+        return {
+            int(
+                hashlib.md5(f"{h}:{inner}".encode()).hexdigest()[:8], 16
+            )
+            % _BLOOM_M
+            for h in range(1, _BLOOM_HASHES + 1)
+        }
+
+    hist = docs[docs["doc_id"] % 3 != 0]
+    batch = docs[docs["doc_id"] % 3 == 0]
+    bits: set = set()
+    for t in hist["text"]:
+        bits |= positions(t)
+    hist_texts = set(hist["text"])
+    n_flagged = sum(
+        1 for t in batch["text"] if positions(t) <= bits
+    )
+    n_exact = sum(1 for t in batch["text"] if t in hist_texts)
+    assert row["n_batch"] == len(batch)
+    assert row["n_exact_dup"] == n_exact
+    assert row["n_flagged"] == n_flagged
+    assert row["n_false_positives"] == n_flagged - n_exact
+    assert row["no_false_negatives"] is True
+    assert row["n_set_bits"] == len(bits)
