@@ -140,6 +140,7 @@ HEADLINE = [
     "docs_stratified_weighted_sample",
     "embedding_jl_projection",
     "docs_bloom_novelty_check",
+    "customers_k_anonymity_audit",
 ]
 
 

@@ -5576,3 +5576,77 @@ def docs_bloom_novelty_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_set_bits",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala 2007)
+# — the privacy-governance gate a dataset passes before leaving the
+# warehouse: every quasi-identifier combination must be shared by ≥ k
+# rows (re-identification resistance), and each such group must carry
+# ≥ l distinct sensitive values (attribute-disclosure resistance).
+# Quasi-identifiers here: (nation, market segment); sensitive
+# attribute: the account-balance sign class.
+#
+# Scale shape (100 TB): ONE map-side-combined groupBy over the
+# quasi-identifier pair (count + count distinct sensitive), then a
+# group-grained rollup — the audit costs exactly one shuffle of
+# |QI-combinations| rows regardless of table size.
+# ---------------------------------------------------------------------------
+_KANON_K = 5
+_KANON_L = 2
+
+
+@_register(
+    "customers_k_anonymity_audit",
+    f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS n,
+             COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                 WHEN c_acctbal < 5000 THEN 'mid'
+                                 ELSE 'high' END) AS l_div
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST({_KANON_K} AS BIGINT) AS k_threshold,
+           CAST(MIN(n) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_below_k,
+           CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_below_k,
+           CAST(SUM(CASE WHEN l_div < {_KANON_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_below_l,
+           SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) = 0
+             AND SUM(CASE WHEN l_div < {_KANON_L} THEN 1 ELSE 0 END) = 0
+             AS anonymity_ok
+    FROM g
+    """,
+)
+def customers_k_anonymity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    sensitive = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(sensitive).alias("l_div"),
+    )
+    below_k = F.sum(F.when(F.col("n") < _KANON_K, 1).otherwise(0))
+    below_l = F.sum(F.when(F.col("l_div") < _KANON_L, 1).otherwise(0))
+    return g.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.lit(_KANON_K).cast("long").alias("k_threshold"),
+        F.min("n").cast("long").alias("min_group_size"),
+        below_k.cast("long").alias("n_groups_below_k"),
+        F.sum(F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_below_k"),
+        below_l.cast("long").alias("n_groups_below_l"),
+        ((below_k == 0) & (below_l == 0)).alias("anonymity_ok"),
+    )

@@ -694,3 +694,33 @@ def test_bloom_novelty_matches_pure_python(spark):
     assert row["n_false_positives"] == n_flagged - n_exact
     assert row["no_false_negatives"] is True
     assert row["n_set_bits"] == len(bits)
+
+
+def test_k_anonymity_audit_matches_pandas(spark):
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        _KANON_K,
+        _KANON_L,
+        customers_k_anonymity_audit,
+    )
+
+    row = customers_k_anonymity_audit(spark, SF).collect()[0]
+    c = load_table(spark, SF, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    ).toPandas()
+    c["sens"] = np.where(
+        c["c_acctbal"].astype(float) < 0,
+        "neg",
+        np.where(c["c_acctbal"].astype(float) < 5000, "mid", "high"),
+    )
+    g = c.groupby(["c_nationkey", "c_mktsegment"]).agg(
+        n=("sens", "size"), l_div=("sens", "nunique")
+    )
+    assert row["n_rows"] == len(c)
+    assert row["n_groups"] == len(g)
+    assert row["min_group_size"] == int(g["n"].min())
+    assert row["n_groups_below_k"] == int((g["n"] < _KANON_K).sum())
+    assert row["n_rows_below_k"] == int(g.loc[g["n"] < _KANON_K, "n"].sum())
+    assert row["n_groups_below_l"] == int((g["l_div"] < _KANON_L).sum())
+    assert row["anonymity_ok"] == bool(
+        (g["n"] >= _KANON_K).all() and (g["l_div"] >= _KANON_L).all()
+    )

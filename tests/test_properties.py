@@ -483,3 +483,96 @@ def test_connected_components_star_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {x: find(x) for x in parent}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Round-6 operator laws (pure Python — no Spark job per example):
+#   * KMV partial k-minima form a semilattice: merging per-part
+#     sketches equals sketching the union, under ANY partitioning;
+#   * Efraimidis-Spirakis selection is invariant to scaling all
+#     weights by a positive constant, and with equal weights reduces
+#     to top-k by the uniform key.
+# ---------------------------------------------------------------------------
+@given(
+    hashes=st.lists(
+        st.integers(min_value=0, max_value=2**32 - 1),
+        min_size=1,
+        max_size=300,
+    ),
+    cut=st.integers(min_value=0, max_value=300),
+)
+@settings(max_examples=30, deadline=None)
+def test_kmv_partial_minima_semilattice(hashes, cut):
+    import pandas as pd
+
+    from epl_cas_etl_2026_spark.plans.sketches import (
+        KMV_K,
+        _kmv_partition_minima,
+    )
+
+    def sketch(parts):
+        frames = [
+            pd.DataFrame({"event_type": "t", "h": p}) for p in parts if p
+        ]
+        out = list(_kmv_partition_minima(iter(frames)))
+        if not out:
+            return []
+        merged = pd.concat(out)["h"]
+        return sorted(merged.unique())[:KMV_K]
+
+    cut = min(cut, len(hashes))
+    assert sketch([hashes[:cut], hashes[cut:]]) == sketch([hashes])
+
+
+@given(
+    weights=st.lists(
+        st.floats(min_value=0.01, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+    scale=st.floats(min_value=0.001, max_value=1000.0),
+)
+@settings(max_examples=30, deadline=None)
+def test_es_selection_weight_scale_invariant(weights, scale):
+    import hashlib
+    import math
+
+    k = 10
+
+    def select(ws):
+        keyed = []
+        for i, w in enumerate(ws):
+            u = (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 0.5
+            ) / 2**32
+            keyed.append((math.log(u) / w, -i))
+        return sorted(
+            (-key, -negi) for key, negi in sorted(keyed, reverse=True)[:k]
+        )
+
+    a = [i for _, i in select(weights)]
+    b = [i for _, i in select([w * scale for w in weights])]
+    assert [abs(i) for i in a] == [abs(i) for i in b]
+
+
+@given(
+    n=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=20, deadline=None)
+def test_es_equal_weights_is_uniform_topk(n):
+    import hashlib
+    import math
+
+    k = 5
+    us = {
+        i: (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 0.5
+        )
+        / 2**32
+        for i in range(n)
+    }
+    by_key = sorted(
+        range(n), key=lambda i: (math.log(us[i]) / 7.5, -i), reverse=True
+    )[:k]
+    by_u = sorted(range(n), key=lambda i: (us[i], -i), reverse=True)[:k]
+    assert sorted(by_key) == sorted(by_u)

@@ -145,6 +145,72 @@ def main() -> int:
         fact.groupBy("key").count().orderBy(F.desc("count")).limit(1)
         .collect()[0]
     )
+
+    # ---- window-straggler case: the shape the join bench's conclusion
+    # names as salting/rewrite territory, now measured. A window
+    # partitioned on the hot key puts the key's ENTIRE row set in one
+    # task — AQE cannot split a window partition, so the reactive path
+    # that won the join bench is unavailable by construction. The
+    # mitigation for unbounded-frame ALGEBRAIC window aggs is a
+    # rewrite, not a salt: per-key totals via groupBy (map-side
+    # partial aggregation is already skew-immune — each task emits ONE
+    # partial per key) joined back to the fact, which turns the
+    # straggler back into a plain skewed JOIN that AQE can split.
+    from pyspark.sql import Window
+
+    def naive_window():
+        w = Window.partitionBy("key")
+        return fact.select(
+            "key", (F.col("v") / F.sum("v").over(w)).alias("share")
+        ).agg(F.sum("share").alias("s"), F.count(F.lit(1)).alias("n"))
+
+    def agg_join_rewrite():
+        # per-key totals are |keys| rows (~3 MB here) — broadcast them
+        # EXPLICITLY: AQE's conservative post-shuffle size estimate
+        # keeps the SMJ otherwise (measured), and the whole point of
+        # the rewrite is that the fact never shuffles
+        totals = fact.groupBy("key").agg(F.sum("v").alias("t"))
+        return (
+            fact.join(F.broadcast(totals), "key")
+            .select("key", (F.col("v") / F.col("t")).alias("share"))
+            .agg(F.sum("share").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+
+    # the join bench disables broadcast (its 200k-row dim is the
+    # salted-join target zone); for the REWRITE the per-key totals
+    # frame is ~3 MB and broadcasting it is exactly what production
+    # would do — restore the default threshold for these scenarios so
+    # the rewrite is measured in its real shape (skew-immune partial
+    # agg + broadcast map-side join: no shuffle of the fact at all)
+    wscenarios = {
+        "naive_window": (naive_window,
+                         {"spark.sql.adaptive.enabled": "false"}),
+        "agg_join_rewrite": (agg_join_rewrite, {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.autoBroadcastJoinThreshold": "10485760",
+        }),
+    }
+    wbase = None
+    wtimings = {}
+    for name, (fn, confs) in wscenarios.items():
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        row = fn().collect()[0]
+        if wbase is None:
+            wbase = row
+        else:
+            assert row["n"] == wbase["n"], name
+            # Σ share = #distinct keys; float fold order differs
+            assert abs(row["s"] - wbase["s"]) <= abs(wbase["s"]) * 1e-9
+        best = None
+        for _ in range(args.reps):
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        wtimings[name] = round(best, 3)
+
     out = {
         "metric": "skew_join_bench_sec",
         "rows": args.rows,
@@ -153,6 +219,12 @@ def main() -> int:
         "timings": timings,
         "salted_vs_plain": round(timings["salted"] / timings["plain"], 3),
         "aqe_vs_plain": round(timings["aqe"] / timings["plain"], 3),
+        "window_skew": {
+            "timings": wtimings,
+            "rewrite_vs_naive": round(
+                wtimings["agg_join_rewrite"] / wtimings["naive_window"], 3
+            ),
+        },
     }
     print(json.dumps(out))
     return 0
