@@ -2015,12 +2015,18 @@ def embedding_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph = knn_graph(emb, dim=64, m_neighbors=m_nb).localCheckpoint(
         eager=False
     )
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0)
+    qrows = (
+        emb.filter(F.col("vec_id") == 0)
         .select(to_double(F.col("embedding")).alias("v"))
-        .collect()[0]["v"]
-    ]
+        .collect()
+    )
+    if not qrows:
+        # same by-design guard convention as kmeans_fit/pq_fit:
+        # empty/queryless input fails loudly, not with an IndexError
+        raise ValueError(
+            "graph_beam_search needs a query row with vec_id 0; found none"
+        )
+    qv = [float(x) for x in qrows[0]["v"]]
     out, n_visited, _hops = graph_beam_search_topk(
         emb, graph, qv, k=k, ef=48, max_hops=8,
         entry_ids=(0,), exclude_ids=(0,),

@@ -26,6 +26,10 @@ EXPECTED_VALUEERRORS = {
     # the same by-design guard as kmeans_fit: empty input raises a
     # clear ValueError instead of training on nothing
     "embedding_pq_codes_invariants",
+    # the composed serving paths inherit the same init guards
+    # (IVF-PQ: kmeans_fit; graph ANN: the vec_id-0 query-row guard)
+    "embedding_ivfpq_topk",
+    "embedding_graph_ann_topk",
 }
 
 
