@@ -17,6 +17,7 @@ tests/test_plan_audit.py.
 """
 
 from epl_cas_etl_2026_spark.plans import (
+    dataprep,
     decision_support,
     domain_api,
     enrich,
@@ -35,6 +36,7 @@ from epl_cas_etl_2026_spark.plans.gate_policy import gate_order
 
 _ALL_QUERIES = {
     **relational.QUERIES,
+    **dataprep.QUERIES,
     **domain_api.QUERIES,
     **extensions.QUERIES,
     **lifecycle.QUERIES,
@@ -50,6 +52,7 @@ _ALL_QUERIES = {
 }
 _ALL_ORACLES = {
     **relational.ORACLES,
+    **dataprep.ORACLES,
     **domain_api.ORACLES,
     **extensions.ORACLES,
     **lifecycle.ORACLES,

@@ -1,0 +1,743 @@
+"""Training-data preparation & governance plans with DuckDB oracle
+twins: distribution-drift detection (PSI), annotation consolidation
+(majority vote), leakage-safe categorical encoding (out-of-fold target
+encoding), key-skew concentration profiling (Gini / HHI / top-share),
+cross-column joinability discovery, and Kaplan-Meier survival — the
+monitoring / labeling / feature-prep surface an LLM-scale data
+pipeline runs around the core ETL (SURVEY.md §7 Phase 4 adjacents).
+
+Determinism playbook (same as plans/extensions.py): every metric is
+computed from EXACT integer counts/sums first; floats appear only in a
+final fixed expression shape shared verbatim by both engines, then
+milli/ppm-quantized with floor(x*SCALE + 0.5) so a <=1-ulp ln/exp/sum
+divergence can never flip a digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from epl_cas_etl_2026_spark.operators.windows import two_phase_cumsum
+from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index drift detection — the standard production
+# monitor for "did this feature's distribution shift between the
+# reference window and the current window" (credit-scoring lineage;
+# same family as the KL/JS divergences). Reference slice = first half
+# of the event-time range, current = second half; bin edges are fixed
+# from the REFERENCE slice (10 equal-width bins, clamped), counts are
+# Laplace-smoothed so empty bins stay finite, PSI = sum over bins of
+# (p_cur - p_ref) * ln(p_cur / p_ref), micronat-quantized. PSI > 0.2
+# is the conventional "significant shift" alarm.
+#
+# 100 TB shape: ONE pass computes the time range, ONE pass the per-type
+# reference min/max (broadcast), ONE map-side-combined groupBy on
+# (type, window, bin) — every shuffle after the scan is dim-grained
+# (|types| x 2 x 10 rows). No sort, no window function anywhere.
+# ---------------------------------------------------------------------------
+_PSI_BINS = 10
+_PSI_ALERT_MICRONATS = 200_000  # PSI > 0.2
+
+
+@_register(
+    "events_psi_drift",
+    f"""
+    WITH t AS (
+      SELECT event_type, value, epoch_us(ts) AS tu FROM events
+    ), rng AS (
+      SELECT (MIN(tu) + MAX(tu)) // 2 AS mid FROM t
+    ), lab AS (
+      SELECT event_type, value,
+             CASE WHEN tu < mid THEN 'ref' ELSE 'cur' END AS win
+      FROM t CROSS JOIN rng
+    ), eb AS (
+      SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+      FROM lab WHERE win = 'ref' GROUP BY event_type
+    ), binned AS (
+      SELECT l.event_type, l.win,
+             CASE WHEN vmax > vmin THEN
+               LEAST(GREATEST(CAST(FLOOR((l.value - vmin)
+                   / ((vmax - vmin) / {_PSI_BINS}.0)) AS BIGINT), 0),
+                 {_PSI_BINS - 1})
+             ELSE 0 END AS bin
+      FROM lab l JOIN eb USING (event_type)
+    ), c AS (
+      SELECT event_type, win, bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM binned GROUP BY event_type, win, bin
+    ), dense AS (
+      SELECT eb.event_type, r.bin, v.win
+      FROM eb, RANGE(0, {_PSI_BINS}) r(bin), (VALUES ('ref'), ('cur')) v(win)
+    ), f AS (
+      SELECT d.event_type, d.win, d.bin, COALESCE(c.c, 0) AS c
+      FROM dense d LEFT JOIN c
+        ON d.event_type = c.event_type AND d.win = c.win AND d.bin = c.bin
+    ), tot AS (
+      SELECT event_type, win, SUM(c) AS n FROM f GROUP BY event_type, win
+    ), p AS (
+      SELECT f.event_type, f.bin,
+             MAX(CASE WHEN f.win = 'ref' THEN
+               CAST(f.c + 1 AS DOUBLE) / CAST(t.n + {_PSI_BINS} AS DOUBLE)
+             END) AS pr,
+             MAX(CASE WHEN f.win = 'cur' THEN
+               CAST(f.c + 1 AS DOUBLE) / CAST(t.n + {_PSI_BINS} AS DOUBLE)
+             END) AS pc
+      FROM f JOIN tot t ON f.event_type = t.event_type AND f.win = t.win
+      GROUP BY f.event_type, f.bin
+    ), psi AS (
+      SELECT event_type, SUM((pc - pr) * LN(pc / pr)) AS psi
+      FROM p GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(tr.n AS BIGINT) AS n_ref,
+           CAST(tc.n AS BIGINT) AS n_cur,
+           CAST(FLOOR(s.psi * 1000000 + 0.5) AS BIGINT) AS psi_micronats,
+           CAST(FLOOR(s.psi * 1000000 + 0.5) AS BIGINT)
+             > {_PSI_ALERT_MICRONATS} AS drifted
+    FROM psi s
+    JOIN tot tr ON s.event_type = tr.event_type AND tr.win = 'ref'
+    JOIN tot tc ON s.event_type = tc.event_type AND tc.win = 'cur'
+    ORDER BY s.event_type
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_micros("ts").alias("tu")
+    )
+    rng = ev.agg(F.expr("(min(tu) + max(tu)) div 2").alias("mid"))
+    lab = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "value",
+        F.when(F.col("tu") < F.col("mid"), "ref").otherwise("cur").alias("win"),
+    )
+    eb = (
+        lab.filter(F.col("win") == "ref")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    )
+    width = (F.col("vmax") - F.col("vmin")) / float(_PSI_BINS)
+    binned = lab.join(F.broadcast(eb), "event_type").select(
+        "event_type",
+        "win",
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.least(
+                F.greatest(
+                    F.floor((F.col("value") - F.col("vmin")) / width).cast(
+                        "long"
+                    ),
+                    F.lit(0).cast("long"),
+                ),
+                F.lit(_PSI_BINS - 1).cast("long"),
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("bin"),
+    )
+    c = binned.groupBy("event_type", "win", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dense = (
+        eb.select("event_type")
+        .crossJoin(
+            spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+        )
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame([("ref",), ("cur",)], "win string")
+            )
+        )
+    )
+    f = dense.join(c, ["event_type", "win", "bin"], "left").select(
+        "event_type", "win", "bin", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    f = f.localCheckpoint(eager=False)  # 2 consumers: probs + totals
+    tot = f.groupBy("event_type", "win").agg(F.sum("c").alias("n"))
+    tot = tot.localCheckpoint(eager=False)  # 3 consumers
+    smoothed = (F.col("c") + 1).cast("double") / (
+        F.col("n") + _PSI_BINS
+    ).cast("double")
+    p = (
+        f.join(tot, ["event_type", "win"])
+        .groupBy("event_type", "bin")
+        .agg(
+            F.max(F.when(F.col("win") == "ref", smoothed)).alias("pr"),
+            F.max(F.when(F.col("win") == "cur", smoothed)).alias("pc"),
+        )
+    )
+    psi = p.groupBy("event_type").agg(
+        F.sum(
+            (F.col("pc") - F.col("pr")) * F.log(F.col("pc") / F.col("pr"))
+        ).alias("psi")
+    )
+    quant = F.floor(F.col("psi") * 1000000 + 0.5).cast("long")
+    return (
+        psi.join(
+            tot.filter(F.col("win") == "ref").select(
+                "event_type", F.col("n").alias("n_ref")
+            ),
+            "event_type",
+        )
+        .join(
+            tot.filter(F.col("win") == "cur").select(
+                "event_type", F.col("n").alias("n_cur")
+            ),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            quant.alias("psi_micronats"),
+            (quant > _PSI_ALERT_MICRONATS).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Majority-vote annotation consolidation — the label-aggregation step
+# of every labeling pipeline (N raters per example -> one consolidated
+# label + agreement diagnostics). Votes here: each order's line items
+# "vote" with their return flag. Winner = highest vote count, ties
+# broken by lexicographically smallest label (deterministic); the
+# rollup reports per-winning-label order counts, unanimity, tie rate,
+# and micro-averaged agreement (ratio of winning votes to all votes —
+# ratio-of-sums, NOT avg-of-ratios, so the arithmetic stays in exact
+# integers until one final ppm division).
+#
+# 100 TB shape: groupBy (example, label) with map-side combine, then
+# groupBy example over <=|label-alphabet| rows each (sort_array over a
+# <=3-element collect_list — bounded by the label alphabet, not data),
+# then a dim-grained rollup. No windows, no skew risk beyond the
+# example key itself.
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_label_majority_vote",
+    """
+    WITH c AS (
+      SELECT l_orderkey AS k, l_returnflag AS f,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), o AS (
+      SELECT k, f, c,
+             SUM(c) OVER (PARTITION BY k) AS total,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY c DESC, f ASC)
+               AS rn,
+             MAX(c) OVER (PARTITION BY k) AS maxc
+      FROM c
+    ), o2 AS (
+      SELECT k, f, c, total, rn,
+             SUM(CASE WHEN c = maxc THEN 1 ELSE 0 END)
+               OVER (PARTITION BY k) AS ntop
+      FROM o
+    ), w AS (
+      SELECT f AS winner, c AS wc, CAST(total AS BIGINT) AS total,
+             ntop > 1 AS tied, c = total AS unanimous
+      FROM o2 WHERE rn = 1
+    )
+    SELECT winner AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN unanimous THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unanimous,
+           CAST(SUM(CASE WHEN tied THEN 1 ELSE 0 END) AS BIGINT) AS n_tied,
+           CAST((SUM(wc) * 1000000 + SUM(total) // 2) // SUM(total)
+             AS BIGINT) AS agreement_ppm
+    FROM w GROUP BY winner ORDER BY label
+    """,
+)
+def orders_label_majority_vote(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(
+        F.col("l_orderkey").alias("k"), F.col("l_returnflag").alias("f")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per = cnt.groupBy("k").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct((-F.col("c")).alias("negc"), F.col("f").alias("f"))
+            )
+        ).alias("s"),
+        F.sum("c").alias("total"),
+    )
+    s1 = F.try_element_at("s", F.lit(1))
+    s2 = F.try_element_at("s", F.lit(2))
+    per = per.select(
+        s1["f"].alias("winner"),
+        (-s1["negc"]).alias("wc"),
+        "total",
+        F.coalesce(s1["negc"] == s2["negc"], F.lit(False)).alias("tied"),
+    )
+    return (
+        per.groupBy(F.col("winner").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum((F.col("wc") == F.col("total")).cast("long")).alias(
+                "n_unanimous"
+            ),
+            F.sum(F.col("tied").cast("long")).alias("n_tied"),
+            F.sum("wc").alias("sw"),
+            F.sum("total").alias("st"),
+        )
+        .select(
+            "label",
+            "n_orders",
+            "n_unanimous",
+            "n_tied",
+            F.expr(
+                "(sw * CAST(1000000 AS BIGINT) + st div 2) div st"
+            ).alias("agreement_ppm"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-fold target encoding — the leakage-safe way to turn a
+# categorical feature into a numeric one for model training: each
+# fold's encoding of a category is the target mean computed from the
+# OTHER folds only, so no row's own target leaks into its feature
+# (K-fold CV discipline; smoothed variants add the global prior the
+# last column carries). Target = order price in exact integer cents;
+# the encoding is a half-up integer division of exact sums.
+#
+# 100 TB shape: ONE map-side-combined groupBy on (category, fold) —
+# |cats| x K rows — then a broadcast join of per-category totals.
+# Leave-one-out is this same algebra with per-row instead of per-fold
+# exclusion; the fold form is what scales (and what CV training uses).
+# ---------------------------------------------------------------------------
+_OOF_FOLDS = 4
+
+
+@_register(
+    "orders_target_encoding_oof",
+    f"""
+    WITH o AS (
+      SELECT o_orderpriority AS priority,
+             o_orderkey % {_OOF_FOLDS} AS fold,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ), g AS (
+      SELECT priority, fold, CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS s
+      FROM o GROUP BY 1, 2
+    ), t AS (
+      SELECT priority, SUM(n) AS tn, SUM(s) AS ts FROM g GROUP BY 1
+    ), gl AS (
+      SELECT SUM(n) AS gn, SUM(s) AS gs FROM g
+    )
+    SELECT g.priority, g.fold, g.n AS n_rows,
+           CAST((t.ts - g.s + (t.tn - g.n) // 2)
+                // NULLIF(t.tn - g.n, 0) AS BIGINT) AS oof_encoding_cents,
+           CAST((gl.gs + gl.gn // 2) // gl.gn AS BIGINT) AS global_cents
+    FROM g JOIN t USING (priority) CROSS JOIN gl
+    ORDER BY priority, fold
+    """,
+)
+def orders_target_encoding_oof(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_orderkey") % _OOF_FOLDS).alias("fold"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    g = o.groupBy("priority", "fold").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    g = g.localCheckpoint(eager=False)  # 3 consumers
+    t = g.groupBy("priority").agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts")
+    )
+    gl = g.agg(F.sum("n").alias("gn"), F.sum("s").alias("gs"))
+    return (
+        g.join(F.broadcast(t), "priority")
+        .crossJoin(F.broadcast(gl))
+        .select(
+            "priority",
+            "fold",
+            F.col("n").alias("n_rows"),
+            F.expr(
+                "(ts - s + (tn - n) div 2) div nullif(tn - n, 0)"
+            ).alias("oof_encoding_cents"),
+            F.expr("(gs + gn div 2) div gn").alias("global_cents"),
+        )
+        .orderBy("priority", "fold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew concentration profile — the shuffle-planning diagnostic run
+# BEFORE a big join/groupBy: how concentrated is the key distribution
+# (Gini coefficient, Herfindahl-Hirschman index, share of rows held by
+# the top 1% of keys)? Feeds the salting decision that
+# lineitem_salted_skew_join_rollup acts on.
+#
+# The Gini needs ordinal ranks over keys sorted by frequency — done on
+# the FREQUENCY-OF-FREQUENCIES compression (distinct count-values c
+# with multiplicity m): if k distinct frequency values exist then
+# k(k+1)/2 <= n_rows, so k <= sqrt(2 * n_rows) — ~1.4e6 rows at 1e12
+# input rows. Cumulative positions over that compressed frame come
+# from the two-phase prefix-offset cumsum (no single-partition
+# window). A block of m keys with count c ending at cumulative
+# position P contributes c*m*(2P - m + 1) to 2*sum(i * c_i) exactly.
+#
+# Overflow note (same playbook as the OLS split-sum): the integer
+# products stay in int64 up to ~1e5 max-frequency x 1e9 keys; past
+# that, split-sum the product the way plans/extensions.py's OLS does.
+# All emitted metrics are exact integers until one final quantized
+# double division.
+# ---------------------------------------------------------------------------
+@_register(
+    "lineitem_key_skew_gini",
+    """
+    WITH freq AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ), ff AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM freq GROUP BY 1
+    ), asc_ AS (
+      SELECT c, m, SUM(m) OVER (ORDER BY c) AS cum_m FROM ff
+    ), desc_ AS (
+      SELECT c, m, SUM(m) OVER (ORDER BY c DESC) AS cumd FROM ff
+    ), tot AS (
+      SELECT SUM(m) AS n_keys, SUM(c * m) AS s, MAX(c) AS maxc FROM ff
+    ), s2 AS (
+      SELECT SUM(c * m * (2 * cum_m - m + 1)) AS s2ic FROM asc_
+    ), sc2 AS (
+      SELECT SUM(c * c * m) AS v FROM ff
+    ), topn AS (
+      SELECT (n_keys + 99) // 100 AS top_n FROM tot
+    ), shr AS (
+      SELECT SUM(c * LEAST(m, GREATEST(top_n - (cumd - m), 0)))
+        AS share_sum
+      FROM desc_ CROSS JOIN topn
+    )
+    SELECT CAST(tot.s AS BIGINT) AS n_rows,
+           CAST(tot.n_keys AS BIGINT) AS n_keys,
+           CAST(tot.maxc AS BIGINT) AS max_count,
+           CAST(FLOOR((CAST(s2.s2ic AS DOUBLE)
+                         / (CAST(tot.n_keys AS DOUBLE) * CAST(tot.s AS DOUBLE))
+                       - CAST(tot.n_keys + 1 AS DOUBLE)
+                         / CAST(tot.n_keys AS DOUBLE)) * 1000 + 0.5)
+             AS BIGINT) AS gini_millis,
+           CAST(FLOOR(CAST(sc2.v AS DOUBLE) * 1000000
+                      / (CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE)) + 0.5)
+             AS BIGINT) AS hhi_ppm,
+           CAST(FLOOR(CAST(shr.share_sum AS DOUBLE) * 1000000
+                      / CAST(tot.s AS DOUBLE) + 0.5)
+             AS BIGINT) AS top1pct_share_ppm
+    FROM tot, s2, sc2, shr
+    """,
+)
+def lineitem_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    ff = freq.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+    ff = ff.localCheckpoint(eager=False)  # 4 consumers
+    asc_ = two_phase_cumsum(ff, "c", "m", "cum_m")
+    desc_ = two_phase_cumsum(
+        ff.withColumn("negc", -F.col("c")), "negc", "m", "cumd"
+    )
+    tot = ff.agg(
+        F.sum("m").alias("n_keys"),
+        F.sum(F.col("c") * F.col("m")).alias("s"),
+        F.max("c").alias("maxc"),
+    )
+    s2 = asc_.agg(
+        F.sum(
+            F.col("c") * F.col("m") * (2 * F.col("cum_m") - F.col("m") + 1)
+        ).alias("s2ic")
+    )
+    sc2 = ff.agg(F.sum(F.col("c") * F.col("c") * F.col("m")).alias("v"))
+    tot = tot.localCheckpoint(eager=False)  # feeds topn + final
+    topn = tot.select(
+        F.expr("(n_keys + 99) div 100").alias("top_n")
+    )
+    shr = (
+        desc_.crossJoin(F.broadcast(topn))
+        .agg(
+            F.sum(
+                F.col("c")
+                * F.least(
+                    F.col("m"),
+                    F.greatest(
+                        F.col("top_n") - (F.col("cumd") - F.col("m")),
+                        F.lit(0).cast("long"),
+                    ),
+                )
+            ).alias("share_sum")
+        )
+    )
+    nk_d = F.col("n_keys").cast("double")
+    s_d = F.col("s").cast("double")
+    gini = (
+        F.col("s2ic").cast("double") / (nk_d * s_d)
+        - (F.col("n_keys") + 1).cast("double") / nk_d
+    )
+    return (
+        tot.crossJoin(s2)
+        .crossJoin(sc2)
+        .crossJoin(shr)
+        .select(
+            F.col("s").alias("n_rows"),
+            F.col("n_keys"),
+            F.col("maxc").alias("max_count"),
+            F.floor(gini * 1000 + 0.5).cast("long").alias("gini_millis"),
+            F.floor(
+                F.col("v").cast("double") * 1000000 / (s_d * s_d) + 0.5
+            )
+            .cast("long")
+            .alias("hhi_ppm"),
+            F.floor(
+                F.col("share_sum").cast("double") * 1000000 / s_d + 0.5
+            )
+            .cast("long")
+            .alias("top1pct_share_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-column joinability discovery — the data-lake profiling step
+# that finds which column pairs are join keys: for each candidate
+# (A.x, B.y) report distinct cardinalities, exact intersection size,
+# containment |A∩B|/|A| and Jaccard |A∩B|/|A∪B| (Aurum/data-civilizer
+# family of joinability metrics). The pair list covers every true FK
+# edge of the star schema plus one negative control.
+#
+# 100 TB shape: exact distinct-sets + semi-join per pair is the
+# ORACLE-CHECKABLE baseline; at lake scale the same metrics come from
+# the mergeable KMV/theta sketches (events_kmv_theta_intersection) —
+# one sketch per column, pairwise theta intersections, no re-scan.
+# Exact path still scales soundly: each pair costs two distinct aggs
+# and one slim-key semi-join, all map-side combined.
+# ---------------------------------------------------------------------------
+_JOINABILITY_PAIRS = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    # negative control: key spaces overlap numerically but are NOT a
+    # semantic FK edge — the profiler must report it as weakly joinable
+    ("orders", "o_orderkey", "customer", "c_custkey"),
+]
+
+
+def _joinability_oracle() -> str:
+    blocks = []
+    for ta, ca, tb, cb in _JOINABILITY_PAIRS:
+        pair = f"{ta}.{ca}~{tb}.{cb}"
+        blocks.append(
+            f"""
+    SELECT '{pair}' AS pair, a.n AS ndv_a, b.n AS ndv_b,
+           i.n AS n_intersect,
+           (i.n * 1000000 + a.n // 2) // a.n AS containment_ppm,
+           (i.n * 1000000 + (a.n + b.n - i.n) // 2) // (a.n + b.n - i.n)
+             AS jaccard_ppm
+    FROM (SELECT CAST(COUNT(DISTINCT {ca}) AS BIGINT) AS n FROM {ta}) a,
+         (SELECT CAST(COUNT(DISTINCT {cb}) AS BIGINT) AS n FROM {tb}) b,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT DISTINCT CAST({ca} AS BIGINT) AS v FROM {ta}) x
+          JOIN (SELECT DISTINCT CAST({cb} AS BIGINT) AS v FROM {tb}) y
+          USING (v)) i"""
+        )
+    return (
+        "SELECT pair, ndv_a, ndv_b, n_intersect,\n"
+        "       CAST(containment_ppm AS BIGINT) AS containment_ppm,\n"
+        "       CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm\n"
+        "FROM (" + "\n    UNION ALL".join(blocks) + "\n) ORDER BY pair"
+    )
+
+
+@_register("catalog_joinability_profile", _joinability_oracle())
+def catalog_joinability_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    rows = []
+    for ta, ca, tb, cb in _JOINABILITY_PAIRS:
+        da = (
+            load_table(spark, sf_dir, ta)
+            .select(F.col(ca).cast("long").alias("v"))
+            .distinct()
+        )
+        db = (
+            load_table(spark, sf_dir, tb)
+            .select(F.col(cb).cast("long").alias("v"))
+            .distinct()
+        )
+        da = da.localCheckpoint(eager=False)  # count + semi-join probe
+        db = db.localCheckpoint(eager=False)
+        na = da.agg(F.count(F.lit(1)).alias("ndv_a"))
+        nb = db.agg(F.count(F.lit(1)).alias("ndv_b"))
+        ni = da.join(db, "v", "left_semi").agg(
+            F.count(F.lit(1)).alias("n_intersect")
+        )
+        rows.append(
+            na.crossJoin(nb)
+            .crossJoin(ni)
+            .select(
+                F.lit(f"{ta}.{ca}~{tb}.{cb}").alias("pair"),
+                "ndv_a",
+                "ndv_b",
+                "n_intersect",
+                F.expr(
+                    "(n_intersect * CAST(1000000 AS BIGINT)"
+                    " + ndv_a div 2) div ndv_a"
+                ).alias("containment_ppm"),
+                F.expr(
+                    "(n_intersect * CAST(1000000 AS BIGINT)"
+                    " + (ndv_a + ndv_b - n_intersect) div 2)"
+                    " div (ndv_a + ndv_b - n_intersect)"
+                ).alias("jaccard_ppm"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("pair")
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimator — "how long do customers stay
+# active" with right-censoring done correctly: a customer whose last
+# order falls within the censoring horizon of the dataset's end is
+# CENSORED (still alive when observation stopped), not churned.
+# Lifetime = months between first and last order; S(t) is the product
+# over event times u <= t of (1 - d_u / r_u) with the at-risk set
+# r_u shrunk by both prior events and prior censorings.
+#
+# Determinism: d/r/at-risk are exact integers; the ordered product is
+# exp(sum(ln(factor)) over t) — an ORDERED window fold, identical on
+# both engines — with an explicit zero-factor count so S drops to
+# exactly 0 instead of ln(0); ppm-quantized. The survival-curve frame
+# is bounded by the CALENDAR (months of history), not data size, so
+# its unpartitioned ordered window is dim-grained by construction —
+# the per-customer aggregation before it is the only fact-sized work.
+# ---------------------------------------------------------------------------
+_KM_CENSOR_DAYS = 180
+
+
+@_register(
+    "customers_kaplan_meier_lifetime",
+    f"""
+    WITH pc AS (
+      SELECT o_custkey,
+             MIN(CAST(o_orderdate AS DATE)) AS fd,
+             MAX(CAST(o_orderdate AS DATE)) AS ld
+      FROM orders GROUP BY 1
+    ), gm AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS gmax FROM orders
+    ), km_in AS (
+      SELECT date_diff('day', fd, ld) // 30 AS t,
+             CASE WHEN date_diff('day', ld, gmax) > {_KM_CENSOR_DAYS}
+                  THEN 1 ELSE 0 END AS e
+      FROM pc CROSS JOIN gm
+    ), g AS (
+      SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+             CAST(SUM(1 - e) AS BIGINT) AS q
+      FROM km_in GROUP BY t
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM km_in
+    ), r AS (
+      SELECT t, d, q,
+             n - COALESCE(SUM(d + q) OVER
+               (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS at_risk
+      FROM g CROSS JOIN tot
+    ), s AS (
+      SELECT t, d, q, at_risk,
+             SUM(LN(CASE WHEN at_risk > d THEN
+                   1.0 - CAST(d AS DOUBLE) / CAST(at_risk AS DOUBLE)
+                 ELSE 1.0 END))
+               OVER (ORDER BY t) AS lnsum,
+             SUM(CASE WHEN at_risk <= d AND d > 0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY t) AS zerocnt
+      FROM r
+    )
+    SELECT t AS t_months, CAST(at_risk AS BIGINT) AS at_risk,
+           d AS n_events, q AS n_censored,
+           CAST(CASE WHEN zerocnt > 0 THEN 0
+                ELSE FLOOR(EXP(lnsum) * 1000000 + 0.5) END AS BIGINT)
+             AS survival_ppm
+    FROM s ORDER BY t
+    """,
+)
+def customers_kaplan_meier_lifetime(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pc = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("fd"),
+        F.max(F.col("o_orderdate").cast("date")).alias("ld"),
+    )
+    gm = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("gmax"))
+    km_in = pc.crossJoin(F.broadcast(gm)).select(
+        F.expr("datediff(ld, fd) div 30").alias("t"),
+        F.when(
+            F.datediff("gmax", "ld") > _KM_CENSOR_DAYS, 1
+        ).otherwise(0).alias("e"),
+    )
+    km_in = km_in.localCheckpoint(eager=False)  # curve + total count
+    g = km_in.groupBy("t").agg(
+        F.sum("e").cast("long").alias("d"),
+        F.sum(1 - F.col("e")).cast("long").alias("q"),
+    )
+    tot = km_in.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_prev = (
+        Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.crossJoin(F.broadcast(tot)).withColumn(
+        "at_risk",
+        F.col("n")
+        - F.coalesce(
+            F.sum(F.col("d") + F.col("q")).over(w_prev),
+            F.lit(0).cast("long"),
+        ),
+    )
+    factor_ln = F.log(
+        F.when(
+            F.col("at_risk") > F.col("d"),
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("at_risk").cast("double"),
+        ).otherwise(F.lit(1.0))
+    )
+    s = r.withColumn("lnsum", F.sum(factor_ln).over(w_cum)).withColumn(
+        "zerocnt",
+        F.sum(
+            F.when(
+                (F.col("at_risk") <= F.col("d")) & (F.col("d") > 0), 1
+            ).otherwise(0)
+        ).over(w_cum),
+    )
+    return s.select(
+        F.col("t").alias("t_months"),
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.col("d").alias("n_events"),
+        F.col("q").alias("n_censored"),
+        F.when(F.col("zerocnt") > 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(F.exp("lnsum") * 1000000 + 0.5).cast("long")
+        )
+        .alias("survival_ppm"),
+    ).orderBy("t_months")

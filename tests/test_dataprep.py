@@ -1,0 +1,184 @@
+"""Semantic traps + invariants for the dataprep plans (PSI drift,
+majority vote, OOF target encoding, Gini skew profile, joinability,
+Kaplan-Meier). Oracle parity is covered by the differential sweep;
+these tests pin the trap semantics on hand-built fixtures."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from epl_cas_etl_2026_spark.plans.dataprep import (
+    catalog_joinability_profile,
+    customers_kaplan_meier_lifetime,
+    events_psi_drift,
+    lineitem_key_skew_gini,
+    orders_label_majority_vote,
+    orders_target_encoding_oof,
+)
+
+
+def _write(spark, tmp_path, table, rows, schema):
+    d = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        os.path.join(d, f"{table}.parquet")
+    )
+    return d
+
+
+_LI_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+    "l_quantity double, l_extendedprice double, l_discount double, "
+    "l_tax double, l_returnflag string, l_linestatus string, "
+    "l_shipdate timestamp"
+)
+
+
+def _li_row(orderkey, partkey, flag):
+    return (orderkey, partkey, 1, 1, 1.0, 1.0, 0.0, 0.0, flag, "O", None)
+
+
+def test_majority_vote_tie_breaks_to_smallest_label(spark, tmp_path):
+    """2-2 tie must pick the lexicographically smallest label and be
+    counted as tied; unanimous single-label orders flagged unanimous."""
+    rows = (
+        [_li_row(1, 1, "B"), _li_row(1, 2, "A"),
+         _li_row(1, 3, "A"), _li_row(1, 4, "B")]  # tie A/B -> A
+        + [_li_row(2, 1, "B"), _li_row(2, 2, "B"), _li_row(2, 3, "A")]
+        + [_li_row(3, 1, "C")]  # unanimous
+    )
+    d = _write(spark, tmp_path, "lineitem", rows, _LI_SCHEMA)
+    got = {r["label"]: r.asDict() for r in
+           orders_label_majority_vote(spark, d).collect()}
+    assert set(got) == {"A", "B", "C"}
+    assert got["A"]["n_orders"] == 1 and got["A"]["n_tied"] == 1
+    assert got["A"]["n_unanimous"] == 0
+    # order 1: winner A with 2 of 4 votes -> 500000 ppm
+    assert got["A"]["agreement_ppm"] == 500000
+    assert got["B"]["n_orders"] == 1 and got["B"]["n_tied"] == 0
+    assert got["B"]["agreement_ppm"] == 666667  # 2/3 half-up
+    assert got["C"]["n_unanimous"] == 1
+    assert got["C"]["agreement_ppm"] == 1000000
+
+
+def test_gini_zero_on_uniform_counts(spark, tmp_path):
+    """Every key appearing exactly twice: Gini == 0, HHI == 1e6/n_keys,
+    top-1% share == ceil(n/100)*2/total."""
+    rows = [_li_row(i, k, "A") for k in range(1, 201) for i in (1, 2)]
+    d = _write(spark, tmp_path, "lineitem", rows, _LI_SCHEMA)
+    r = lineitem_key_skew_gini(spark, d).collect()[0]
+    assert r["n_keys"] == 200 and r["n_rows"] == 400
+    assert r["max_count"] == 2
+    assert r["gini_millis"] == 0
+    assert r["hhi_ppm"] == 5000  # 200 * (2/400)^2 = 1/200
+    assert r["top1pct_share_ppm"] == 10000  # 2 keys * 2 rows / 400
+
+
+def test_gini_extreme_on_one_hot_key(spark, tmp_path):
+    """One key holds nearly all rows: Gini approaches (n_keys-1)/n_keys
+    and the top-1% share captures the hot key."""
+    rows = [_li_row(i, 1, "A") for i in range(1, 1001)]
+    rows += [_li_row(2000 + k, 1 + k, "A") for k in range(1, 100)]
+    d = _write(spark, tmp_path, "lineitem", rows, _LI_SCHEMA)
+    r = lineitem_key_skew_gini(spark, d).collect()[0]
+    assert r["n_keys"] == 100 and r["max_count"] == 1000
+    assert r["gini_millis"] >= 900
+    assert r["top1pct_share_ppm"] >= 900000
+
+
+_ORD_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def test_oof_encoding_is_leakage_free(spark, tmp_path):
+    """Changing ONLY fold-0 targets of a category must not move that
+    category's fold-0 encoding (it is computed from the other folds)."""
+    import datetime as dt
+
+    def orders(fold0_price):
+        rows = []
+        for k in range(1, 81):
+            price = fold0_price if k % 4 == 0 else 100.0 + (k % 7)
+            rows.append(
+                (k, 1, "O", price, dt.datetime(1995, 1, 1), "1-URGENT")
+            )
+        return rows
+
+    d = _write(spark, tmp_path, "orders", orders(9999.0), _ORD_SCHEMA)
+    enc_a = {
+        (r["priority"], r["fold"]): r["oof_encoding_cents"]
+        for r in orders_target_encoding_oof(spark, d).collect()
+    }
+    d = _write(spark, tmp_path, "orders", orders(1.0), _ORD_SCHEMA)
+    enc_b = {
+        (r["priority"], r["fold"]): r["oof_encoding_cents"]
+        for r in orders_target_encoding_oof(spark, d).collect()
+    }
+    assert enc_a[("1-URGENT", 0)] == enc_b[("1-URGENT", 0)]
+    # ... while the OTHER folds' encodings (which include fold 0) move
+    assert enc_a[("1-URGENT", 1)] != enc_b[("1-URGENT", 1)]
+
+
+def test_psi_nonnegative_and_alarm_on_shift(spark, tmp_path):
+    """PSI is a nonnegative divergence; a hard mean shift between the
+    two halves must trip the 0.2 alarm, identical halves must not."""
+    import datetime as dt
+
+    def ev(i, t_min, val):
+        return (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=t_min),
+                7, "click", val, None)
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    # first half values ~U{0..9}, second half shifted by +50
+    rows = [ev(i, i, float(i % 10)) for i in range(500)]
+    rows += [ev(1000 + i, 1000 + i, 50.0 + i % 10) for i in range(500)]
+    d = _write(spark, tmp_path, "events", rows, schema)
+    got = events_psi_drift(spark, d).collect()
+    assert len(got) == 1 and got[0]["drifted"]
+    assert got[0]["psi_micronats"] > 200000
+
+    rows = [ev(i, i, float(i % 10)) for i in range(500)]
+    rows += [ev(1000 + i, 1000 + i, float(i % 10)) for i in range(500)]
+    d = _write(spark, tmp_path, "events", rows, schema)
+    got = events_psi_drift(spark, d).collect()
+    assert not got[0]["drifted"]
+    assert got[0]["psi_micronats"] >= 0
+
+
+def test_kaplan_meier_curve_invariants(spark, sf_smoke):
+    """Survival is monotone nonincreasing, starts from the full cohort,
+    and the at-risk column telescopes by d+q exactly."""
+    rows = customers_kaplan_meier_lifetime(spark, sf_smoke).collect()
+    assert rows, "curve must be non-empty"
+    surv = [r["survival_ppm"] for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert all(0 <= s <= 1000000 for s in surv)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["at_risk"] == (
+            prev["at_risk"] - prev["n_events"] - prev["n_censored"]
+        )
+
+
+def test_joinability_fk_edges_fully_contained(spark, sf_smoke):
+    """True FK edges must show containment 1.0; the negative-control
+    pair must not; jaccard <= containment always."""
+    got = {r["pair"]: r for r in
+           catalog_joinability_profile(spark, sf_smoke).collect()}
+    fk = [
+        "orders.o_custkey~customer.c_custkey",
+        "lineitem.l_orderkey~orders.o_orderkey",
+        "lineitem.l_partkey~part.p_partkey",
+        "lineitem.l_suppkey~supplier.s_suppkey",
+        "customer.c_nationkey~nation.n_nationkey",
+    ]
+    for p in fk:
+        assert got[p]["containment_ppm"] == 1000000, p
+    neg = got["orders.o_orderkey~customer.c_custkey"]
+    assert neg["containment_ppm"] < 1000000
+    for r in got.values():
+        assert r["jaccard_ppm"] <= r["containment_ppm"]
+        assert r["n_intersect"] <= min(r["ndv_a"], r["ndv_b"])
