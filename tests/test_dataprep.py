@@ -182,3 +182,127 @@ def test_joinability_fk_edges_fully_contained(spark, sf_smoke):
     for r in got.values():
         assert r["jaccard_ppm"] <= r["containment_ppm"]
         assert r["n_intersect"] <= min(r["ndv_a"], r["ndv_b"])
+
+
+# --- third-implementation recomputation (numpy / pure Python), the
+# --- house convention from tests/test_analytics_props.py -----------
+
+
+def test_psi_matches_pure_python(spark, sf_smoke):
+    """Recompute PSI from raw events with an independent pure-Python
+    binning/smoothing pipeline; micronat values must match exactly."""
+    import math
+
+    ev = (
+        __import__("epl_cas_etl_2026_spark.sources.parquet",
+                   fromlist=["load_table"])
+        .load_table(spark, sf_smoke, "events")
+        .select("event_type", "value", "ts")
+        .collect()
+    )
+    tu = [int(r["ts"].timestamp() * 1_000_000) for r in ev]
+    mid = (min(tu) + max(tu)) // 2
+    by_type: dict = {}
+    for r, t in zip(ev, tu):
+        win = "ref" if t < mid else "cur"
+        by_type.setdefault(r["event_type"], {"ref": [], "cur": []})[
+            win
+        ].append(r["value"])
+    expect = {}
+    for et, d in by_type.items():
+        vmin, vmax = min(d["ref"]), max(d["ref"])
+        width = (vmax - vmin) / 10.0
+        counts = {"ref": [0] * 10, "cur": [0] * 10}
+        for win in ("ref", "cur"):
+            for v in d[win]:
+                b = (
+                    min(max(int(math.floor((v - vmin) / width)), 0), 9)
+                    if vmax > vmin
+                    else 0
+                )
+                counts[win][b] += 1
+        psi = 0.0
+        for b in range(10):
+            pr = (counts["ref"][b] + 1) / (len(d["ref"]) + 10)
+            pc = (counts["cur"][b] + 1) / (len(d["cur"]) + 10)
+            psi += (pc - pr) * math.log(pc / pr)
+        expect[et] = math.floor(psi * 1_000_000 + 0.5)
+    got = {r["event_type"]: r["psi_micronats"]
+           for r in events_psi_drift(spark, sf_smoke).collect()}
+    assert got == expect
+
+
+def test_gini_matches_pure_python(spark, sf_smoke):
+    """Recompute Gini/HHI/top-share from the raw key frequencies with
+    the direct (uncompressed) rank formula."""
+    import collections
+    import math
+
+    from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+    keys = [
+        r["l_partkey"]
+        for r in load_table(spark, sf_smoke, "lineitem")
+        .select("l_partkey")
+        .collect()
+    ]
+    freq = sorted(collections.Counter(keys).values())
+    n_keys, s = len(freq), sum(freq)
+    s2ic = 2 * sum((i + 1) * c for i, c in enumerate(freq))
+    gini = s2ic / (n_keys * s) - (n_keys + 1) / n_keys
+    hhi = sum(c * c for c in freq) / (s * s)
+    top_n = (n_keys + 99) // 100
+    share = sum(sorted(freq, reverse=True)[:top_n]) / s
+    r = lineitem_key_skew_gini(spark, sf_smoke).collect()[0]
+    assert r["n_keys"] == n_keys and r["n_rows"] == s
+    assert r["gini_millis"] == math.floor(gini * 1000 + 0.5)
+    assert r["hhi_ppm"] == math.floor(hhi * 1_000_000 + 0.5)
+    assert r["top1pct_share_ppm"] == math.floor(share * 1_000_000 + 0.5)
+
+
+def test_kaplan_meier_matches_pure_python(spark, sf_smoke):
+    """Recompute the KM curve with the textbook sequential product."""
+    import math
+
+    from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+    pc = (
+        load_table(spark, sf_smoke, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    rows = (
+        load_table(spark, sf_smoke, "orders")
+        .select("o_custkey", "o_orderdate")
+        .collect()
+    )
+    by_cust: dict = {}
+    for r in rows:
+        d = r["o_orderdate"].date()
+        lo, hi = by_cust.get(r["o_custkey"], (d, d))
+        by_cust[r["o_custkey"]] = (min(lo, d), max(hi, d))
+    gmax = max(hi for _, hi in by_cust.values())
+    pts: dict = {}
+    for lo, hi in by_cust.values():
+        t = (hi - lo).days // 30
+        e = 1 if (gmax - hi).days > 180 else 0
+        d, q = pts.get(t, (0, 0))
+        pts[t] = (d + e, q + 1 - e)
+    n = len(by_cust)
+    at_risk, surv = n, 1.0
+    expect = {}
+    for t in sorted(pts):
+        d, q = pts[t]
+        surv *= 1.0 - d / at_risk if at_risk > d else 0.0
+        expect[t] = (at_risk, d, q, math.floor(surv * 1_000_000 + 0.5)
+                     if at_risk > d or d == 0 else 0)
+        at_risk -= d + q
+    got = customers_kaplan_meier_lifetime(spark, sf_smoke).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        ar, d, q, sp = expect[r["t_months"]]
+        assert (r["at_risk"], r["n_events"], r["n_censored"]) == (ar, d, q)
+        # exp(sum(ln)) vs sequential product: equal after ppm quantization
+        assert abs(r["survival_ppm"] - sp) <= 1
+    assert pc == len(by_cust)
