@@ -573,3 +573,167 @@ def orders_stream_cdc_merge_gate(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Seventh gate: STREAMING drift monitoring — the production shape of
+# events_psi_drift (plans/dataprep.py). The reference window's bin
+# edges and smoothed probabilities are computed in batch (that's how a
+# deployed monitor works: the reference histogram is a static
+# artifact); the CURRENT window's bin counts are computed BY THE
+# STREAMING ENGINE (stream-static join against the broadcast edges,
+# complete-mode groupBy on (type, bin), AvailableNow), and the PSI is
+# assembled from the memory-sink counts post-termination. The oracle
+# is the batch PSI SQL verbatim — streaming-vs-batch equivalence of
+# the whole monitor under the hash gate.
+#
+# 100 TB/production notes: the streamed state is |types| x |bins| rows
+# regardless of throughput; a deployed monitor would run the same plan
+# with a processing-time trigger and an append/update sink, alerting
+# when psi_micronats crosses the 0.2 bar.
+# ---------------------------------------------------------------------------
+def _psi_oracle_sql() -> str:
+    from epl_cas_etl_2026_spark.plans import dataprep
+
+    return dataprep.ORACLES["events_psi_drift"]
+
+
+@_register("events_stream_psi_drift_gate", _psi_oracle_sql())
+def events_stream_psi_drift_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from epl_cas_etl_2026_spark.plans.dataprep import (
+        _PSI_ALERT_MICRONATS,
+        _PSI_BINS,
+    )
+    from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+    # --- batch: reference artifact (time split point + per-type bin
+    # edges + reference bin counts), exactly as events_psi_drift
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_micros("ts").alias("tu")
+    )
+    rng = ev.agg(F.expr("(min(tu) + max(tu)) div 2").alias("mid"))
+    lab = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "value",
+        "tu",
+        F.when(F.col("tu") < F.col("mid"), "ref")
+        .otherwise("cur")
+        .alias("win"),
+        "mid",
+    )
+    eb = (
+        lab.filter(F.col("win") == "ref")
+        .groupBy("event_type")
+        .agg(
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.first("mid").alias("mid"),
+        )
+    )
+    eb = eb.localCheckpoint(eager=True)  # static artifact, reused 3x
+
+    def bin_col(value, vmin, vmax):
+        width = (vmax - vmin) / float(_PSI_BINS)
+        return (
+            F.when(
+                vmax > vmin,
+                F.least(
+                    F.greatest(
+                        F.floor((value - vmin) / width).cast("long"),
+                        F.lit(0).cast("long"),
+                    ),
+                    F.lit(_PSI_BINS - 1).cast("long"),
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+        )
+
+    ref_counts = (
+        lab.filter(F.col("win") == "ref")
+        .join(F.broadcast(eb.drop("mid")), "event_type")
+        .select(
+            "event_type",
+            bin_col(F.col("value"), F.col("vmin"), F.col("vmax")).alias(
+                "bin"
+            ),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    # --- streaming: the engine computes the CURRENT window's counts
+    stream = _stream_events(spark, sf_dir).select(
+        "event_type", "value", F.unix_micros("ts").alias("tu")
+    )
+    cur_binned = (
+        stream.join(eb, "event_type")  # stream-static equi-join
+        .filter(F.col("tu") >= F.col("mid"))
+        .select(
+            "event_type",
+            bin_col(F.col("value"), F.col("vmin"), F.col("vmax")).alias(
+                "bin"
+            ),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    name = f"stream_psi_gate_{next(_run_ids)}"
+    q = (
+        cur_binned.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cur_counts = spark.table(name)
+
+    # --- batch: densify, smooth, fold — identical shape to the twin
+    def densify(counts):
+        dense = eb.select("event_type").crossJoin(
+            spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+        )
+        out = dense.join(counts, ["event_type", "bin"], "left").select(
+            "event_type", "bin", F.coalesce("c", F.lit(0)).alias("c")
+        )
+        return out.localCheckpoint(eager=False)  # probs + totals
+
+    fr, fc = densify(ref_counts), densify(cur_counts)
+    tr = fr.groupBy("event_type").agg(F.sum("c").alias("n"))
+    tc = fc.groupBy("event_type").agg(F.sum("c").alias("n"))
+    tr = tr.localCheckpoint(eager=False)
+    tc = tc.localCheckpoint(eager=False)
+
+    def probs(f, t, out):
+        return f.join(t, "event_type").select(
+            "event_type",
+            "bin",
+            (
+                (F.col("c") + 1).cast("double")
+                / (F.col("n") + _PSI_BINS).cast("double")
+            ).alias(out),
+        )
+
+    p = probs(fr, tr, "pr").join(probs(fc, tc, "pc"), ["event_type", "bin"])
+    psi = p.groupBy("event_type").agg(
+        F.sum(
+            (F.col("pc") - F.col("pr")) * F.log(F.col("pc") / F.col("pr"))
+        ).alias("psi")
+    )
+    quant = F.floor(F.col("psi") * 1000000 + 0.5).cast("long")
+    return (
+        psi.join(tr.select("event_type", F.col("n").alias("n_ref")),
+                 "event_type")
+        .join(tc.select("event_type", F.col("n").alias("n_cur")),
+              "event_type")
+        .select(
+            "event_type",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            quant.alias("psi_micronats"),
+            (quant > _PSI_ALERT_MICRONATS).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
