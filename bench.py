@@ -141,6 +141,16 @@ HEADLINE = [
     "embedding_jl_projection",
     "docs_bloom_novelty_check",
     "customers_k_anonymity_audit",
+    # round-6 late additions: the dataprep governance layer (appended
+    # — prefix subsets stay valid). events_stream_psi_drift_gate stays
+    # out like the other six streaming gates: it times the micro-batch
+    # harness, not the engine.
+    "events_psi_drift",
+    "orders_label_majority_vote",
+    "orders_target_encoding_oof",
+    "lineitem_key_skew_gini",
+    "catalog_joinability_profile",
+    "customers_kaplan_meier_lifetime",
 ]
 
 

@@ -172,8 +172,10 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothed = (F.col("c") + 1).cast("double") / (
         F.col("n") + _PSI_BINS
     ).cast("double")
+    # tot is |types|x2 rows behind a localCheckpoint (opaque to AQE's
+    # size estimation) — broadcast explicitly
     p = (
-        f.join(tot, ["event_type", "win"])
+        f.join(F.broadcast(tot), ["event_type", "win"])
         .groupBy("event_type", "bin")
         .agg(
             F.max(F.when(F.col("win") == "ref", smoothed)).alias("pr"),
@@ -188,14 +190,18 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant = F.floor(F.col("psi") * 1000000 + 0.5).cast("long")
     return (
         psi.join(
-            tot.filter(F.col("win") == "ref").select(
-                "event_type", F.col("n").alias("n_ref")
+            F.broadcast(
+                tot.filter(F.col("win") == "ref").select(
+                    "event_type", F.col("n").alias("n_ref")
+                )
             ),
             "event_type",
         )
         .join(
-            tot.filter(F.col("win") == "cur").select(
-                "event_type", F.col("n").alias("n_cur")
+            F.broadcast(
+                tot.filter(F.col("win") == "cur").select(
+                    "event_type", F.col("n").alias("n_cur")
+                )
             ),
             "event_type",
         )

@@ -707,7 +707,7 @@ def events_stream_psi_drift_gate(
     tc = tc.localCheckpoint(eager=False)
 
     def probs(f, t, out):
-        return f.join(t, "event_type").select(
+        return f.join(F.broadcast(t), "event_type").select(
             "event_type",
             "bin",
             (
@@ -724,9 +724,11 @@ def events_stream_psi_drift_gate(
     )
     quant = F.floor(F.col("psi") * 1000000 + 0.5).cast("long")
     return (
-        psi.join(tr.select("event_type", F.col("n").alias("n_ref")),
+        psi.join(F.broadcast(tr.select("event_type",
+                                       F.col("n").alias("n_ref"))),
                  "event_type")
-        .join(tc.select("event_type", F.col("n").alias("n_cur")),
+        .join(F.broadcast(tc.select("event_type",
+                                    F.col("n").alias("n_cur"))),
               "event_type")
         .select(
             "event_type",
