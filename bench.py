@@ -151,6 +151,7 @@ HEADLINE = [
     "lineitem_key_skew_gini",
     "catalog_joinability_profile",
     "customers_kaplan_meier_lifetime",
+    "docs_bigram_lm_perplexity",
 ]
 
 

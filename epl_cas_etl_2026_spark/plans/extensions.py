@@ -5656,3 +5656,138 @@ def customers_k_anonymity_audit(
         below_l.cast("long").alias("n_groups_below_l"),
         ((below_k == 0) & (below_l == 0)).alias("anonymity_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram-LM perplexity scoring — the second-order upgrade
+# of docs_unigram_surprisal (Jelinek-Mercer interpolation, the classic
+# smoothing for n-gram quality filters): fit corpus bigram + unigram
+# tables, score every document's transitions by
+#   p(w2|w1) = LAMBDA * c(w1 w2)/c(w1 ·) + (1-LAMBDA) * c(w2)/N,
+# per-doc cross-entropy in millibits, aggregated per source. The
+# conditional denominator is the BIGRAM-HEAD count (sum of c12 over
+# w2), so the conditional component is a proper distribution.
+#
+# 100 TB shape: two map-side-combined groupBys fit the LM (word and
+# word-pair); scoring joins the per-doc transitions to those tables by
+# KEY EQUI-JOIN (the bigram table of a web corpus does NOT broadcast);
+# only the scalar total crosses as a broadcast. Docs with <2 tokens
+# have no transitions and are excluded (n_docs_scored says so).
+# Per-doc means quantize to integer millibits before any cross-doc
+# aggregation — the cross-engine float rule.
+# ---------------------------------------------------------------------------
+_JM_LAMBDA = 0.75
+
+
+@_register(
+    "docs_bigram_lm_perplexity",
+    f"""
+    WITH docs2 AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, source, u.p[1] AS w1, u.p[2] AS w2
+      FROM (SELECT doc_id, source,
+                   unnest(list_zip(ws[1:len(ws) - 1], ws[2:len(ws)])) AS p
+            FROM docs2) u
+      WHERE u.p[1] IS NOT NULL AND u.p[2] IS NOT NULL
+    ), uni AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(ws) AS word FROM docs2) GROUP BY word
+    ), tot AS (
+      SELECT SUM(c) AS n_uni FROM uni
+    ), pair AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY w1, w2
+    ), head AS (
+      SELECT w1, SUM(c12) AS ch FROM pair GROUP BY w1
+    ), perdoc AS (
+      SELECT doc_id, source,
+             CAST(FLOOR((-SUM(log2(
+                 {_JM_LAMBDA} * (CAST(c12 AS DOUBLE) / CAST(ch AS DOUBLE))
+                 + {1 - _JM_LAMBDA}
+                   * (CAST(u2.c AS DOUBLE) / CAST(n_uni AS DOUBLE))))
+               / COUNT(*)) * 1000 + 0.5) AS BIGINT) AS q
+      FROM bg
+      JOIN pair USING (w1, w2)
+      JOIN head USING (w1)
+      JOIN uni u2 ON bg.w2 = u2.word
+      CROSS JOIN tot
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_scored,
+           CAST(SUM(q) AS BIGINT) AS sum_millibits,
+           CAST(MIN(q) AS BIGINT) AS min_millibits,
+           CAST(MAX(q) AS BIGINT) AS max_millibits
+    FROM perdoc GROUP BY source ORDER BY source
+    """,
+)
+def docs_bigram_lm_perplexity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.col("text"), " "), lambda w: w != "").alias(
+            "ws"
+        ),
+    )
+    docs = docs.localCheckpoint(eager=False)  # unigram + bigram consumers
+    uni = (
+        docs.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(ws, 1, greatest(size(ws) - 1, 0))"),
+                    F.expr("slice(ws, 2, greatest(size(ws) - 1, 0))"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("p.0").alias("w1"),
+            F.col("p.1").alias("w2"),
+        )
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+    )
+    bg = bg.localCheckpoint(eager=False)  # LM fit + scoring consumers
+    pair = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    pair = pair.localCheckpoint(eager=False)  # head counts + scoring
+    head = pair.groupBy("w1").agg(F.sum("c12").alias("ch"))
+    tot = uni.agg(F.sum("c").alias("n_uni"))
+    p = F.lit(_JM_LAMBDA) * (
+        F.col("c12").cast("double") / F.col("ch").cast("double")
+    ) + F.lit(1 - _JM_LAMBDA) * (
+        F.col("c").cast("double") / F.col("n_uni").cast("double")
+    )
+    perdoc = (
+        bg.join(pair, ["w1", "w2"])
+        .join(head, "w1")
+        .join(uni.withColumnRenamed("word", "w2"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.floor((-F.sum(F.log2(p)) / F.count(F.lit(1))) * 1000 + 0.5)
+            .cast("long")
+            .alias("q")
+        )
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_scored"),
+            F.sum("q").cast("long").alias("sum_millibits"),
+            F.min("q").cast("long").alias("min_millibits"),
+            F.max("q").cast("long").alias("max_millibits"),
+        )
+        .orderBy("source")
+    )

@@ -306,3 +306,29 @@ def test_kaplan_meier_matches_pure_python(spark, sf_smoke):
         # exp(sum(ln)) vs sequential product: equal after ppm quantization
         assert abs(r["survival_ppm"] - sp) <= 1
     assert pc == len(by_cust)
+
+
+def test_bigram_lm_perplexity_orders_gibberish_high(spark, tmp_path):
+    """A doc made of corpus-frequent transitions must score LOWER
+    cross-entropy than a doc of rare/shuffled transitions; single-token
+    docs are excluded from scoring."""
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        docs_bigram_lm_perplexity,
+    )
+
+    common = "the cat sat on the mat"
+    rows = [(i, common, "en", "clean", len(common)) for i in range(20)]
+    rows.append((100, "mat the on sat cat the", "en", "scrambled", 22))
+    rows.append((101, "solo", "en", "tiny", 4))  # no transitions
+    d = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    got = {r["source"]: r for r in
+           docs_bigram_lm_perplexity(spark, d).collect()}
+    assert "tiny" not in got  # <2 tokens -> unscored
+    assert got["clean"]["n_docs_scored"] == 20
+    avg_clean = got["clean"]["sum_millibits"] / got["clean"]["n_docs_scored"]
+    avg_scr = got["scrambled"]["sum_millibits"]
+    assert avg_scr > avg_clean
