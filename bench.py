@@ -152,6 +152,8 @@ HEADLINE = [
     "catalog_joinability_profile",
     "customers_kaplan_meier_lifetime",
     "docs_bigram_lm_perplexity",
+    "orders_market_basket_rules",
+    "events_markov_transitions",
 ]
 
 

@@ -5791,3 +5791,178 @@ def docs_bigram_lm_perplexity(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (Agrawal-Srikant support/confidence/
+# lift, 2-itemsets) — co-purchase mining over order baskets. The pair
+# join is a self-equi-join on the basket id AFTER distinct(basket,
+# item): per-basket item counts are bounded (~7 lines/order on TPC-H
+# data), so candidate pairs grow LINEARLY in baskets, never
+# quadratically in items. Counts are exact integers; confidence is an
+# exact half-up ppm division; lift (which multiplies three counts and
+# would overflow int64 at ~1e9 baskets) uses the fixed double shape +
+# floor quantization. Deterministic top-20 by (lift, antecedent,
+# consequent).
+# ---------------------------------------------------------------------------
+_BASKET_MIN_PAIR_SUPPORT = 3
+
+
+@_register(
+    "orders_market_basket_rules",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT oid) AS BIGINT) AS n_orders FROM items
+    ), isup AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY item
+    ), pairs AS (
+      SELECT a.item AS ia, b.item AS ib, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM items a JOIN items b ON a.oid = b.oid AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= {_BASKET_MIN_PAIR_SUPPORT}
+    ), rules AS (
+      SELECT ia AS antecedent, ib AS consequent, c12,
+             sa.c AS ca, sb.c AS cb
+      FROM pairs JOIN isup sa ON pairs.ia = sa.item
+                 JOIN isup sb ON pairs.ib = sb.item
+      UNION ALL
+      SELECT ib, ia, c12, sb.c, sa.c
+      FROM pairs JOIN isup sa ON pairs.ia = sa.item
+                 JOIN isup sb ON pairs.ib = sb.item
+    )
+    SELECT antecedent, consequent, c12 AS pair_support,
+           CAST((c12 * 1000000 + ca // 2) // ca AS BIGINT)
+             AS confidence_ppm,
+           CAST(FLOOR(CAST(c12 AS DOUBLE) * n_orders
+                      / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS lift_ppm
+    FROM rules CROSS JOIN n
+    ORDER BY lift_ppm DESC, antecedent, consequent LIMIT 20
+    """,
+)
+def orders_market_basket_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item")
+    ).distinct()
+    items = items.localCheckpoint(eager=False)  # 3 consumers
+    n = items.select("oid").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    isup = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    isup = isup.localCheckpoint(eager=False)  # both rule directions
+    a = items.select("oid", F.col("item").alias("ia"))
+    b = items.select("oid", F.col("item").alias("ib"))
+    pairs = (
+        a.join(b, "oid")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= _BASKET_MIN_PAIR_SUPPORT)
+    )
+    joined = (
+        pairs.join(
+            isup.select(F.col("item").alias("ia"), F.col("c").alias("ca")),
+            "ia",
+        )
+        .join(
+            isup.select(F.col("item").alias("ib"), F.col("c").alias("cb")),
+            "ib",
+        )
+    )
+    fwd = joined.select(
+        F.col("ia").alias("antecedent"),
+        F.col("ib").alias("consequent"),
+        "c12",
+        "ca",
+        "cb",
+    )
+    rev = joined.select(
+        F.col("ib").alias("antecedent"),
+        F.col("ia").alias("consequent"),
+        "c12",
+        F.col("cb").alias("ca"),
+        F.col("ca").alias("cb"),
+    )
+    lift = (
+        F.col("c12").cast("double")
+        * F.col("n_orders")
+        / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+    )
+    return (
+        fwd.unionAll(rev)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("c12").alias("pair_support"),
+            F.expr(
+                "(c12 * CAST(1000000 AS BIGINT) + ca div 2) div ca"
+            ).alias("confidence_ppm"),
+            F.floor(lift * 1000000 + 0.5).cast("long").alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "antecedent", "consequent")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over user event streams — the
+# path-analysis primitive (what follows what, with what probability):
+# per-user event sequences ordered by (ts, event_id), LEAD gives the
+# successor (terminal events transition to 'END'), one groupBy yields
+# the exact transition counts, and row-normalized probabilities are
+# half-up ppm divisions of exact integers. The window partitions by
+# user (fact-grained keyed window, the events_user_* shape) — never a
+# global sort.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             COALESCE(LEAD(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id), 'END') AS nxt
+      FROM events
+    ), t AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq GROUP BY cur, nxt
+    ), m AS (
+      SELECT cur, SUM(c) AS tot FROM t GROUP BY cur
+    )
+    SELECT t.cur, t.nxt, t.c AS n_transitions,
+           CAST((t.c * 1000000 + m.tot // 2) // m.tot AS BIGINT) AS p_ppm
+    FROM t JOIN m USING (cur)
+    ORDER BY t.cur, t.nxt
+    """,
+)
+def events_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.coalesce(F.lead("event_type").over(w), F.lit("END")).alias(
+            "nxt"
+        ),
+    )
+    t = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    t = t.localCheckpoint(eager=False)  # marginals + final
+    m = t.groupBy("cur").agg(F.sum("c").alias("tot"))
+    return (
+        t.join(F.broadcast(m), "cur")
+        .select(
+            "cur",
+            "nxt",
+            F.col("c").alias("n_transitions"),
+            F.expr(
+                "(c * CAST(1000000 AS BIGINT) + tot div 2) div tot"
+            ).alias("p_ppm"),
+        )
+        .orderBy("cur", "nxt")
+    )

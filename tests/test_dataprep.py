@@ -332,3 +332,51 @@ def test_bigram_lm_perplexity_orders_gibberish_high(spark, tmp_path):
     avg_clean = got["clean"]["sum_millibits"] / got["clean"]["n_docs_scored"]
     avg_scr = got["scrambled"]["sum_millibits"]
     assert avg_scr > avg_clean
+
+
+def test_market_basket_known_rule(spark, tmp_path):
+    """Items 1,2 co-occur in every basket that holds either: both rule
+    directions get confidence 1.0 and lift N/c = 1.5 exactly."""
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        orders_market_basket_rules,
+    )
+
+    rows = []
+    for oid in range(1, 11):  # 10 baskets with items 1 and 2
+        rows.append(_li_row(oid, 1, "A"))
+        rows.append(_li_row(oid, 2, "A"))
+    for oid in range(11, 16):  # 5 baskets with item 3 only
+        rows.append(_li_row(oid, 3, "A"))
+    d = _write(spark, tmp_path, "lineitem", rows, _LI_SCHEMA)
+    got = orders_market_basket_rules(spark, d).collect()
+    assert len(got) == 2  # 1->2 and 2->1, item 3 pairs with nothing
+    for r in got:
+        assert {r["antecedent"], r["consequent"]} == {1, 2}
+        assert r["pair_support"] == 10
+        assert r["confidence_ppm"] == 1000000
+        assert r["lift_ppm"] == 1500000  # 10*15/(10*10)
+
+
+def test_markov_rows_normalize_and_terminate(spark, sf_smoke):
+    """Each row of the transition matrix sums to ~1 (ppm rounding),
+    and END transitions equal the number of distinct users."""
+    import collections
+
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        events_markov_transitions,
+    )
+    from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+    got = events_markov_transitions(spark, sf_smoke).collect()
+    by_cur = collections.defaultdict(list)
+    for r in got:
+        by_cur[r["cur"]].append(r)
+    for cur, rs in by_cur.items():
+        s = sum(r["p_ppm"] for r in rs)
+        assert abs(s - 1000000) <= len(rs), cur  # half-up per-cell
+    n_end = sum(r["n_transitions"] for r in got if r["nxt"] == "END")
+    n_users = (
+        load_table(spark, sf_smoke, "events")
+        .select("user_id").distinct().count()
+    )
+    assert n_end == n_users
