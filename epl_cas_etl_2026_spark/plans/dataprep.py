@@ -554,9 +554,10 @@ def _joinability_oracle() -> str:
             f"""
     SELECT '{pair}' AS pair, a.n AS ndv_a, b.n AS ndv_b,
            i.n AS n_intersect,
-           (i.n * 1000000 + a.n // 2) // a.n AS containment_ppm,
-           (i.n * 1000000 + (a.n + b.n - i.n) // 2) // (a.n + b.n - i.n)
-             AS jaccard_ppm
+           (i.n * 1000000 + a.n // 2) // NULLIF(a.n, 0)
+             AS containment_ppm,
+           (i.n * 1000000 + (a.n + b.n - i.n) // 2)
+             // NULLIF(a.n + b.n - i.n, 0) AS jaccard_ppm
     FROM (SELECT CAST(COUNT(DISTINCT {ca}) AS BIGINT) AS n FROM {ta}) a,
          (SELECT CAST(COUNT(DISTINCT {cb}) AS BIGINT) AS n FROM {tb}) b,
          (SELECT CAST(COUNT(*) AS BIGINT) AS n
@@ -603,14 +604,16 @@ def catalog_joinability_profile(
                 "ndv_a",
                 "ndv_b",
                 "n_intersect",
+                # nullif: a zero-row column (empty warehouse) yields
+                # NULL metrics, not a DIVIDE_BY_ZERO under ANSI
                 F.expr(
                     "(n_intersect * CAST(1000000 AS BIGINT)"
-                    " + ndv_a div 2) div ndv_a"
+                    " + ndv_a div 2) div nullif(ndv_a, 0)"
                 ).alias("containment_ppm"),
                 F.expr(
                     "(n_intersect * CAST(1000000 AS BIGINT)"
                     " + (ndv_a + ndv_b - n_intersect) div 2)"
-                    " div (ndv_a + ndv_b - n_intersect)"
+                    " div nullif(ndv_a + ndv_b - n_intersect, 0)"
                 ).alias("jaccard_ppm"),
             )
         )
