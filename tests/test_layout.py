@@ -256,3 +256,34 @@ def test_salted_skew_join_matches_plain_join(spark, sf_smoke):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, sf_smoke, tmp_path):
+    """DPP: a filter on the DIM side of a join keyed by the fact's
+    partition column must inject a dynamicpruning subquery into the
+    fact scan, so only the matching year-partitions are read — the
+    star-schema scale feature static pruning can't give (the year is
+    not known until the dim filter runs)."""
+    orders = load_table(spark, sf_smoke, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year_dpp")
+    write_partitioned(orders, path, ["order_year"])
+    fact = spark.read.parquet(path)
+
+    dim = spark.createDataFrame(
+        [(y, "target" if y == 1998 else "other") for y in range(1995, 2002)],
+        "dim_year int, label string",
+    )
+    joined = fact.join(
+        dim.filter(F.col("label") == "target"),
+        fact.order_year == dim.dim_year,
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    expected = (
+        load_table(spark, sf_smoke, "orders")
+        .filter(F.year("o_orderdate") == 1998)
+        .count()
+    )
+    assert joined.count() == expected and expected > 0
