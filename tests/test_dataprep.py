@@ -380,3 +380,131 @@ def test_markov_rows_normalize_and_terminate(spark, sf_smoke):
         .select("user_id").distinct().count()
     )
     assert n_end == n_users
+
+
+def test_randomized_majority_vote_vs_python(spark, tmp_path):
+    """Seeded random vote tables: the full rollup must match a direct
+    pure-Python recomputation (winner, ties, unanimity, agreement)."""
+    import collections
+    import random
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        labels = "ABCD"
+        rows, votes = [], collections.defaultdict(list)
+        ln = 0
+        for k in range(1, 120):
+            for _ in range(rng.randrange(1, 6)):
+                f = labels[rng.randrange(len(labels))]
+                ln += 1
+                rows.append(_li_row(k, ln, f))
+                votes[k].append(f)
+        d = _write(spark, tmp_path, "lineitem", rows, _LI_SCHEMA)
+        agg = collections.defaultdict(
+            lambda: {"n": 0, "u": 0, "t": 0, "sw": 0, "st": 0}
+        )
+        for k, vs in votes.items():
+            c = collections.Counter(vs)
+            mx = max(c.values())
+            winners = sorted(w for w, n in c.items() if n == mx)
+            w = winners[0]
+            a = agg[w]
+            a["n"] += 1
+            a["u"] += 1 if mx == len(vs) else 0
+            a["t"] += 1 if len(winners) > 1 else 0
+            a["sw"] += mx
+            a["st"] += len(vs)
+        got = {r["label"]: r for r in
+               orders_label_majority_vote(spark, d).collect()}
+        assert set(got) == set(agg), seed
+        for lbl, a in agg.items():
+            g = got[lbl]
+            assert g["n_orders"] == a["n"] and g["n_unanimous"] == a["u"]
+            assert g["n_tied"] == a["t"]
+            assert g["agreement_ppm"] == (
+                a["sw"] * 1_000_000 + a["st"] // 2
+            ) // a["st"]
+
+
+def test_randomized_gini_vs_python(spark, tmp_path):
+    """Seeded zipf-ish key frequency tables: quantized Gini/HHI/share
+    must match the direct rank-sum recomputation."""
+    import math
+    import random
+
+    for seed in range(3):
+        rng = random.Random(100 + seed)
+        rows, ln = [], 0
+        freqs = {}
+        for k in range(1, 80):
+            f = 1 + int(20 / (1 + rng.randrange(10)))
+            freqs[k] = f
+            for _ in range(f):
+                ln += 1
+                rows.append(_li_row(ln, k, "A"))
+        d = _write(spark, tmp_path, "lineitem", rows, _LI_SCHEMA)
+        c = sorted(freqs.values())
+        n_keys, s = len(c), sum(c)
+        s2ic = 2 * sum((i + 1) * v for i, v in enumerate(c))
+        gini = s2ic / (n_keys * s) - (n_keys + 1) / n_keys
+        hhi = sum(v * v for v in c) / (s * s)
+        top_n = (n_keys + 99) // 100
+        share = sum(sorted(c, reverse=True)[:top_n]) / s
+        r = lineitem_key_skew_gini(spark, d).collect()[0]
+        assert r["gini_millis"] == math.floor(gini * 1000 + 0.5), seed
+        assert r["hhi_ppm"] == math.floor(hhi * 1_000_000 + 0.5)
+        assert r["top1pct_share_ppm"] == math.floor(share * 1e6 + 0.5)
+
+
+def test_randomized_market_basket_vs_python(spark, tmp_path):
+    """Seeded random baskets: the top-20 rules (support/confidence/
+    lift with the deterministic tiebreak) must match pure Python."""
+    import collections
+    import itertools
+    import math
+    import random
+
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        orders_market_basket_rules,
+    )
+
+    for seed in range(3):
+        rng = random.Random(200 + seed)
+        rows, ln = [], 0
+        baskets = {}
+        for oid in range(1, 150):
+            items = set(rng.sample(range(1, 15), rng.randrange(1, 5)))
+            baskets[oid] = items
+            for it in items:
+                ln += 1
+                rows.append(_li_row(oid, it, "A"))
+        d = _write(spark, tmp_path, "lineitem", rows, _LI_SCHEMA)
+        isup = collections.Counter(
+            it for items in baskets.values() for it in items
+        )
+        psup = collections.Counter()
+        for items in baskets.values():
+            for a, b in itertools.combinations(sorted(items), 2):
+                psup[(a, b)] += 1
+        n = len(baskets)
+        rules = []
+        for (a, b), c12 in psup.items():
+            if c12 < 3:
+                continue
+            for ant, con in ((a, b), (b, a)):
+                conf = (c12 * 1_000_000 + isup[ant] // 2) // isup[ant]
+                lift = math.floor(
+                    c12 * n / (isup[ant] * isup[con]) * 1e6 + 0.5
+                )
+                rules.append((lift, ant, con, c12, conf))
+        rules.sort(key=lambda r: (-r[0], r[1], r[2]))
+        expect = [
+            (ant, con, c12, conf, lift)
+            for lift, ant, con, c12, conf in rules[:20]
+        ]
+        got = [
+            (r["antecedent"], r["consequent"], r["pair_support"],
+             r["confidence_ppm"], r["lift_ppm"])
+            for r in orders_market_basket_rules(spark, d).collect()
+        ]
+        assert got == expect, seed
