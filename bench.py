@@ -154,6 +154,14 @@ HEADLINE = [
     "docs_bigram_lm_perplexity",
     "orders_market_basket_rules",
     "events_markov_transitions",
+    # round-6 final additions (appended — prefix subsets stay valid):
+    # hybrid retrieval + eval harness, feature screening, ER golden
+    # record (FastSS blocking + CC + survivorship), seeded-Laplace DP
+    "docs_hybrid_rrf_fusion",
+    "embedding_retrieval_eval_ndcg",
+    "orders_woe_iv_binning",
+    "customers_golden_record",
+    "events_dp_histogram",
 ]
 
 

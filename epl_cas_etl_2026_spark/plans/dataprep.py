@@ -750,3 +750,303 @@ def customers_kaplan_meier_lifetime(
         )
         .alias("survival_ppm"),
     ).orderBy("t_months")
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-Evidence / Information-Value feature profiling — the
+# classic credit-scoring feature screen (Siddiqi, "Credit Risk
+# Scorecards", 2006; public method) and the supervised sibling of the
+# out-of-fold target encoder above: per category of o_orderpriority,
+# WOE = ln(P(cat|good) / P(cat|bad)) with Laplace-0.5 smoothing, and
+# the bin's IV contribution (pg - pb)·WOE; total IV = Σ bins (IV < 0.02
+# ⇒ feature useless, > 0.5 ⇒ suspiciously strong — the conventional
+# screen thresholds). Target: bad ⇔ o_orderstatus = 'F'.
+#
+# Determinism: counts are exact integers; pg/pb/WOE appear only in the
+# shared final expression shape, micronat-quantized; total IV is an
+# INTEGER window-sum of the already-quantized per-bin contributions
+# (order-free).
+#
+# 100 TB shape: one map-side-combined groupBy over the fact → k-row
+# frame; everything after is dim-grained (k = |categories|).
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_woe_iv_binning",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS priority,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+      FROM orders
+    ), bins AS (
+      SELECT priority,
+             CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+             CAST(SUM(bad) AS BIGINT) AS n_bad
+      FROM base GROUP BY priority
+    ), tot AS (
+      SELECT CAST(SUM(n_good) AS BIGINT) AS tg,
+             CAST(SUM(n_bad) AS BIGINT) AS tb,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM bins
+    ), w AS (
+      SELECT priority, n_good, n_bad,
+             (CAST(n_good AS DOUBLE) + 0.5)
+               / (CAST(tg AS DOUBLE) + 0.5 * k) AS pg,
+             (CAST(n_bad AS DOUBLE) + 0.5)
+               / (CAST(tb AS DOUBLE) + 0.5 * k) AS pb
+      FROM bins CROSS JOIN tot
+    ), q AS (
+      SELECT priority, n_good, n_bad,
+             CAST(FLOOR(ln(pg / pb) * 1000000 + 0.5) AS BIGINT)
+               AS woe_micronats,
+             CAST(FLOOR((pg - pb) * ln(pg / pb) * 1000000 + 0.5)
+                  AS BIGINT) AS iv_contrib_micronats
+      FROM w
+    )
+    SELECT priority, n_good, n_bad, woe_micronats, iv_contrib_micronats,
+           CAST(SUM(iv_contrib_micronats) OVER () AS BIGINT)
+             AS iv_total_micronats
+    FROM q
+    ORDER BY priority
+    """,
+)
+def orders_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bad = (F.col("o_orderstatus") == "F").cast("long")
+    bins = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"), bad.alias("bad")
+        )
+        .groupBy("priority")
+        .agg(
+            F.sum(1 - F.col("bad")).cast("bigint").alias("n_good"),
+            F.sum("bad").cast("bigint").alias("n_bad"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("n_good").cast("bigint").alias("tg"),
+        F.sum("n_bad").cast("bigint").alias("tb"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    pg = (F.col("n_good").cast("double") + 0.5) / (
+        F.col("tg").cast("double") + 0.5 * F.col("k")
+    )
+    pb = (F.col("n_bad").cast("double") + 0.5) / (
+        F.col("tb").cast("double") + 0.5 * F.col("k")
+    )
+    q = bins.crossJoin(F.broadcast(tot)).select(
+        "priority",
+        "n_good",
+        "n_bad",
+        F.floor(F.log(pg / pb) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("woe_micronats"),
+        F.floor((pg - pb) * F.log(pg / pb) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("iv_contrib_micronats"),
+    )
+    # integer window-sum over the k-row bin frame (k = 5 priorities) —
+    # SinglePartition on a dim-sized input, not the fact
+    return q.withColumn(
+        "iv_total_micronats",
+        F.sum("iv_contrib_micronats")
+        .over(Window.partitionBy())
+        .cast("bigint"),
+    ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution GOLDEN RECORD — the end-to-end master-data shape
+# composed from three already-gated primitives: (1) candidate pairs by
+# FastSS deletion-neighborhood blocking (levenshtein ≤ 1 on customer
+# names, the customers_fastss_editdist_pairs machinery), (2) duplicate
+# clusters by connected components (alternating star contraction,
+# operators/dedup.py), (3) survivorship: per cluster keep the record
+# with the highest account balance (ties → lowest custkey) and roll up
+# member count + total balance. Oracle: quadratic pair spec +
+# recursive-CTE transitive closure + window survivorship — an
+# independent algorithm stack end to end.
+#
+# 100 TB shape: blocking explodes len+1 variants (linear), the variant
+# equi-join buckets are alphabet-bounded, CC is O(log n) rounds on
+# slim id pairs, survivorship is one keyed window over cluster-sized
+# groups. No quadratic stage anywhere (the oracle's quadratic join IS
+# the spec, bounded to the %7 fixture subset).
+# ---------------------------------------------------------------------------
+@_register(
+    "customers_golden_record",
+    """
+    WITH RECURSIVE n AS (
+      SELECT c_name AS nm, MIN(c_custkey) AS node
+      FROM customer WHERE c_custkey % 7 = 0 GROUP BY c_name
+    ), p AS (
+      SELECT a.node AS s, b.node AS d
+      FROM n a JOIN n b ON a.nm < b.nm
+      WHERE ABS(LENGTH(a.nm) - LENGTH(b.nm)) <= 1
+        AND levenshtein(a.nm, b.nm) <= 1
+    ), sym AS (
+      SELECT s, d FROM p UNION SELECT d, s FROM p
+    ), vs AS (SELECT DISTINCT s AS v FROM sym),
+    reach(a, b) AS (
+      SELECT v, v FROM vs
+      UNION
+      SELECT r.a, e.d FROM reach r JOIN sym e ON r.b = e.s
+    ), comp AS (
+      SELECT a AS node, MIN(b) AS cluster FROM reach GROUP BY a
+    ), members AS (
+      SELECT c.cluster, cu.c_custkey, cu.c_name, cu.c_acctbal
+      FROM comp c
+      JOIN n ON n.node = c.node
+      JOIN customer cu ON cu.c_name = n.nm AND cu.c_custkey % 7 = 0
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY cluster
+               ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM members
+    )
+    SELECT cluster AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(CASE WHEN rk = 1 THEN c_custkey END) AS golden_custkey,
+           MAX(CASE WHEN rk = 1 THEN c_name END) AS golden_name,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_acctbal_cents
+    FROM ranked
+    GROUP BY cluster
+    ORDER BY cluster_id
+    """,
+)
+def customers_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.dedup import connected_components
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 7 == 0
+    )
+    names = cust.groupBy(F.col("c_name").alias("nm")).agg(
+        F.min("c_custkey").alias("node")
+    )
+    # FastSS deletion-neighborhood blocking (see
+    # customers_fastss_editdist_pairs for the losslessness argument)
+    variants = names.select(
+        "nm",
+        "node",
+        F.explode(
+            F.expr(
+                "array_distinct(concat(array(nm),"
+                " transform(sequence(1, length(nm)),"
+                " i -> concat(substring(nm, 1, i - 1),"
+                " substring(nm, i + 1, length(nm))))))"
+            )
+        ).alias("variant"),
+    )
+    vb = variants.select(
+        F.col("nm").alias("nm_b"),
+        F.col("node").alias("node_b"),
+        "variant",
+    )
+    pairs = (
+        variants.join(vb, "variant")
+        .filter(F.col("nm") < F.col("nm_b"))
+        .select("nm", "nm_b", "node", "node_b")
+        .distinct()
+        .filter(F.levenshtein("nm", "nm_b") <= 1)
+        .select("node", "node_b")
+    )
+    comp = connected_components(pairs, "node", "node_b")
+    members = (
+        comp.join(
+            names, comp["node"] == names["node"], "inner"
+        )
+        .select(F.col("label").alias("cluster"), "nm")
+        .join(cust, F.col("nm") == cust["c_name"])
+        .select("cluster", "c_custkey", "c_name", "c_acctbal")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("cluster").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max(F.when(F.col("rk") == 1, F.col("c_custkey"))).alias(
+                "golden_custkey"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("c_name"))).alias(
+                "golden_name"
+            ),
+            F.sum(
+                F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("total_acctbal_cents"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private histogram (Laplace mechanism, Dwork et al.
+# 2006 — public method): per-event-type counts with Laplace(1/ε)
+# noise, ε = 1, sensitivity 1 (each user contributes... here each ROW;
+# the release unit is documented, not enforced). Noise is SEEDED —
+# u = md5-derived 32-bit uniform shifted into (0,1) exactly as the
+# weighted samplers do — so the release is reproducible and the DuckDB
+# twin computes the identical noise (inverse-CDF: b·ln(2u) below the
+# median, −b·ln(2(1−u)) above). A real deployment would publish ONLY
+# the noisy column; n_true ships here because the gate needs both
+# sides of the mechanism pinned.
+#
+# 100 TB shape: one map-side-combined groupBy; noise is a per-GROUP
+# expression on the k-row result. The dyadic u is float-exact in both
+# engines; only ln() is libm, absorbed by milli-quantization.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_dp_histogram",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM events GROUP BY event_type
+    ), u AS (
+      SELECT event_type, n_true,
+             (CAST(('0x' || substr(md5(event_type || '|dp-seed-1'), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0 AS uu
+      FROM c
+    )
+    SELECT event_type, n_true,
+           CAST(FLOOR((CASE WHEN uu < 0.5 THEN ln(2.0 * uu)
+                            ELSE -ln(2.0 * (1.0 - uu)) END)
+                      * 1000 + 0.5) AS BIGINT) AS noise_millis,
+           CAST(n_true * 1000
+                + FLOOR((CASE WHEN uu < 0.5 THEN ln(2.0 * uu)
+                              ELSE -ln(2.0 * (1.0 - uu)) END)
+                        * 1000 + 0.5) AS BIGINT) AS noisy_millis
+    FROM u
+    ORDER BY event_type
+    """,
+)
+def events_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("event_type"), F.lit("|dp-seed-1"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    uu = (h32 + F.lit(0.5)) / F.lit(float(2**32))
+    lap = F.when(uu < 0.5, F.log(2.0 * uu)).otherwise(
+        -F.log(2.0 * (1.0 - uu))
+    )
+    noise = F.floor(lap * 1000 + 0.5).cast("bigint")
+    return c.select(
+        "event_type",
+        "n_true",
+        noise.alias("noise_millis"),
+        (F.col("n_true") * 1000 + noise).cast("bigint").alias(
+            "noisy_millis"
+        ),
+    ).orderBy("event_type")

@@ -27,9 +27,12 @@ engines divide identical doubles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from epl_cas_etl_2026_spark.functions.vectors import cosine, to_double
 from epl_cas_etl_2026_spark.sources.parquet import load_table
 
 QUERIES: dict = {}
@@ -96,6 +99,17 @@ _B = 0.75
 )
 def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return (
+        _bm25_scored(docs)
+        .orderBy(F.desc("score_millis"), "doc_id")
+        .limit(10)
+    )
+
+
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, score_millis) for every doc hitting ≥1 standing query
+    term — the shared scorer behind docs_bm25_topk and the RRF fusion
+    (extracted verbatim; the physical plan is unchanged)."""
     dl = docs.select(
         "doc_id",
         F.size(
@@ -147,8 +161,6 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("score_millis")
         )
-        .orderBy(F.desc("score_millis"), "doc_id")
-        .limit(10)
     )
 
 
@@ -199,4 +211,361 @@ def docs_inverted_index_rarest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_docs", "word")
         .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: Reciprocal Rank Fusion (Cormack, Clarke &
+# Buettcher, SIGIR'09 — public algorithm) of a LEXICAL ranking (the
+# standing BM25 query) and a SEMANTIC ranking (cosine to the standing
+# query vector, vec_id 0) — the standard production shape for "BM25 +
+# embedding" retrieval in a RAG / training-data pipeline.
+#
+# score(d) = Σ_lists 1/(K + rank_d), K = 60, summing only over lists
+# that actually ranked d (the original RRF definition). Both input
+# rankings are depth-limited to 50.
+#
+# Cross-engine determinism: ranks are ROW_NUMBERs over ALREADY
+# QUANTIZED scores (BM25 millis; cosine rounded to 6dp — the two
+# gated precedents) with id tie-breaks, so the rank integers are
+# engine-exact; the fused score is the sum of at most two doubles
+# computed from those integers in a fixed textual order (lex + sem),
+# then micro-quantized.
+#
+# Scale shape (100 TB): each list is a TakeOrderedAndProject top-50
+# over its scorer (BM25: term-filtered aggregate; cosine: brute scan
+# at test scale, IVF/graph ANN in the serving path — both exist in
+# operators/similarity.py); the fusion itself is a 50∪50-row
+# full-outer join — driver-bounded regardless of corpus size.
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_DEPTH = 50
+
+
+@_register(
+    "docs_hybrid_rrf_fusion",
+    f"""
+    WITH dl AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w <> '')) AS BIGINT) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word IN ('hash', 'merge', 'batch')
+      GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY word
+    ), bm AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(SUM(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             ) * 1000 + 0.5) AS BIGINT) AS score_millis
+      FROM tf
+      JOIN df USING (word)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ), lex AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_millis DESC, doc_id) AS r
+        FROM bm)
+      WHERE r <= {_RRF_DEPTH}
+    ), q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), sims AS (
+      SELECT vec_id AS doc_id,
+             ROUND(list_dot_product(embedding::DOUBLE[], qv)
+                   / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qv, qv))), 6) AS sim
+      FROM embeddings, q
+      WHERE vec_id <> 0
+    ), sem AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS r
+        FROM sims)
+      WHERE r <= {_RRF_DEPTH}
+    )
+    SELECT doc_id,
+           CAST(COALESCE(l.r, 0) AS BIGINT) AS lex_rank,
+           CAST(COALESCE(s.r, 0) AS BIGINT) AS sem_rank,
+           CAST(FLOOR((
+             (CASE WHEN l.r IS NULL THEN 0.0
+                   ELSE 1.0 / ({_RRF_K} + l.r) END)
+             + (CASE WHEN s.r IS NULL THEN 0.0
+                     ELSE 1.0 / ({_RRF_K} + s.r) END)
+           ) * 1000000 + 0.5) AS BIGINT) AS rrf_micros
+    FROM lex l FULL OUTER JOIN sem s USING (doc_id)
+    ORDER BY rrf_micros DESC, doc_id
+    LIMIT 15
+    """,
+)
+def docs_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # lexical list: BM25 top-50 (quantized millis, doc_id tie-break);
+    # the row_number window runs AFTER the limit, on ≤ 50 rows —
+    # driver-bounded, not a fact-sized SinglePartition window
+    lex = (
+        _bm25_scored(docs)
+        .orderBy(F.desc("score_millis"), "doc_id")
+        .limit(_RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_millis"), F.asc("doc_id")))
+            .alias("lex_r"),
+        )
+    )
+
+    # semantic list: cosine-to-query top-50 (rounded 6dp, id tie-break)
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        to_double(F.col("embedding")).alias("qv")
+    )
+    sem = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine(to_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("sim"), F.asc("doc_id")))
+            .alias("sem_r"),
+        )
+    )
+
+    def term(rank_col):
+        return F.when(rank_col.isNull(), F.lit(0.0)).otherwise(
+            F.lit(1.0) / (F.lit(_RRF_K) + rank_col)
+        )
+
+    return (
+        lex.join(sem, ["doc_id"], "full")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lex_r"), F.lit(0))
+            .cast("bigint")
+            .alias("lex_rank"),
+            F.coalesce(F.col("sem_r"), F.lit(0))
+            .cast("bigint")
+            .alias("sem_rank"),
+            F.floor(
+                (term(F.col("lex_r")) + term(F.col("sem_r"))) * 1000000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("rrf_micros"),
+        )
+        .orderBy(F.desc("rrf_micros"), "doc_id")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: hits@k / MRR / nDCG@k for a standing
+# query set (vec_ids 1..5) against the label ground truth — the eval
+# harness a retrieval pipeline runs after every index build. Ranking =
+# cosine (rounded 6dp, id tie-break), relevance = candidate label ==
+# query label, k = 10.
+#
+# Cross-engine determinism: the DCG discount 1/log2(r+1) is NOT
+# computed in floats at query time — rank r ∈ 1..10, so the ten
+# possible micro-quantized discounts are a PRECOMPUTED INTEGER TABLE
+# inlined as literals in both engines (ln() on the exact mathematical
+# half 1/log2(4) = 0.5 is a genuine floor-boundary landmine the usual
+# quantize-last rule cannot absorb). DCG/IDCG are integer sums of
+# table entries; nDCG is integer-division ppm.
+#
+# Scale shape (100 TB): |Q| queries broadcast against the corpus, one
+# scan computing all |Q| rankings via per-query top-k; metrics are
+# |Q|-row aggregates. The per-query window here partitions on qid
+# (|Q| = 5 groups) — at production scale the top-k comes from the ANN
+# serving path (embedding_ivfpq_topk / graph ANN) and this harness
+# scores its output; the brute ranking doubles as the recall oracle.
+# ---------------------------------------------------------------------------
+_EVAL_QIDS = (1, 2, 3, 4, 5)
+_EVAL_K = 10
+# micro-quantized DCG discounts: W[r] = round(1e6 / log2(r+1)), r=1..10
+_DCG_W = tuple(
+    int(math.floor(1_000_000 / math.log2(r + 1) + 0.5))
+    for r in range(1, _EVAL_K + 1)
+)
+# IDCG prefix sums: P[m] = Σ_{i=1..m} W[i], m=1..10
+_IDCG_P = tuple(
+    sum(_DCG_W[: m + 1]) for m in range(_EVAL_K)
+)
+
+
+@_register(
+    "embedding_retrieval_eval_ndcg",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN {tuple(_EVAL_QIDS)}
+    ), scored AS (
+      SELECT q.qid, q.qlabel, e.vec_id, e.label,
+             ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ), pool AS (
+      SELECT qid,
+             CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rel_pool
+      FROM scored GROUP BY qid
+    ), ranked AS (
+      SELECT qid, qlabel, vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, vec_id) AS r
+      FROM scored
+    ), top AS (
+      SELECT * FROM ranked WHERE r <= {_EVAL_K}
+    ), m AS (
+      SELECT qid,
+             CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits_at_k,
+             CAST(COALESCE(MIN(CASE WHEN label = qlabel THEN r END), 0)
+                  AS BIGINT) AS first_hit_rank,
+             CAST(SUM(CASE WHEN label = qlabel
+                           THEN ([{", ".join(str(w) for w in _DCG_W)}])[r]
+                           ELSE 0 END) AS BIGINT) AS dcg_micros
+      FROM top GROUP BY qid
+    )
+    SELECT m.qid AS query_id,
+           q.qlabel AS query_label,
+           p.n_rel_pool,
+           m.hits_at_k,
+           m.first_hit_rank,
+           CAST(CASE WHEN m.first_hit_rank = 0 THEN 0
+                     ELSE 1000000 // m.first_hit_rank END
+                AS BIGINT) AS rr_micros,
+           m.dcg_micros,
+           CAST(CASE WHEN p.n_rel_pool = 0 THEN 0
+                     ELSE ([{", ".join(str(p) for p in _IDCG_P)}])
+                          [LEAST(p.n_rel_pool, {_EVAL_K})] END
+                AS BIGINT) AS idcg_micros,
+           CAST(CASE WHEN p.n_rel_pool = 0 THEN 0
+                     ELSE m.dcg_micros * 1000000
+                          // ([{", ".join(str(p) for p in _IDCG_P)}])
+                             [LEAST(p.n_rel_pool, {_EVAL_K})] END
+                AS BIGINT) AS ndcg_ppm
+    FROM m
+    JOIN pool p ON m.qid = p.qid
+    JOIN (SELECT DISTINCT qid, qlabel FROM scored) q ON m.qid = q.qid
+    ORDER BY query_id
+    """,
+)
+def embedding_retrieval_eval_ndcg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id").isin(*_EVAL_QIDS))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            to_double(F.col("embedding")).alias("qv"),
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(
+                cosine(to_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("sim"),
+        )
+        # feeds both the pool counts and the ranking; without the
+        # persist Catalyst re-runs the |Q|×N cosine scan twice
+        .persist()
+    )
+    rel = F.col("label") == F.col("qlabel")
+    pool = scored.groupBy("qid").agg(
+        F.sum(rel.cast("long")).cast("bigint").alias("n_rel_pool")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    top = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _EVAL_K)
+    )
+    w_arr = F.array(*[F.lit(x) for x in _DCG_W])
+    m = top.groupBy("qid", "qlabel").agg(
+        F.sum(rel.cast("long")).cast("bigint").alias("hits_at_k"),
+        F.coalesce(
+            F.min(F.when(rel, F.col("r"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("first_hit_rank"),
+        F.sum(
+            F.when(
+                rel, F.element_at(w_arr, F.col("r").cast("int"))
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("dcg_micros"),
+    )
+    p_arr = F.array(*[F.lit(x) for x in _IDCG_P])
+    idcg = F.when(F.col("n_rel_pool") == 0, F.lit(0)).otherwise(
+        F.element_at(
+            p_arr, F.least(F.col("n_rel_pool"), F.lit(_EVAL_K)).cast("int")
+        )
+    )
+    return (
+        m.join(pool, "qid")
+        .withColumn("idcg_micros", idcg.cast("bigint"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("qlabel").alias("query_label"),
+            "n_rel_pool",
+            "hits_at_k",
+            "first_hit_rank",
+            # integer div throughout (never a double quotient — a
+            # correctly-rounded-UP double truncates differently than
+            # integer floor division); nullif guards ANSI
+            # DIVIDE_BY_ZERO on the no-hit / no-relevant rows
+            F.coalesce(
+                F.expr(
+                    "1000000 div nullif(first_hit_rank, 0)"
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("rr_micros"),
+            "dcg_micros",
+            "idcg_micros",
+            F.coalesce(
+                F.expr(
+                    "(dcg_micros * 1000000) div nullif(idcg_micros, 0)"
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("ndcg_ppm"),
+        )
+        .orderBy("query_id")
     )

@@ -508,3 +508,132 @@ def test_randomized_market_basket_vs_python(spark, tmp_path):
             for r in orders_market_basket_rules(spark, d).collect()
         ]
         assert got == expect, seed
+
+
+# ---------------------------------------------------------------------------
+# round-6 late additions: WOE/IV, golden record, DP histogram
+# ---------------------------------------------------------------------------
+
+_CUST_SCHEMA = (
+    "c_custkey long, c_name string, c_nationkey int, "
+    "c_acctbal double, c_mktsegment string"
+)
+_ORD_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+_EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def test_woe_iv_matches_pure_python(spark, tmp_path):
+    """Hand-built 2-category fixture recomputed with math.log: WOE
+    sign follows the good/bad balance, total IV = integer sum of the
+    quantized contributions."""
+    import math
+
+    rows = (
+        [(i, 1, "O", 1.0, None, "1-URGENT") for i in range(8)]
+        + [(i + 100, 1, "F", 1.0, None, "1-URGENT") for i in range(2)]
+        + [(i + 200, 1, "O", 1.0, None, "2-HIGH") for i in range(3)]
+        + [(i + 300, 1, "F", 1.0, None, "2-HIGH") for i in range(7)]
+    )
+    d = _write(spark, tmp_path, "orders", rows, _ORD_SCHEMA)
+    from epl_cas_etl_2026_spark.plans.dataprep import orders_woe_iv_binning
+
+    got = {r["priority"]: r.asDict()
+           for r in orders_woe_iv_binning(spark, d).collect()}
+    tg, tb, k = 11, 9, 2
+    exp = {}
+    for pr, g, b in (("1-URGENT", 8, 2), ("2-HIGH", 3, 7)):
+        pg = (g + 0.5) / (tg + 0.5 * k)
+        pb = (b + 0.5) / (tb + 0.5 * k)
+        woe = math.floor(math.log(pg / pb) * 1_000_000 + 0.5)
+        iv = math.floor((pg - pb) * math.log(pg / pb) * 1_000_000 + 0.5)
+        exp[pr] = (g, b, woe, iv)
+    for pr, (g, b, woe, iv) in exp.items():
+        row = got[pr]
+        assert (row["n_good"], row["n_bad"]) == (g, b)
+        assert row["woe_micronats"] == woe
+        assert row["iv_contrib_micronats"] == iv
+    total = sum(v[3] for v in exp.values())
+    assert all(r["iv_total_micronats"] == total for r in got.values())
+    # good-heavy bin ⇒ positive WOE; bad-heavy ⇒ negative
+    assert got["1-URGENT"]["woe_micronats"] > 0
+    assert got["2-HIGH"]["woe_micronats"] < 0
+
+
+def test_golden_record_chain_cluster_and_survivorship(spark, tmp_path):
+    """A→B→C name chain (each link distance 1, ends distance 2) must
+    land in ONE cluster (CC transitivity); golden record = max
+    acctbal, tie → min custkey; singletons and non-%7 rows excluded."""
+    rows = [
+        (7, "AAAA", 1, 10.0, "BUILDING"),
+        (14, "AAAB", 1, 30.0, "BUILDING"),
+        (21, "AABB", 1, 20.0, "BUILDING"),   # chain: AAAA~AAAB~AABB
+        (28, "ZZZZ", 1, 99.0, "BUILDING"),   # singleton — no pair
+        (11, "AAAC", 1, 500.0, "BUILDING"),  # not %7 — filtered out
+        (35, "QQQQ", 1, 5.0, "BUILDING"),
+        (42, "QQQX", 1, 5.0, "BUILDING"),    # tie on balance → key 35
+    ]
+    d = _write(spark, tmp_path, "customer", rows, _CUST_SCHEMA)
+    from epl_cas_etl_2026_spark.plans.dataprep import customers_golden_record
+
+    got = {r["cluster_id"]: r.asDict()
+           for r in customers_golden_record(spark, d).collect()}
+    assert set(got) == {7, 35}
+    chain = got[7]
+    assert chain["n_members"] == 3
+    assert chain["golden_custkey"] == 14 and chain["golden_name"] == "AAAB"
+    assert chain["total_acctbal_cents"] == 6000
+    tie = got[35]
+    assert tie["n_members"] == 2
+    assert tie["golden_custkey"] == 35  # balance tie → lowest key
+    assert tie["total_acctbal_cents"] == 1000
+
+
+def test_dp_histogram_noise_matches_hashlib(spark, sf_smoke):
+    """Third implementation of the seeded Laplace draw: hashlib.md5 +
+    math.log per event type must reproduce noise_millis exactly, and
+    noisy = true*1000 + noise."""
+    import hashlib
+    import math
+
+    from epl_cas_etl_2026_spark.plans.dataprep import events_dp_histogram
+
+    rows = events_dp_histogram(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        h32 = int(
+            hashlib.md5(
+                (r["event_type"] + "|dp-seed-1").encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        u = (h32 + 0.5) / 2.0**32
+        lap = math.log(2.0 * u) if u < 0.5 else -math.log(2.0 * (1.0 - u))
+        assert r["noise_millis"] == math.floor(lap * 1000 + 0.5)
+        assert r["noisy_millis"] == r["n_true"] * 1000 + r["noise_millis"]
+
+
+def test_dp_histogram_is_reproducible(spark, tmp_path):
+    """Same input ⇒ bit-identical release (the reproducibility property
+    the seeded mechanism exists for), and noise is nonzero somewhere
+    (it actually perturbs)."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, i % 24), i, t, 1.0, "{}")
+        for i in range(50)
+        for t in ("click", "view")
+    ]
+    rows = [(i * 2 + j, *r[1:]) for i, r in enumerate(rows) for j in (0,)]
+    d = _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    from epl_cas_etl_2026_spark.plans.dataprep import events_dp_histogram
+
+    a = [tuple(r) for r in events_dp_histogram(spark, d).collect()]
+    b = [tuple(r) for r in events_dp_histogram(spark, d).collect()]
+    assert a == b
+    assert any(r[2] != 0 for r in a)
