@@ -162,6 +162,8 @@ HEADLINE = [
     "orders_woe_iv_binning",
     "customers_golden_record",
     "events_dp_histogram",
+    "docs_rag_context_pack",
+    "events_multitouch_attribution",
 ]
 
 

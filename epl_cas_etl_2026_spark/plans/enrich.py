@@ -272,3 +272,148 @@ def customers_fastss_editdist_pairs(
         .filter(F.levenshtein("name_a", "name_b") <= 1)
         .orderBy("name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Position-based MULTI-touch attribution (the U/40-20-40 model) — the
+# multi-touch upgrade of purchase_attribution_asof (which is
+# last-touch): every purchase is credited to ALL qualifying touches
+# (click/view/signup) since the user's PREVIOUS purchase: first touch
+# 40%, last touch 40%, the middle 20% split evenly. Credit is integer
+# BASIS POINTS; an uneven middle split gives the remainder to the
+# EARLIEST middle touch (deterministic bps, sums to exactly 10000 per
+# converted purchase with ≥1 touch). n=1 → 10000; n=2 → 5000/5000.
+#
+# Touch→purchase assignment is by the user's (ts, event_id) total
+# order: a touch belongs to the first purchase after it in that order,
+# so every touch is credited at most once (conversion-path
+# partitioning, not a sliding lookback that double-counts).
+#
+# 100 TB shape: one cumulative-count window and one row_number/count
+# window, both keyed by user_id / purchase; the touch→purchase join is
+# an equi-join on (user_id, epoch). No unkeyed window, no fact
+# broadcast.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_multitouch_attribution",
+    """
+    WITH o AS (
+      SELECT event_id, user_id, event_type, ts,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cump
+      FROM events
+    ), purch AS (
+      SELECT user_id, cump AS pseq, event_id AS purchase_id
+      FROM o WHERE isp = 1
+    ), touch AS (
+      SELECT user_id, event_id, event_type, ts, cump AS epoch
+      FROM o WHERE isp = 0
+        AND event_type IN ('click', 'view', 'signup')
+    ), att AS (
+      SELECT t.event_id, t.event_type, t.ts, p.purchase_id
+      FROM touch t
+      JOIN purch p ON t.user_id = p.user_id AND p.pseq = t.epoch + 1
+    ), pos AS (
+      SELECT event_type, purchase_id,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                ORDER BY ts, event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY purchase_id) AS n
+      FROM att
+    ), credit AS (
+      SELECT event_type,
+             CASE WHEN n = 1 THEN 10000
+                  WHEN n = 2 THEN 5000
+                  WHEN pos = 1 OR pos = n THEN 4000
+                  ELSE 2000 // (n - 2)
+                       + (CASE WHEN pos = 2 THEN 2000 % (n - 2)
+                               ELSE 0 END)
+             END AS bps,
+             pos, n
+      FROM pos
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_first,
+           CAST(SUM(CASE WHEN pos = n THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_last,
+           CAST(SUM(bps) AS BIGINT) AS credit_bps
+    FROM credit
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_multitouch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    isp = (F.col("event_type") == "purchase").cast("long")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = ev.withColumn("isp", isp).withColumn(
+        "cump", F.sum("isp").over(w_cum)
+    )
+    purch = o.filter(F.col("isp") == 1).select(
+        "user_id",
+        F.col("cump").alias("pseq"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    touch = o.filter(
+        (F.col("isp") == 0)
+        & F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        (F.col("cump") + 1).alias("next_pseq"),
+    )
+    att = touch.join(
+        purch,
+        (touch["user_id"] == purch["user_id"])
+        & (touch["next_pseq"] == purch["pseq"]),
+    ).select("event_id", "event_type", "ts", "purchase_id")
+    w_pos = Window.partitionBy("purchase_id").orderBy("ts", "event_id")
+    w_n = Window.partitionBy("purchase_id")
+    pos = att.select(
+        "event_type",
+        "purchase_id",
+        F.row_number().over(w_pos).alias("pos"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    bps = (
+        F.when(F.col("n") == 1, F.lit(10000))
+        .when(F.col("n") == 2, F.lit(5000))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.lit(4000),
+        )
+        .otherwise(
+            F.expr("2000 div (n - 2)")
+            + F.when(
+                F.col("pos") == 2, F.expr("2000 % (n - 2)")
+            ).otherwise(F.lit(0))
+        )
+    )
+    return (
+        pos.withColumn("bps", bps)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum((F.col("pos") == 1).cast("long"))
+            .cast("bigint")
+            .alias("n_first"),
+            F.sum((F.col("pos") == F.col("n")).cast("long"))
+            .cast("bigint")
+            .alias("n_last"),
+            F.sum("bps").cast("bigint").alias("credit_bps"),
+        )
+        .orderBy("event_type")
+    )

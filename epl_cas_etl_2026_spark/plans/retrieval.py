@@ -569,3 +569,127 @@ def embedding_retrieval_eval_ndcg(
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG context assembly — the serving-side capstone composing three
+# gated primitives: chunk long documents into token windows (the
+# docs_chunk_with_overlap geometry, stride 48 / window 64), score each
+# chunk by standing-query-term occurrences IN THE CHUNK SLICE (not the
+# whole doc), and greedily pack the top-ranked chunks into a fixed
+# context budget (512 tokens) — rank order, prefix cumsum, stop at the
+# budget. Everything is integer: term counts, ranks, token counts,
+# prefix sums — no float appears anywhere.
+#
+# Scale shape (100 TB): chunk slicing + scoring are per-row array
+# expressions in the scan stage; score > 0 prunes the corpus to
+# query-term hits BEFORE any shuffle; the shortlist is
+# TakeOrderedAndProject top-64; the pack cumsum is a window over ≤ 64
+# rows. The only fact-sized work is the scan.
+# ---------------------------------------------------------------------------
+_RAG_BUDGET = 512
+_RAG_SHORTLIST = 64
+_RAG_W, _RAG_STRIDE, _RAG_OVERLAP = 64, 48, 16
+
+
+@_register(
+    "docs_rag_context_pack",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tok,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, c AS chunk_index,
+             LEAST({_RAG_W}, n_tok - c * {_RAG_STRIDE}) AS chunk_tokens,
+             len(list_filter(
+               tok[(c * {_RAG_STRIDE} + 1):(c * {_RAG_STRIDE} + {_RAG_W})],
+               w -> w IN ('hash', 'merge', 'batch'))) AS score
+      FROM toks, generate_series(0, 1000) AS t(c)
+      WHERE c * {_RAG_STRIDE} < n_tok
+        AND (c = 0 OR c * {_RAG_STRIDE} + {_RAG_OVERLAP} < n_tok)
+    ), short AS (
+      SELECT * FROM chunks WHERE score > 0
+      ORDER BY score DESC, doc_id, chunk_index
+      LIMIT {_RAG_SHORTLIST}
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id, chunk_index)
+               AS rank,
+             SUM(chunk_tokens) OVER (ORDER BY score DESC, doc_id,
+                                     chunk_index
+                                     ROWS UNBOUNDED PRECEDING)
+               AS cum_tokens
+      FROM short
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+           CAST(chunk_index AS BIGINT) AS chunk_index,
+           CAST(score AS BIGINT) AS score,
+           CAST(chunk_tokens AS BIGINT) AS chunk_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked
+    WHERE cum_tokens <= {_RAG_BUDGET}
+    ORDER BY rank
+    """,
+)
+def docs_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("tok"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil(
+            (F.col("n_tok") - F.lit(_RAG_OVERLAP)) / F.lit(_RAG_STRIDE)
+        ).cast("int"),
+    )
+    chunks = toks.select(
+        "doc_id",
+        "tok",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
+    ).select(
+        "doc_id",
+        "chunk_index",
+        F.least(
+            F.lit(_RAG_W),
+            F.col("n_tok") - F.col("chunk_index") * _RAG_STRIDE,
+        )
+        .cast("long")
+        .alias("chunk_tokens"),
+        F.size(
+            F.filter(
+                F.slice(
+                    F.col("tok"),
+                    F.col("chunk_index") * _RAG_STRIDE + 1,
+                    F.lit(_RAG_W),
+                ),
+                lambda w: w.isin(*_BM25_TERMS),
+            )
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    short = (
+        chunks.filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), "doc_id", "chunk_index")
+        .limit(_RAG_SHORTLIST)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"), F.asc("chunk_index"))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        short.select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "doc_id",
+            F.col("chunk_index").cast("bigint").alias("chunk_index"),
+            "score",
+            "chunk_tokens",
+            F.sum("chunk_tokens").over(wsum).cast("bigint").alias(
+                "cum_tokens"
+            ),
+        )
+        .filter(F.col("cum_tokens") <= _RAG_BUDGET)
+        .orderBy("rank")
+    )
