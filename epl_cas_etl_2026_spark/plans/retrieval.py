@@ -500,34 +500,37 @@ def embedding_retrieval_eval_ndcg(
                 cosine(to_double(F.col("embedding")), F.col("qv")), 6
             ).alias("sim"),
         )
-        # feeds both the pool counts and the ranking; without the
-        # persist Catalyst re-runs the |Q|×N cosine scan twice
-        .persist()
     )
     rel = F.col("label") == F.col("qlabel")
-    pool = scored.groupBy("qid").agg(
-        F.sum(rel.cast("long")).cast("bigint").alias("n_rel_pool")
-    )
+    in_top = F.col("r") <= _EVAL_K
+    # ONE ranked pass computes both the pool counts (over all rows)
+    # and the top-k metrics (rank-gated conditional aggregates) — no
+    # persist, no second scan; element_at only evaluates under the
+    # r <= k guard (ANSI-safe lazy CASE)
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    top = (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= _EVAL_K)
-    )
     w_arr = F.array(*[F.lit(x) for x in _DCG_W])
-    m = top.groupBy("qid", "qlabel").agg(
-        F.sum(rel.cast("long")).cast("bigint").alias("hits_at_k"),
-        F.coalesce(
-            F.min(F.when(rel, F.col("r"))), F.lit(0)
+    m = (
+        scored.withColumn("r", F.row_number().over(w))
+        .groupBy("qid", "qlabel")
+        .agg(
+            F.sum(rel.cast("long")).cast("bigint").alias("n_rel_pool"),
+            F.sum((rel & in_top).cast("long"))
+            .cast("bigint")
+            .alias("hits_at_k"),
+            F.coalesce(
+                F.min(F.when(rel & in_top, F.col("r"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("first_hit_rank"),
+            F.sum(
+                F.when(
+                    rel & in_top,
+                    F.element_at(w_arr, F.col("r").cast("int")),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("dcg_micros"),
         )
-        .cast("bigint")
-        .alias("first_hit_rank"),
-        F.sum(
-            F.when(
-                rel, F.element_at(w_arr, F.col("r").cast("int"))
-            ).otherwise(F.lit(0))
-        )
-        .cast("bigint")
-        .alias("dcg_micros"),
     )
     p_arr = F.array(*[F.lit(x) for x in _IDCG_P])
     idcg = F.when(F.col("n_rel_pool") == 0, F.lit(0)).otherwise(
@@ -536,8 +539,7 @@ def embedding_retrieval_eval_ndcg(
         )
     )
     return (
-        m.join(pool, "qid")
-        .withColumn("idcg_micros", idcg.cast("bigint"))
+        m.withColumn("idcg_micros", idcg.cast("bigint"))
         .select(
             F.col("qid").alias("query_id"),
             F.col("qlabel").alias("query_label"),
@@ -590,6 +592,10 @@ def embedding_retrieval_eval_ndcg(
 _RAG_BUDGET = 512
 _RAG_SHORTLIST = 64
 _RAG_W, _RAG_STRIDE, _RAG_OVERLAP = 64, 48, 16
+# both engines cap fan-out at this many chunks per doc (the oracle's
+# generate_series(0, 1000)); docs longer than ~48k tokens truncate
+# identically on both sides
+_RAG_MAX_CHUNKS = 1001
 
 
 @_register(
@@ -639,11 +645,19 @@ def docs_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("text", " ").alias("tok"),
         F.size(F.split("text", " ")).alias("n_tok"),
     )
-    n_chunks = F.greatest(
-        F.lit(1),
-        F.ceil(
-            (F.col("n_tok") - F.lit(_RAG_OVERLAP)) / F.lit(_RAG_STRIDE)
-        ).cast("int"),
+    # cap the fan-out at 1001 chunks/doc (≈48k tokens) to match the
+    # oracle's generate_series(0, 1000) bound EXACTLY — a longer doc
+    # is truncated identically on both engines (test corpora max out
+    # around 1k tokens; a production corpus would shard such docs
+    # upstream)
+    n_chunks = F.least(
+        F.lit(_RAG_MAX_CHUNKS),
+        F.greatest(
+            F.lit(1),
+            F.ceil(
+                (F.col("n_tok") - F.lit(_RAG_OVERLAP)) / F.lit(_RAG_STRIDE)
+            ).cast("int"),
+        ),
     )
     chunks = toks.select(
         "doc_id",
