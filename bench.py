@@ -164,6 +164,7 @@ HEADLINE = [
     "events_dp_histogram",
     "docs_rag_context_pack",
     "events_multitouch_attribution",
+    "docs_tfidf_top_terms",
 ]
 
 

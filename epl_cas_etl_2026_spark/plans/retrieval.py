@@ -707,3 +707,105 @@ def docs_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= _RAG_BUDGET)
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document TF-IDF keyword extraction — the doc-labeling /
+# summarization primitive (top-3 terms per document for a probe set of
+# docs): tfidf(t, d) = tf · ln(N / df), ranked per doc over the
+# MILLI-QUANTIZED score with a word tie-break, so the rank integers
+# are engine-exact (the BM25/cosine precedent).
+#
+# Scale shape (100 TB): df comes from ONE map-side-combined
+# groupBy(word) over the distinct (doc, word) stream — the vocab
+# aggregate every index build already runs; the tf side is pruned to
+# the probe docs BEFORE the join (5 docs here, a dashboard page's
+# worth in production), so the join ships |probe| × |doc vocab| rows
+# against the broadcast-scale df frame, and the per-doc rank window is
+# probe-bounded. The full-corpus variant writes all (doc, top-k) pairs
+# to a sink instead of returning them.
+# ---------------------------------------------------------------------------
+_TFIDF_PROBE_DOCS = 5
+_TFIDF_TOPK = 3
+
+
+@_register(
+    "docs_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), tokf AS (
+      SELECT doc_id, word FROM toks WHERE word <> ''
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs
+      FROM documents
+    ), df AS (
+      SELECT word, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM tokf GROUP BY word
+    ), tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tokf WHERE doc_id < {_TFIDF_PROBE_DOCS}
+      GROUP BY doc_id, word
+    ), scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf,
+             CAST(df.df AS BIGINT) AS df,
+             CAST(FLOOR(tf.tf * ln(n_docs / df.df) * 1000 + 0.5)
+                  AS BIGINT) AS tfidf_millis
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf_millis DESC, word)
+               AS term_rank
+      FROM scored
+    )
+    SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, word,
+           tf, df, tfidf_millis
+    FROM ranked WHERE term_rank <= {_TFIDF_TOPK}
+    ORDER BY doc_id, term_rank
+    """,
+)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokf = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    n = docs.agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
+    df = tokf.groupBy("word").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    tf = (
+        tokf.filter(F.col("doc_id") < _TFIDF_PROBE_DOCS)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.col("df").cast("bigint").alias("df"),
+            F.floor(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * 1000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("tfidf_millis"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_millis"), F.asc("word")
+    )
+    return (
+        scored.withColumn(
+            "term_rank", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("term_rank") <= _TFIDF_TOPK)
+        .select("doc_id", "term_rank", "word", "tf", "df", "tfidf_millis")
+        .orderBy("doc_id", "term_rank")
+    )

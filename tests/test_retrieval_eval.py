@@ -187,3 +187,47 @@ def test_ndcg_matches_pure_python(spark, sf_smoke):
         assert row["dcg_micros"] == dcg
         assert row["idcg_micros"] == idcg
         assert row["ndcg_ppm"] == (dcg * 1_000_000 // idcg if idcg else 0)
+
+
+def test_tfidf_top_terms_matches_pure_python(spark, sf_smoke):
+    """Recompute per-doc TF-IDF ranks in pure Python (collections +
+    math.log) over the probe docs and compare every column."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from epl_cas_etl_2026_spark.plans.retrieval import (
+        _TFIDF_PROBE_DOCS,
+        _TFIDF_TOPK,
+        docs_tfidf_top_terms,
+    )
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_smoke}/documents.parquet'"
+    ).fetchall()
+    n_docs = len({d for d, _ in docs})
+    dfc = Counter()
+    tfs = {}
+    for d, text in docs:
+        words = [w for w in text.split(" ") if w]
+        dfc.update(set(words))
+        if d < _TFIDF_PROBE_DOCS:
+            tfs[d] = Counter(words)
+    exp = []
+    for d in sorted(tfs):
+        scored = sorted(
+            (
+                (-math.floor(tf * math.log(n_docs / dfc[w]) * 1000 + 0.5), w)
+                for w, tf in tfs[d].items()
+            ),
+        )[:_TFIDF_TOPK]
+        for rank, (neg, w) in enumerate(scored, 1):
+            exp.append((d, rank, w, tfs[d][w], dfc[w], -neg))
+    got = [
+        (r["doc_id"], r["term_rank"], r["word"], r["tf"], r["df"],
+         r["tfidf_millis"])
+        for r in docs_tfidf_top_terms(spark, sf_smoke).collect()
+    ]
+    assert got == exp
