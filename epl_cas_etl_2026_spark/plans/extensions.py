@@ -5966,3 +5966,73 @@ def events_markov_transitions(
         )
         .orderBy("cur", "nxt")
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC source round-trip — the columnar sibling of the JSONL round-trip
+# above: write orders through Spark's native ORC sink, read it back
+# with an EXPLICIT schema, and prove field pairing survived with the
+# Σ key·cents cross-field checksum. ORC is the other columnar format a
+# lakehouse ingests from (Hive-era estates); the oracle recomputes
+# everything from the original parquet, so the hash match certifies
+# the ORC writer+reader preserved every row and pairing bit-exactly.
+# 100 TB: format round-trips are scan+write bound; nothing shuffles.
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_orc_roundtrip_stats",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+           CAST(SUM(((o_orderkey % 1000000007)
+                     * (CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                        % 1000000007)) % 1000000007)
+                AS BIGINT) AS pair_checksum,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders
+    """,
+)
+def orders_orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        out = _os.path.join(tmp, "orders_orc")
+        orders.write.mode("overwrite").orc(out)
+        back = spark.read.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double"
+        ).orc(out)
+        stats = back.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_orderkey"),
+            # modular pairing checksum: the raw Σ key·cents overflows
+            # int64 past ~sf0.5 (ANSI ArithmeticException; DuckDB's
+            # HUGEINT sum masks it) — reduce each factor and the
+            # product mod 1e9+7 so every intermediate stays < p²
+            F.sum(
+                (
+                    (F.col("o_orderkey") % 1000000007)
+                    * (
+                        F.floor(F.col("o_totalprice") * 100 + 0.5).cast(
+                            "long"
+                        )
+                        % 1000000007
+                    )
+                )
+                % 1000000007
+            )
+            .cast("long")
+            .alias("pair_checksum"),
+            F.count_distinct("o_orderstatus")
+            .cast("long")
+            .alias("n_statuses"),
+        )
+        rows = stats.collect()
+        schema = stats.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

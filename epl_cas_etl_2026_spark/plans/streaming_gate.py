@@ -739,3 +739,57 @@ def events_stream_psi_drift_gate(
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Eighth gate: STREAM-STATIC broadcast enrichment — the production
+# "enrich the event stream with a profile/dim table" shape. The
+# static side (nation, 25 rows) is a plain batch DataFrame joined
+# into the micro-batch plan; Spark re-plans the join per micro-batch
+# with the dim broadcast, which is exactly how a deployed enrichment
+# pipeline consumes a slowly-changing profile table (each batch sees
+# the dim's latest snapshot). Key = user_id % 25 (deterministic
+# synthetic FK). The aggregate is arrival-order independent
+# (count + integer cent sums), so the streaming result hash-matches
+# the batch join oracle exactly.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_stream_static_enrich_gate",
+    """
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_stream_static_enrich_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    dim = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name"
+    )
+    stream = _stream_events(spark, sf_dir).withColumn(
+        "nk", (F.col("user_id") % 25).cast("int")
+    )
+    enriched = (
+        stream.join(F.broadcast(dim), stream["nk"] == dim["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
+    name = f"stream_static_enrich_gate_{next(_run_ids)}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("nation")

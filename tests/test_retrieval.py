@@ -17,13 +17,25 @@ def _plan(spark, sf_dir, name: str) -> str:
     )
 
 
+# queries whose FINAL operator is LIMIT-k over a total order (or that
+# contain a shortlist top-k): must compile to a partial top-k, never a
+# global sort. The eval/keyword queries end in a bounded-row sort
+# instead (|Q| = 5 metric rows / probe-docs × 3 terms) — a global sort
+# there is over ≤ 15 rows by construction, so no top-k is required.
+_TOPK_FINAL = {
+    "docs_bm25_topk",
+    "docs_inverted_index_rarest",
+    "docs_hybrid_rrf_fusion",
+    "docs_rag_context_pack",
+}
+
+
 @pytest.mark.parametrize("name", sorted(r.QUERIES))
 def test_no_cartesian_and_topk_short_circuit(spark, sf_oracle, name):
     plan = _plan(spark, sf_oracle, name)
     assert "CartesianProduct" not in plan
-    # both queries end in LIMIT-k over a total order: must be a
-    # partial top-k, never a global sort
-    assert "TakeOrderedAndProject" in plan
+    if name in _TOPK_FINAL:
+        assert "TakeOrderedAndProject" in plan
 
 
 def test_bm25_term_filter_precedes_tf_shuffle(spark, sf_oracle):
