@@ -637,3 +637,102 @@ def test_dp_histogram_is_reproducible(spark, tmp_path):
     b = [tuple(r) for r in events_dp_histogram(spark, d).collect()]
     assert a == b
     assert any(r[2] != 0 for r in a)
+
+
+def test_golden_record_matches_pure_python_randomized(spark, tmp_path):
+    """120 seeded random names (some single-edit variants of a shared
+    stem) vs a pure-Python union-find + survivorship reimplementation:
+    cluster ids, member counts, golden picks and balance totals all
+    equal."""
+    import math
+    import random
+
+    rng = random.Random(60_602)
+    alphabet = "ABCD"
+    rows = []
+    key = 7
+    for _ in range(120):
+        stem = "".join(rng.choice(alphabet) for _ in range(6))
+        rows.append((key, stem, 1, round(rng.uniform(-50, 50), 2), "X"))
+        key += 7
+        if rng.random() < 0.5:  # a distance-1 sibling of the stem
+            pos = rng.randrange(6)
+            sib = stem[:pos] + rng.choice(alphabet) + stem[pos + 1:]
+            rows.append((key, sib, 1, round(rng.uniform(-50, 50), 2), "X"))
+            key += 7
+    d = _write(spark, tmp_path, "customer", rows, _CUST_SCHEMA)
+
+    # pure-python third implementation
+    def lev1(a, b):
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        for i in range(lb):
+            if b[:i] + b[i + 1:] == a:
+                return True
+        return False
+
+    names = {}
+    for k, nm, _, bal, _ in rows:
+        names.setdefault(nm, []).append((k, bal))
+    nodes = {nm: min(k for k, _ in ks) for nm, ks in names.items()}
+    parent = {v: v for v in nodes.values()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nms = sorted(nodes)
+    edges = 0
+    for i, a in enumerate(nms):
+        for b in nms[i + 1:]:
+            if lev1(a, b):
+                ra, rb = find(nodes[a]), find(nodes[b])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+                edges += 1
+    assert edges > 0, "seed produced no pairs — fixture useless"
+    clusters = {}
+    for nm in nms:
+        root = find(nodes[nm])
+        # only nodes touching >=1 edge appear in the operator output
+        clusters.setdefault(root, []).append(nm)
+    exp = {}
+    for root, members in clusters.items():
+        if len(members) == 1 and all(
+            not lev1(members[0], o) for o in nms if o != members[0]
+        ):
+            continue  # true singleton — excluded by construction
+        recs = [
+            (k, nm, bal)
+            for nm in members
+            for k, bal in names[nm]
+        ]
+        golden = max(recs, key=lambda r: (r[2], -r[0]))
+        exp[root] = (
+            len(recs),
+            golden[0],
+            golden[1],
+            sum(math.floor(b * 100 + 0.5) for _, _, b in recs),
+        )
+
+    from epl_cas_etl_2026_spark.plans.dataprep import customers_golden_record
+
+    got = {
+        r["cluster_id"]: (
+            r["n_members"],
+            r["golden_custkey"],
+            r["golden_name"],
+            r["total_acctbal_cents"],
+        )
+        for r in customers_golden_record(spark, d).collect()
+    }
+    assert got == exp
