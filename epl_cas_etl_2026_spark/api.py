@@ -427,6 +427,7 @@ def ranking_sucursales(
         F.count("sup_id").cast("long").alias("supervisiones"),
     )
     shaped = agg.select(
+        "sucursal_id",
         "sucursal",
         "grupo",
         F.coalesce(F.col("raw_clasificacion"), F.lit("local")).alias(
@@ -454,9 +455,18 @@ def ranking_sucursales(
     # true pendientes stay unranked (posicion NULL, app.py:745-748).
     # Both windows are post-aggregation (branch-grained) and carry the
     # same runaway guard as competition_rank.
+    # sucursal_id (unique, non-null) is the FINAL tie-break: branch
+    # names are not unique across grupos, and two same-named all-zero
+    # branches would otherwise get their consecutive positions in
+    # partition-dependent order (grupo is NOT used — it is nullable
+    # via the left join, and Spark's ASC puts NULLs first while
+    # DuckDB's puts them last)
     w_rank = Window.orderBy(F.desc_nulls_last("promedio"))
     w_rn = Window.orderBy(
-        F.desc_nulls_last("promedio"), F.desc("__ez"), F.asc("sucursal")
+        F.desc_nulls_last("promedio"),
+        F.desc("__ez"),
+        F.asc("sucursal"),
+        F.asc("sucursal_id"),
     )
     rank_expr = F.when(
         F.col("promedio").isNotNull(), F.rank().over(w_rank).cast("long")
@@ -474,7 +484,10 @@ def ranking_sucursales(
     return (
         shaped.withColumn("posicion", rank_expr)
         .orderBy(
-            F.desc_nulls_last("promedio"), F.desc("__ez"), F.asc("sucursal")
+            F.desc_nulls_last("promedio"),
+            F.desc("__ez"),
+            F.asc("sucursal"),
+            F.asc("sucursal_id"),
         )
         .select(
             "sucursal",

@@ -817,6 +817,20 @@ def knn_graph(
     from pyspark.sql import Window
 
     n = emb.count()
+    # the ring edge below is (id+1) % n, which is only a ring when ids
+    # are EXACTLY 0..n-1 — with gaps the shifted join silently drops
+    # dangling edges and the connectivity guarantee (the reason the
+    # ring exists) is void while every gated invariant still passes.
+    # Guard the precondition loudly instead.
+    bounds = emb.agg(
+        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+    ).collect()[0]
+    if n > 0 and (bounds["lo"] != 0 or bounds["hi"] != n - 1):
+        raise ValueError(
+            f"knn_graph ring edge requires contiguous {id_col} 0..n-1; "
+            f"got min={bounds['lo']} max={bounds['hi']} n={n} — "
+            "re-index ids (e.g. zipWithIndex/row_number) before the build"
+        )
     b, r = lsh_params_for(n, target_sim, target_recall)
     planes = [
         [round(x, 4) for x in p] for p in hyperplanes(dim, b * r, seed=seed)

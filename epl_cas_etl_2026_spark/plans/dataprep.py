@@ -55,6 +55,34 @@ _PSI_BINS = 10
 _PSI_ALERT_MICRONATS = 200_000  # PSI > 0.2
 
 
+def psi_bin_col(value, vmin, vmax):
+    """Clamped equal-width bin index — THE binning semantics, shared by
+    the batch query below and the streaming gate
+    (plans/streaming_gate.events_stream_psi_drift_gate) so the two
+    Spark constructions cannot fork silently (they already share the
+    oracle SQL verbatim)."""
+    width = (vmax - vmin) / float(_PSI_BINS)
+    return (
+        F.when(
+            vmax > vmin,
+            F.least(
+                F.greatest(
+                    F.floor((value - vmin) / width).cast("long"),
+                    F.lit(0).cast("long"),
+                ),
+                F.lit(_PSI_BINS - 1).cast("long"),
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
+
+
+def psi_smoothed(c, n):
+    """Laplace-1 smoothed bin probability — shared with the streaming
+    gate for the same reason as psi_bin_col."""
+    return (c + 1).cast("double") / (n + _PSI_BINS).cast("double")
+
+
 @_register(
     "events_psi_drift",
     f"""
@@ -130,24 +158,12 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
     )
-    width = (F.col("vmax") - F.col("vmin")) / float(_PSI_BINS)
     binned = lab.join(F.broadcast(eb), "event_type").select(
         "event_type",
         "win",
-        F.when(
-            F.col("vmax") > F.col("vmin"),
-            F.least(
-                F.greatest(
-                    F.floor((F.col("value") - F.col("vmin")) / width).cast(
-                        "long"
-                    ),
-                    F.lit(0).cast("long"),
-                ),
-                F.lit(_PSI_BINS - 1).cast("long"),
-            ),
-        )
-        .otherwise(F.lit(0).cast("long"))
-        .alias("bin"),
+        psi_bin_col(
+            F.col("value"), F.col("vmin"), F.col("vmax")
+        ).alias("bin"),
     )
     c = binned.groupBy("event_type", "win", "bin").agg(
         F.count(F.lit(1)).alias("c")
@@ -169,9 +185,7 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = f.localCheckpoint(eager=False)  # 2 consumers: probs + totals
     tot = f.groupBy("event_type", "win").agg(F.sum("c").alias("n"))
     tot = tot.localCheckpoint(eager=False)  # 3 consumers
-    smoothed = (F.col("c") + 1).cast("double") / (
-        F.col("n") + _PSI_BINS
-    ).cast("double")
+    smoothed = psi_smoothed(F.col("c"), F.col("n"))
     # tot is |types|x2 rows behind a localCheckpoint (opaque to AQE's
     # size estimation) — broadcast explicitly
     p = (

@@ -281,7 +281,7 @@ _RANKING_SUC_ORACLE = f"""
       FROM supervisiones_operativas
     ),
     agg AS (
-      SELECT s.sucursal, g.grupo,
+      SELECT s.sucursal_id, s.sucursal, g.grupo,
              COALESCE(s.clasificacion, 'local') AS clasificacion,
              SUM(CAST(f.calificacion_general AS DECIMAL(18,6))) AS m_sum,
              COUNT(f.calificacion_general) AS n_calif,
@@ -295,21 +295,24 @@ _RANKING_SUC_ORACLE = f"""
       -- displayed promedio: NULL for pendientes AND the exactly-0.0
       -- truthiness demotion (app.py:721); ez marks the quirky
       -- ranked-but-NULL-promedio branches (app.py:724-742)
-      SELECT sucursal, grupo, clasificacion,
+      SELECT sucursal_id, sucursal, grupo, clasificacion,
              CASE WHEN m_sum <> 0 THEN promedio_r END AS promedio,
              supervisiones,
              (n_calif > 0 AND m_sum = 0) AS ez
       FROM agg
     )
+    -- sucursal_id is the FINAL tie-break (names are not unique): same
+    -- column, same position, on both engines — see api.py
     SELECT sucursal, grupo, clasificacion, promedio, supervisiones,
            CASE WHEN promedio IS NOT NULL THEN
              CAST(RANK() OVER (ORDER BY promedio DESC NULLS LAST) AS BIGINT)
            WHEN ez THEN
              CAST(ROW_NUMBER() OVER (ORDER BY promedio DESC NULLS LAST,
-                                     ez DESC, sucursal) AS BIGINT)
+                                     ez DESC, sucursal, sucursal_id)
+                  AS BIGINT)
            END AS posicion
     FROM shaped
-    ORDER BY promedio DESC NULLS LAST, ez DESC, sucursal
+    ORDER BY promedio DESC NULLS LAST, ez DESC, sucursal, sucursal_id
 """
 
 

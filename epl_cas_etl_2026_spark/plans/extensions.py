@@ -5292,7 +5292,9 @@ def _es_partition_topk(iterator):
 
     state: dict = {}
     for pdf in iterator:
-        for lang, grp in pdf.groupby("lang"):
+        # dropna=False: the DuckDB twin's PARTITION BY lang keeps a
+        # NULL-lang stratum; pandas' default would silently drop it
+        for lang, grp in pdf.groupby("lang", dropna=False):
             prev = state.get(lang)
             cur = grp[["doc_id", "es_key"]]
             merged = (
@@ -5502,8 +5504,10 @@ def _bloom_pos_col(h: int) -> F.Column:
 @_register(
     "docs_bloom_novelty_check",
     f"""
-    WITH hist AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
-    batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    WITH hist AS (SELECT text FROM documents
+                  WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
+    batch AS (SELECT doc_id, text FROM documents
+              WHERE doc_id % 3 = 0 AND text IS NOT NULL),
     bits AS (
       SELECT DISTINCT unnest([{", ".join(_bloom_pos_sql(h) for h in range(1, _BLOOM_HASHES + 1))}]) AS pos
       FROM hist
@@ -5535,7 +5539,14 @@ def _bloom_pos_col(h: int) -> F.Column:
     """,
 )
 def docs_bloom_novelty_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text is excluded on BOTH engines up front: its hash
+    # positions are NULL, and DuckDB's `pos NOT IN (...)` three-valued
+    # logic would flag such a doc while Spark's null-safe anti-join
+    # leaves it unflagged — an unprobeable doc has no place in a
+    # membership check either way
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     hist = docs.filter(F.col("doc_id") % 3 != 0)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     pos_arr = F.array(

@@ -310,7 +310,10 @@ def _kmv_partition_minima(iterator):
 
     state: dict = {}
     for pdf in iterator:
-        for et, grp in pdf.groupby("event_type"):
+        # dropna=False: a NULL event_type is a stratum too — pandas'
+        # default silently drops it while the DuckDB twin's
+        # PARTITION BY keeps the NULL partition
+        for et, grp in pdf.groupby("event_type", dropna=False):
             merged = np.concatenate(
                 [state.get(et, np.empty(0, dtype="int64")), grp["h"].values]
             )
@@ -423,21 +426,27 @@ def events_kmv_theta_intersection(
             "exact_distinct",
         )
     )
-    # theta intersection of the two named sets (dim-sized frames only)
+    # theta intersection of the two named sets (dim-sized frames only).
+    # Each side folds to a guaranteed 1-row aggregate (MIN over the
+    # filtered frame is NULL when the type is absent), matching the
+    # oracle's scalar subqueries; Spark's least() ignores NULLs exactly
+    # like DuckDB's LEAST, so the intersection row is ALWAYS emitted —
+    # an empty/missing type can no longer drop it from the Spark side
+    # while the oracle keeps it (cross-engine twin contract).
     eff = sk.select(
         "event_type",
         F.when(F.col("n_in_sketch") < KMV_K, F.lit(_KMV_SCALE))
         .otherwise(F.col("h_k"))
         .alias("eff_theta"),
     )
-    theta = (
-        eff.filter(F.col("event_type") == _KMV_A)
-        .crossJoin(
-            eff.filter(F.col("event_type") == _KMV_B).select(
-                F.col("eff_theta").alias("eff_b")
-            )
-        )
-        .select(F.least("eff_theta", "eff_b").alias("th"))
+    th_a = eff.filter(F.col("event_type") == _KMV_A).agg(
+        F.min("eff_theta").alias("th_a")
+    )
+    th_b = eff.filter(F.col("event_type") == _KMV_B).agg(
+        F.min("eff_theta").alias("th_b")
+    )
+    theta = th_a.crossJoin(th_b).select(
+        F.least("th_a", "th_b").alias("th")
     )
     inter = (
         kept.filter(F.col("event_type") == _KMV_A)

@@ -605,6 +605,8 @@ def events_stream_psi_drift_gate(
     from epl_cas_etl_2026_spark.plans.dataprep import (
         _PSI_ALERT_MICRONATS,
         _PSI_BINS,
+        psi_bin_col,
+        psi_smoothed,
     )
     from epl_cas_etl_2026_spark.sources.parquet import load_table
 
@@ -634,21 +636,10 @@ def events_stream_psi_drift_gate(
     )
     eb = eb.localCheckpoint(eager=True)  # static artifact, reused 3x
 
-    def bin_col(value, vmin, vmax):
-        width = (vmax - vmin) / float(_PSI_BINS)
-        return (
-            F.when(
-                vmax > vmin,
-                F.least(
-                    F.greatest(
-                        F.floor((value - vmin) / width).cast("long"),
-                        F.lit(0).cast("long"),
-                    ),
-                    F.lit(_PSI_BINS - 1).cast("long"),
-                ),
-            )
-            .otherwise(F.lit(0).cast("long"))
-        )
+    # binning + smoothing semantics IMPORTED from the batch twin
+    # (psi_bin_col / psi_smoothed) — a future edit to the batch
+    # definition cannot silently fork the streaming monitor
+    bin_col = psi_bin_col
 
     ref_counts = (
         lab.filter(F.col("win") == "ref")
@@ -710,10 +701,7 @@ def events_stream_psi_drift_gate(
         return f.join(F.broadcast(t), "event_type").select(
             "event_type",
             "bin",
-            (
-                (F.col("c") + 1).cast("double")
-                / (F.col("n") + _PSI_BINS).cast("double")
-            ).alias(out),
+            psi_smoothed(F.col("c"), F.col("n")).alias(out),
         )
 
     p = probs(fr, tr, "pr").join(probs(fc, tc, "pc"), ["event_type", "bin"])

@@ -145,6 +145,10 @@ def main() -> int:
         fact.groupBy("key").count().orderBy(F.desc("count")).limit(1)
         .collect()[0]
     )
+    # denominator from the ACTUAL data, not --rows: a pre-existing
+    # fact.parquet generated with a different --rows is reused above,
+    # and args.rows would then record a wrong (even > 1) share
+    n_fact = fact.count()
 
     # ---- window-straggler case: the shape the join bench's conclusion
     # names as salting/rewrite territory, now measured. A window
@@ -213,9 +217,9 @@ def main() -> int:
 
     out = {
         "metric": "skew_join_bench_sec",
-        "rows": args.rows,
+        "rows": n_fact,
         "dim_rows": N_DIM,
-        "hot_key_share": round(hot["count"] / args.rows, 4),
+        "hot_key_share": round(hot["count"] / n_fact, 4),
         "timings": timings,
         "salted_vs_plain": round(timings["salted"] / timings["plain"], 3),
         "aqe_vs_plain": round(timings["aqe"] / timings["plain"], 3),

@@ -74,6 +74,10 @@ def main() -> int:
     from tests.oracle_utils import compare, duckdb_connection
 
     names = [s for s in args.queries.split(",") if s] or HEAVY
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        return 1
     spark = get_spark(app_name="sf1-rehearsal",
                       cpus=os.environ.get("SPARK_GRAFT_CPUS", "16"))
     con = duckdb_connection(args.sf)
