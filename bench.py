@@ -165,6 +165,7 @@ HEADLINE = [
     "docs_rag_context_pack",
     "events_multitouch_attribution",
     "docs_tfidf_top_terms",
+    "customers_decile_lift_table",
 ]
 
 

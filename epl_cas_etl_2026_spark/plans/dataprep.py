@@ -1064,3 +1064,133 @@ def events_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "noisy_millis"
         ),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Decile lift / gains table — the standard model-evaluation artifact
+# for a propensity score (here: account balance "predicting" whether
+# the customer has placed an order), computed per market segment so
+# the ntile windows stay PARTITIONED (the parallel-window discipline
+# of customer_acctbal_deciles; a lift table is usually sliced by
+# cohort in production anyway). Decile 1 = highest scores; per decile:
+# response rate, lift vs the segment's base rate, and cumulative
+# responder capture — the three numbers a targeting decision reads.
+#
+# Determinism: counts are exact integers; every ratio is integer
+# division to ppm (Spark `div` == DuckDB `//` on BIGINT), nullif-
+# guarded; ntile is over a TOTAL order (score DESC, custkey).
+#
+# 100 TB shape: one window per segment partition (parallel), one
+# map-side-combined groupBy to 10 rows per segment, then dim-grained
+# windows/joins. The label join is a broadcast-able semi-join flag at
+# test scale and a keyed equi-join at production scale.
+# ---------------------------------------------------------------------------
+@_register(
+    "customers_decile_lift_table",
+    """
+    WITH resp AS (
+      SELECT DISTINCT o_custkey AS ck FROM orders
+    ), scored AS (
+      SELECT c_mktsegment AS segment, c_custkey,
+             CASE WHEN ck IS NOT NULL THEN 1 ELSE 0 END AS responder,
+             NTILE(10) OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal DESC, c_custkey) AS decile
+      FROM customer LEFT JOIN resp ON c_custkey = ck
+    ), d AS (
+      SELECT segment, decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(responder) AS BIGINT) AS n_responders
+      FROM scored GROUP BY segment, decile
+    ), t AS (
+      SELECT segment,
+             SUM(n_customers) AS tot_n,
+             SUM(n_responders) AS tot_resp
+      FROM d GROUP BY segment
+    )
+    SELECT d.segment, CAST(d.decile AS BIGINT) AS decile,
+           d.n_customers, d.n_responders,
+           CAST(d.n_responders * 1000000 // d.n_customers AS BIGINT)
+             AS response_rate_ppm,
+           CAST(COALESCE(d.n_responders * t.tot_n * 1000000
+                         // NULLIF(d.n_customers * t.tot_resp, 0), 0)
+                AS BIGINT) AS lift_ppm,
+           CAST(COALESCE(
+             (SUM(d.n_responders) OVER (PARTITION BY d.segment
+                                        ORDER BY d.decile
+                                        ROWS UNBOUNDED PRECEDING))
+             * 1000000 // NULLIF(t.tot_resp, 0), 0)
+                AS BIGINT) AS cum_capture_ppm
+    FROM d JOIN t ON d.segment = t.segment
+    ORDER BY d.segment, decile
+    """,
+)
+def customers_decile_lift_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    resp = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    scored = (
+        cust.join(resp, cust["c_custkey"] == resp["ck"], "left")
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "c_custkey",
+            "c_acctbal",
+            F.when(F.col("ck").isNotNull(), 1).otherwise(0).alias(
+                "responder"
+            ),
+        )
+        .withColumn(
+            "decile",
+            F.ntile(10).over(
+                Window.partitionBy("segment").orderBy(
+                    F.desc("c_acctbal"), F.asc("c_custkey")
+                )
+            ),
+        )
+    )
+    d = scored.groupBy("segment", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("responder").cast("bigint").alias("n_responders"),
+    )
+    t = d.groupBy("segment").agg(
+        F.sum("n_customers").alias("tot_n"),
+        F.sum("n_responders").alias("tot_resp"),
+    )
+    w_cum = (
+        Window.partitionBy("segment")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(t), "segment")
+        .withColumn("cum_resp", F.sum("n_responders").over(w_cum))
+        .select(
+            "segment",
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_customers",
+            "n_responders",
+            F.expr("n_responders * 1000000 div n_customers")
+            .cast("bigint")
+            .alias("response_rate_ppm"),
+            F.coalesce(
+                F.expr(
+                    "n_responders * tot_n * 1000000"
+                    " div nullif(n_customers * tot_resp, 0)"
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("lift_ppm"),
+            F.coalesce(
+                F.expr("cum_resp * 1000000 div nullif(tot_resp, 0)"),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("cum_capture_ppm"),
+        )
+        .orderBy("segment", "decile")
+    )

@@ -736,3 +736,60 @@ def test_golden_record_matches_pure_python_randomized(spark, tmp_path):
         for r in customers_golden_record(spark, d).collect()
     }
     assert got == exp
+
+
+def test_decile_lift_table_matches_pure_python(spark, tmp_path):
+    """Hand-built two-segment fixture recomputed in pure Python:
+    ntile assignment (equal buckets, earlier get extras), response
+    rates, lift and cumulative capture, all in integer ppm."""
+    cust, orders = [], []
+    k = 1
+    for seg, n, responders in (("AUTO", 23, 7), ("HOUSE", 10, 10)):
+        for i in range(n):
+            cust.append((k, f"c{k}", 1, 1000.0 - k, seg))
+            if i < responders:
+                orders.append((k * 10, k, "O", 1.0, None, "1-URGENT"))
+            k += 1
+    d = _write(spark, tmp_path, "customer", cust, _CUST_SCHEMA)
+    _write(spark, tmp_path, "orders", orders, _ORD_SCHEMA)
+    from epl_cas_etl_2026_spark.plans.dataprep import (
+        customers_decile_lift_table,
+    )
+
+    got = {(r["segment"], r["decile"]): r.asDict()
+           for r in customers_decile_lift_table(spark, d).collect()}
+
+    resp_keys = {o[1] for o in orders}
+    by_seg = {}
+    for ck, _, _, bal, seg in cust:
+        by_seg.setdefault(seg, []).append((ck, bal))
+    for seg, rows in by_seg.items():
+        # score DESC, custkey ASC — balances are distinct by design
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        n = len(rows)
+        base, extra = divmod(n, 10)
+        sizes = [base + (1 if i < extra else 0) for i in range(10)]
+        tot_resp = sum(1 for ck, _ in rows if ck in resp_keys)
+        pos, cum = 0, 0
+        for dec, size in enumerate(sizes, start=1):
+            if size == 0:
+                assert (seg, dec) not in got
+                continue
+            chunk = rows[pos:pos + size]
+            pos += size
+            nr = sum(1 for ck, _ in chunk if ck in resp_keys)
+            cum += nr
+            row = got[(seg, dec)]
+            assert row["n_customers"] == size
+            assert row["n_responders"] == nr
+            assert row["response_rate_ppm"] == nr * 1_000_000 // size
+            assert row["lift_ppm"] == (
+                nr * n * 1_000_000 // (size * tot_resp) if tot_resp else 0
+            )
+            assert row["cum_capture_ppm"] == (
+                cum * 1_000_000 // tot_resp if tot_resp else 0
+            )
+    # HOUSE: all 10 respond -> every decile lift == 1e6, capture climbs
+    assert got[("HOUSE", 10)]["cum_capture_ppm"] == 1_000_000
+    assert all(got[("HOUSE", i)]["lift_ppm"] == 1_000_000
+               for i in range(1, 11))
