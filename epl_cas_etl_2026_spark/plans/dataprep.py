@@ -1111,8 +1111,14 @@ def events_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            d.n_customers, d.n_responders,
            CAST(d.n_responders * 1000000 // d.n_customers AS BIGINT)
              AS response_rate_ppm,
-           CAST(COALESCE(d.n_responders * t.tot_n * 1000000
-                         // NULLIF(d.n_customers * t.tot_resp, 0), 0)
+           -- lift from the ALREADY-QUANTIZED ppm rates: the raw
+           -- nr*tot_n*1e6 cross-product overflows int64 past ~sf320
+           -- (the orders_orc_roundtrip_stats lesson — ANSI Spark
+           -- throws where DuckDB's HUGEINT silently widens); rate
+           -- ratios keep every intermediate <= 1e12
+           CAST(COALESCE((d.n_responders * 1000000 // d.n_customers)
+                         * 1000000
+                         // NULLIF(t.tot_resp * 1000000 // t.tot_n, 0), 0)
                 AS BIGINT) AS lift_ppm,
            CAST(COALESCE(
              (SUM(d.n_responders) OVER (PARTITION BY d.segment
@@ -1176,10 +1182,13 @@ def customers_decile_lift_table(
             F.expr("n_responders * 1000000 div n_customers")
             .cast("bigint")
             .alias("response_rate_ppm"),
+            # rate-ratio form, NOT nr*tot_n*1e6 div (n*tot_resp): the
+            # cross-products overflow int64 past ~sf320 under ANSI
+            # (see the oracle comment); intermediates here stay <=1e12
             F.coalesce(
                 F.expr(
-                    "n_responders * tot_n * 1000000"
-                    " div nullif(n_customers * tot_resp, 0)"
+                    "(n_responders * 1000000 div n_customers) * 1000000"
+                    " div nullif(tot_resp * 1000000 div tot_n, 0)"
                 ),
                 F.lit(0),
             )

@@ -744,7 +744,10 @@ def test_decile_lift_table_matches_pure_python(spark, tmp_path):
     rates, lift and cumulative capture, all in integer ppm."""
     cust, orders = [], []
     k = 1
-    for seg, n, responders in (("AUTO", 23, 7), ("HOUSE", 10, 10)):
+    # TINY includes the n < 10 ntile edge: only deciles 1..4 exist
+    for seg, n, responders in (
+        ("AUTO", 23, 7), ("HOUSE", 10, 10), ("TINY", 4, 2)
+    ):
         for i in range(n):
             cust.append((k, f"c{k}", 1, 1000.0 - k, seg))
             if i < responders:
@@ -782,10 +785,11 @@ def test_decile_lift_table_matches_pure_python(spark, tmp_path):
             row = got[(seg, dec)]
             assert row["n_customers"] == size
             assert row["n_responders"] == nr
-            assert row["response_rate_ppm"] == nr * 1_000_000 // size
-            assert row["lift_ppm"] == (
-                nr * n * 1_000_000 // (size * tot_resp) if tot_resp else 0
-            )
+            rr = nr * 1_000_000 // size
+            base = tot_resp * 1_000_000 // n
+            assert row["response_rate_ppm"] == rr
+            # rate-ratio lift (the overflow-safe form the query uses)
+            assert row["lift_ppm"] == (rr * 1_000_000 // base if base else 0)
             assert row["cum_capture_ppm"] == (
                 cum * 1_000_000 // tot_resp if tot_resp else 0
             )
