@@ -816,15 +816,18 @@ def knn_graph(
     """
     from pyspark.sql import Window
 
-    n = emb.count()
     # the ring edge below is (id+1) % n, which is only a ring when ids
     # are EXACTLY 0..n-1 — with gaps the shifted join silently drops
     # dangling edges and the connectivity guarantee (the reason the
     # ring exists) is void while every gated invariant still passes.
-    # Guard the precondition loudly instead.
+    # Guard the precondition loudly. count+min+max in ONE agg job — the
+    # guard costs no extra Spark action over the count the sizing needs.
     bounds = emb.agg(
-        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col(id_col)).alias("lo"),
+        F.max(F.col(id_col)).alias("hi"),
     ).collect()[0]
+    n = bounds["n"]
     if n > 0 and (bounds["lo"] != 0 or bounds["hi"] != n - 1):
         raise ValueError(
             f"knn_graph ring edge requires contiguous {id_col} 0..n-1; "

@@ -998,7 +998,15 @@ def customers_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Differentially-private histogram (Laplace mechanism, Dwork et al.
+# Seeded-Laplace histogram — NOT a privacy mechanism as gated: the
+# noise is a deterministic function of (event_type, a hard-coded seed)
+# and is published NEXT TO n_true, so anyone can recompute and remove
+# it; this query demonstrates the Laplace-mechanism ARITHMETIC
+# (inverse-CDF sampling, sensitivity-1 scale) cross-engine-exactly,
+# which is what the gate can pin. A real DP release would draw the
+# noise from a non-reproducible CSPRNG and publish ONLY noisy_millis.
+#
+# The mechanism demonstrated (Laplace mechanism, Dwork et al.
 # 2006 — public method): per-event-type counts with Laplace(1/ε)
 # noise, ε = 1, sensitivity 1 (each user contributes... here each ROW;
 # the release unit is documented, not enforced). Noise is SEEDED —
@@ -1038,6 +1046,10 @@ def customers_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT a privacy mechanism: seeded, recomputable Laplace noise
+    published alongside the true counts — a cross-engine-exact
+    demonstration of the Laplace-mechanism arithmetic only. See the
+    registration comment for what a real DP release changes."""
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_true")

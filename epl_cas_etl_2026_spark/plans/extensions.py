@@ -6003,6 +6003,16 @@ def events_markov_transitions(
     """,
 )
 def orders_orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write→read round-trip with a cross-field pairing checksum.
+
+    Scratch-path contract: the round-trip directory resolves from the
+    ``spark.epl.scratch.dir`` conf when set (on a real cluster point it
+    at a shared filesystem URI — s3a://…/tmp, hdfs:///tmp — so every
+    executor reads what every executor wrote); unset, it falls back to
+    a driver-local ``tempfile.mkdtemp``, which is only correct on
+    single-node ``local[*]`` deployments like this harness, where the
+    driver and all executor threads share one filesystem.
+    """
     import os as _os
     import shutil
     import tempfile
@@ -6010,7 +6020,11 @@ def orders_orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    scratch = spark.conf.get("spark.epl.scratch.dir", None)
+    if scratch:
+        tmp = scratch.rstrip("/") + "/orc_rt"
+    else:
+        tmp = tempfile.mkdtemp(prefix="orc_rt_")
     try:
         out = _os.path.join(tmp, "orders_orc")
         orders.write.mode("overwrite").orc(out)
