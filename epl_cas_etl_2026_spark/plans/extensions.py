@@ -4392,6 +4392,155 @@ def docs_near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DOULION approximate triangle count (Tsourakakis et al., KDD 2009 —
+# public method): sparsify the near-dup graph by keeping each edge
+# with probability p = 1/10, count triangles on the SAMPLED graph
+# with the same degree-ordered orientation as the exact query above,
+# and scale by 1/p³. This is the single-box answer for the one
+# artifact the exact query cannot deliver at sf1 (74.9 G wedges,
+# SCALE_sf1.json): sampling cuts wedge work by p² and triangle work
+# by p³, so the sf1 run fits one machine with a stated-variance
+# estimate (Var[T̂] ≤ T/p³ + 2·(paths-through-shared-edge)/p; the
+# estimator is unbiased: each triangle survives with exactly p³).
+#
+# The sampling coin is DETERMINISTIC — keep (a,b) iff the md5-derived
+# 32-bit uniform of "a|b|seed" lands in the 1-in-10 residue class —
+# because a reproducible sparsifier is what makes the whole ESTIMATE
+# (not just invariants) cross-engine gateable: DuckDB replays the
+# identical coin, the identical sampled graph, the identical count.
+# md5 (the repo's established cross-engine RNG, cf. events_dp_histogram
+# and the weighted samplers) and NOT a linear multiply-mod hash: the
+# three edges of one triangle are three linear forms over its vertex
+# ids, and a linear coin's survivals are CORRELATED on structured id
+# sets (measured +64% triangle bias on a planted-clique grid), while a
+# PRF-grade coin gives the independent p**3 survival DOULION's
+# unbiasedness proof needs (test_doulion_accuracy_on_planted_cliques
+# pins exactly this). A production run that wants fresh randomness
+# swaps the seed string per run; the estimator algebra is unchanged.
+# Estimator-accuracy bounds live in tests/test_analytics_props.py on a
+# SEEDED planted-clique graph (testdata-regeneration safety), not in
+# the gated row.
+# ---------------------------------------------------------------------------
+_DLN_SEED = "dln-seed-1"
+_DLN_DEN = 10  # keep 1-in-10 edges: p = 1/10, 1/p^3 = 1000
+
+
+@_register(
+    "docs_near_dup_triangles_doulion",
+    f"""
+    WITH sim AS ({_SIMHASH_SQL}),
+    banded AS (
+      SELECT doc_id, k AS band, (h >> (k * 15)) & 32767 AS key
+      FROM sim, generate_series(0, 3) AS t(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM banded a JOIN banded c
+        ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+    ),
+    e0 AS (
+      SELECT id_a AS a, id_b AS b FROM cand
+      JOIN sim sa ON sa.doc_id = id_a
+      JOIN sim sb ON sb.doc_id = id_b
+      WHERE bit_count(xor(sa.h, sb.h)) <= 3
+    ),
+    e AS (
+      SELECT a, b FROM e0
+      WHERE CAST(('0x' || substr(md5(a || '|' || b || '|{_DLN_SEED}'),
+                                 1, 8)) AS BIGINT) % {_DLN_DEN} = 0
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tri_sampled
+      FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+        ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges_full,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges_sampled,
+           CAST({_DLN_DEN} AS BIGINT) AS inv_p,
+           n_tri_sampled,
+           CAST(n_tri_sampled * {_DLN_DEN ** 3} AS BIGINT) AS est_triangles
+    FROM tri
+    """,
+)
+def docs_near_dup_triangles_doulion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    e0 = (
+        simhash_near_dup_pairs(docs, max_hamming=3)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=False)  # pin: full-count + sample branches
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("a"), F.col("b"), F.lit(_DLN_SEED)
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _DLN_DEN
+        == 0
+    )
+    e = e0.filter(coin).localCheckpoint(eager=False)
+    # degree-ordered orientation on the SAMPLED graph — same hub-proof
+    # enumeration as docs_near_dup_triangles (Suri & Vassilvitskii),
+    # Σ outdeg² ≤ O(m^1.5) work instead of Σ deg² wedges
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint(eager=False)
+    x, y = o.alias("x"), o.alias("y")
+    lt = (F.col("x.dv") < F.col("y.dv")) | (
+        (F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v"))
+    )
+    tri = (
+        x.join(y, (F.col("x.u") == F.col("y.u")) & lt)
+        .join(
+            o.alias("z"),
+            (F.col("z.u") == F.col("x.v")) & (F.col("z.v") == F.col("y.v")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri_sampled"))
+    )
+    return (
+        e0.agg(F.count(F.lit(1)).cast("long").alias("n_edges_full"))
+        .crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges_sampled")))
+        .crossJoin(tri)
+        .select(
+            "n_edges_full",
+            "n_edges_sampled",
+            F.lit(_DLN_DEN).cast("long").alias("inv_p"),
+            "n_tri_sampled",
+            (F.col("n_tri_sampled") * F.lit(_DLN_DEN**3))
+            .cast("long")
+            .alias("est_triangles"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Product-quantization index build (operators/similarity.pq_fit /
 # pq_encode — Jégou et al. 2011) under the k-means-style invariant
 # gate: PQ training is iterative (no closed-form SQL twin), so the

@@ -724,3 +724,74 @@ def test_k_anonymity_audit_matches_pandas(spark):
     assert row["anonymity_ok"] == bool(
         (g["n"] >= _KANON_K).all() and (g["l_div"] >= _KANON_L).all()
     )
+
+
+def _py_coin(a: int, b: int) -> bool:
+    """Pure-Python third implementation of the DOULION edge coin."""
+    import hashlib
+
+    from epl_cas_etl_2026_spark.plans.extensions import _DLN_DEN, _DLN_SEED
+
+    h = hashlib.md5(f"{a}|{b}|{_DLN_SEED}".encode()).hexdigest()[:8]
+    return int(h, 16) % _DLN_DEN == 0
+
+
+def test_doulion_matches_python_and_unbiased_identity(spark):
+    """Third implementation of the DOULION sparsified triangle count
+    (pure-Python coin + set-intersection counting) must agree EXACTLY
+    with the Spark degree-ordered enumeration, and the published
+    estimate must be exactly n_tri_sampled x inv_p^3."""
+    from epl_cas_etl_2026_spark.operators.dedup import simhash_near_dup_pairs
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        _DLN_DEN,
+        _DLN_SEED,
+        docs_near_dup_triangles_doulion,
+    )
+
+    row = docs_near_dup_triangles_doulion(spark, SF).collect()[0]
+    assert row["est_triangles"] == row["n_tri_sampled"] * _DLN_DEN**3
+    assert row["inv_p"] == _DLN_DEN
+
+    docs = load_table(spark, SF, "documents")
+    edges = [
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=3)
+        .select("id_a", "id_b")
+        .collect()
+    ]
+    assert len(edges) == row["n_edges_full"]
+    sampled = [(a, b) for a, b in edges if _py_coin(a, b)]
+    assert len(sampled) == row["n_edges_sampled"]
+    adj: dict[int, set[int]] = {}
+    for a, b in sampled:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # each triangle is counted once per incident edge -> /3
+    tri = sum(len(adj[a] & adj[b]) for a, b in sampled) // 3
+    assert row["n_tri_sampled"] == tri
+
+
+def test_doulion_accuracy_on_planted_cliques(spark):
+    """Estimator accuracy on a SEEDED planted-clique graph (robust to
+    testdata regeneration): 40 disjoint 12-cliques = 40*C(12,3) = 8800
+    triangles; the deterministic 1-in-10 coin's estimate must land
+    within 35% (the fixed coin makes this a deterministic assertion,
+    not a flake)."""
+    from pyspark.sql import functions as F
+
+    from epl_cas_etl_2026_spark.plans.extensions import _DLN_DEN
+
+    edges = []
+    for c in range(40):
+        ids = [c * 30 + i for i in range(30)]
+        edges += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    exact = 40 * (30 * 29 * 28 // 6)
+    sampled = [(a, b) for a, b in edges if _py_coin(a, b)]
+    adj: dict[int, set[int]] = {}
+    for a, b in sampled:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    est = (
+        sum(len(adj[a] & adj[b]) for a, b in sampled) // 3 * _DLN_DEN**3
+    )
+    assert abs(est - exact) / exact < 0.35
