@@ -166,6 +166,15 @@ HEADLINE = [
     "events_multitouch_attribution",
     "docs_tfidf_top_terms",
     "customers_decile_lift_table",
+    # round-7 additions (appended — prefix subsets stay valid):
+    # DOULION sparsified triangles (the sf1-runnable twin of the exact
+    # count) and batch PQ-ADC serving (16 queries, one plan).
+    # embedding_graph_batch_topk stays out for the embedding_dup_clusters
+    # reason: its wall is dominated by per-hop driver-loop scheduler
+    # floor at local scale, which measures the scheduler, not the
+    # engine — it stays driver-gated for correctness instead.
+    "docs_near_dup_triangles_doulion",
+    "embedding_pq_batch_topk",
 ]
 
 
@@ -283,6 +292,7 @@ def report(timings: dict[str, float]) -> None:
     r4_subset = round(sum(timings[n] for n in HEADLINE[:56] if n in timings), 3)
     r5_subset = round(sum(timings[n] for n in HEADLINE[:65] if n in timings), 3)
     r6_subset = round(sum(timings[n] for n in HEADLINE[:73] if n in timings), 3)
+    r7_subset = round(sum(timings[n] for n in HEADLINE[:98] if n in timings), 3)
     # round-6 scale rehearsal artifacts (committed JSON, produced by
     # tools/rehearse_sf1.py and tools/bench_skew.py on this host):
     # ride along in the bench record so BENCH_r06 carries the
@@ -317,6 +327,7 @@ def report(timings: dict[str, float]) -> None:
         "r4_queries_noop_sec": r4_subset,
         "r5_queries_noop_sec": r5_subset,
         "r6_queries_noop_sec": r6_subset,
+        "r7_queries_noop_sec": r7_subset,
         "budget_check": budget_check,
         **extras,
         "cpu_calib_sec": calib,
@@ -339,6 +350,7 @@ def report(timings: dict[str, float]) -> None:
         "subtotals_noop_sec": {
             "r1": r1_subset, "r2": r2_subset, "r3": r3_subset,
             "r4": r4_subset, "r5": r5_subset, "r6": r6_subset,
+            "r7": r7_subset,
         },
         "budget_violations": budget_check.get("violations", None),
         "full": "BENCH_FULL.json",

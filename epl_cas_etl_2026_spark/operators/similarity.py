@@ -949,3 +949,214 @@ def graph_beam_search_topk(
     ][:k]
     out = spark.createDataFrame(served, f"{id_col} long, sim double")
     return out, len(visited), hops
+
+
+# ---------------------------------------------------------------------------
+# BATCH multi-query ANN serving (round-7): a production pipeline
+# scores a query TABLE, not one vector per driver invocation. Both
+# serving families get a batch form here:
+#   * pq_adc_batch_topk — ONE plan for Q queries: the per-query ADC
+#     lookup tables are computed IN-PLAN (query subvectors ⋈ broadcast
+#     codebook frame, zip_with distances) instead of as driver-side
+#     numpy literals, so Q scales without Q driver loops; the code
+#     scan is the true batch-ADC cost O(n·m·Q) with map-side partial
+#     aggregation, per-query shortlists via one window, exact re-rank
+#     against the broadcast query vectors.
+#   * graph_beam_search_batch — the NSW beam search with ONE pair of
+#     pruned Spark jobs per hop for ALL queries together (adjacency
+#     probe over the union frontier; scoring over the union of newly
+#     discovered (q, id) pairs), instead of 2·hops jobs per query.
+#     Driver state stays bounded: ≤ Q·ef·M (id, sim) pairs per hop.
+# ---------------------------------------------------------------------------
+def pq_adc_batch_topk(
+    emb: DataFrame,
+    codebooks,
+    query_ids,
+    dim: int = 64,
+    m: int = 8,
+    shortlist: int = 50,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch ADC top-k over a query id list, one plan for all queries.
+
+    Returns (q_id, id, adc_dist, exact_dist, rank) with rank 1..topk
+    per query by exact distance — per query identical to
+    :func:`pq_adc_topk` (property-pinned by
+    tests/test_analytics_props.py::test_pq_batch_matches_single).
+    """
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    k_codes = len(codebooks[0])
+    cbdf = spark.createDataFrame(
+        [
+            (s, j, [float(x) for x in codebooks[s][j]])
+            for s in range(m)
+            for j in range(k_codes)
+        ],
+        "sub_id int, code int, centroid array<double>",
+    )
+    qids = [int(q) for q in query_ids]
+    # per-query LUT rows (q_id, sub_id, code, t) computed in-plan:
+    # Q·m·k_codes rows — broadcastable for any sane Q
+    sub_d = F.aggregate(
+        F.zip_with(
+            F.col("subvec"), F.col("centroid"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        pq_subvectors(
+            emb.filter(F.col(id_col).isin(qids)), dim, m, id_col, vec_col
+        )
+        .withColumnRenamed(id_col, "q_id")
+        .join(F.broadcast(cbdf), "sub_id")
+        .select("q_id", "sub_id", "code", sub_d.alias("t"))
+    )
+    codes = pq_encode(emb, codebooks, dim, m, id_col, vec_col)
+    adc = (
+        codes.select(id_col, "sub_id", "code")
+        .join(F.broadcast(lut), ["sub_id", "code"])
+        .filter(F.col(id_col) != F.col("q_id"))
+        .groupBy("q_id", id_col)
+        .agg(F.sum("t").alias("adc_dist"))
+    )
+    w_short = Window.partitionBy("q_id").orderBy("adc_dist", id_col)
+    short = (
+        adc.withColumn("__rn", F.row_number().over(w_short))
+        .filter(F.col("__rn") <= shortlist)
+        .drop("__rn")
+    )
+    qvecs = emb.filter(F.col(id_col).isin(qids)).select(
+        F.col(id_col).alias("q_id"), to_double(F.col(vec_col)).alias("__qv")
+    )
+    exact = F.aggregate(
+        F.zip_with(
+            to_double(F.col(vec_col)), F.col("__qv"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_rank = Window.partitionBy("q_id").orderBy("exact_dist", id_col)
+    return (
+        short.join(emb.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qvecs), "q_id")
+        .select("q_id", F.col(id_col), "adc_dist", exact.alias("exact_dist"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= topk)
+    )
+
+
+def graph_beam_search_batch(
+    emb: DataFrame,
+    graph: DataFrame,
+    query_vecs: dict,
+    k: int = 10,
+    ef: int = 48,
+    max_hops: int = 8,
+    entry_ids: tuple[int, ...] = (0,),
+    exclude_own_id: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Best-first beam search for MANY queries in lockstep.
+
+    ``query_vecs``: {q_id: query vector}. Per hop exactly TWO Spark
+    jobs serve every still-active query: (1) one adjacency probe
+    filtered to the UNION of all frontiers (an IN-list that pushes to
+    the scan at scale), (2) one scoring job over the union of newly
+    discovered (q_id, id) pairs — the pair list enters as a driver
+    createDataFrame (bounded by Q·ef·M), joins ``emb`` on id, and the
+    per-row cosine runs against the broadcast query-vector frame.
+    Queries whose beam stops improving drop out of the union frontier
+    individually. Returns (result_df, visited_counts, hops): the
+    DataFrame is (q_id, id, sim, rank) with rank 1..k per query by
+    (-sim, id); per query identical to :func:`graph_beam_search_topk`
+    with the same parameters.
+    """
+    spark = emb.sparkSession
+    qframe = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in query_vecs.items()],
+        f"q_id long, __qv array<double>",
+    )
+    sim_expr = F.round(cosine(to_double(F.col(vec_col)), F.col("__qv")), 6)
+
+    def score_pairs(pairs):
+        """pairs: [(q_id, id)] -> {(q_id, id): sim} in one job."""
+        if not pairs:
+            return {}
+        pdf = spark.createDataFrame(
+            [(int(q), int(i)) for q, i in pairs], f"q_id long, {id_col} long"
+        )
+        rows = (
+            pdf.join(emb.select(id_col, vec_col), id_col)
+            .join(F.broadcast(qframe), "q_id")
+            .select("q_id", F.col(id_col).alias("id"), sim_expr.alias("sim"))
+            .collect()
+        )
+        return {(r["q_id"], r["id"]): r["sim"] for r in rows}
+
+    visited = {q: {} for q in query_vecs}  # q -> {id: sim}
+    entry_scores = score_pairs(
+        [(q, e) for q in query_vecs for e in entry_ids]
+    )
+    for (q, i), s in entry_scores.items():
+        visited[q][i] = s
+    frontier = {
+        q: sorted(visited[q], key=lambda i: (-visited[q][i], i))
+        for q in query_vecs
+    }
+    hops = 0
+    while any(frontier.values()) and hops < max_hops:
+        hops += 1
+        union_frontier = sorted({i for f in frontier.values() for i in f})
+        nbr_rows = (
+            graph.filter(F.col(id_col).isin(union_frontier))
+            .select(F.col(id_col).alias("fid"), F.explode("neighbors").alias("e"))
+            .select("fid", F.col("e.nb").alias("nb"))
+            .collect()
+        )
+        nbrs_of: dict = {}
+        for r in nbr_rows:
+            nbrs_of.setdefault(r["fid"], set()).add(r["nb"])
+        new_pairs = []
+        new_ids_by_q = {}
+        for q, f in frontier.items():
+            new_q = set()
+            for fid in f:
+                new_q |= nbrs_of.get(fid, set())
+            new_q -= set(visited[q])
+            new_ids_by_q[q] = new_q
+            new_pairs += [(q, i) for i in sorted(new_q)]
+        if not new_pairs:
+            break
+        scored = score_pairs(new_pairs)
+        for (q, i), s in scored.items():
+            visited[q][i] = s
+        for q in frontier:
+            beam = sorted(
+                visited[q], key=lambda i: (-visited[q][i], i)
+            )[:ef]
+            frontier[q] = [i for i in beam if i in new_ids_by_q.get(q, ())]
+    served = []
+    for q in sorted(visited):
+        ranked = [
+            i
+            for i in sorted(visited[q], key=lambda i: (-visited[q][i], i))
+            if not (exclude_own_id and i == q)
+        ][:k]
+        served += [
+            (int(q), int(i), float(visited[q][i]), r + 1)
+            for r, i in enumerate(ranked)
+        ]
+    out = spark.createDataFrame(
+        served, f"q_id long, {id_col} long, sim double, rank int"
+    )
+    visited_stats = {
+        q: {"n_visited": len(v), "own_visited": q in v}
+        for q, v in visited.items()
+    }
+    return out, visited_stats, hops

@@ -2070,6 +2070,261 @@ def embedding_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BATCH PQ-ADC SERVING (round-7; operators/similarity.pq_adc_batch_topk):
+# the production form of the ADC scan — 16 query vectors scored in ONE
+# plan, per-query LUTs computed in-plan (query subvectors x broadcast
+# codebook frame) instead of as 16 driver-side numpy folds. Gate
+# invariants: output cardinality (every query filled to min(topk, n-1)
+# — stated arithmetically by the oracle from COUNT(*)), the ADC sums
+# re-derived through an INDEPENDENT path (driver-side numpy LUT
+# literals, the single-query serving approach, joined back per
+# (q_id, sub_id, code)), per-query exact-distance rank monotonicity,
+# and self-exclusion. Per-query equivalence to pq_adc_topk is pinned
+# by tests/test_analytics_props.py::test_pq_batch_matches_single.
+# ---------------------------------------------------------------------------
+@_register(
+    "embedding_pq_batch_topk",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(LEAST(16, COUNT(*)) AS BIGINT) AS n_queries,
+           CAST(LEAST(16, COUNT(*)) * LEAST(10, COUNT(*) - 1) AS BIGINT)
+             AS n_rows,
+           CAST(0 AS BIGINT) AS adc_lut_violations,
+           CAST(0 AS BIGINT) AS order_violations,
+           CAST(0 AS BIGINT) AS self_violations
+    FROM embeddings
+    """,
+)
+def embedding_pq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.similarity import (
+        pq_adc_batch_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim, m, k_codes, shortlist, topk, n_q = 64, 8, 16, 50, 10, 16
+    dsub = dim // m
+    codebooks = pq_fit(emb, dim=dim, m=m, k=k_codes, iters=2)
+    qrows = (
+        emb.filter(F.col("vec_id") < n_q)
+        .select("vec_id", to_double(F.col("embedding")).alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    qids = [r["vec_id"] for r in qrows]
+    out = pq_adc_batch_topk(
+        emb, codebooks, qids, dim=dim, m=m, shortlist=shortlist, topk=topk
+    ).localCheckpoint(eager=False)  # consumed by 4 invariant subtrees
+    counts = out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("q_id").cast("long").alias("n_queries"),
+        F.coalesce(
+            F.sum(F.when(F.col("q_id") == F.col("vec_id"), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("self_violations"),
+    )
+    # independent ADC re-derivation: driver-side numpy LUTs (the
+    # single-query pq_adc_topk path), joined back per (q, sub, code)
+    C = np.asarray(codebooks, dtype=np.float64)  # m x k x dsub
+    lut2_rows = []
+    for r in qrows:
+        qv = np.asarray(r["v"], dtype=np.float64)
+        for s in range(m):
+            qs = qv[s * dsub : (s + 1) * dsub]
+            for j in range(k_codes):
+                lut2_rows.append(
+                    (r["vec_id"], s, j, float(((qs - C[s][j]) ** 2).sum()))
+                )
+    lut2 = spark.createDataFrame(
+        lut2_rows, "q_id long, sub_id int, code int, t2 double"
+    )
+    codes = pq_encode(emb, codebooks, dim=dim, m=m)
+    adc2 = (
+        out.select("q_id", "vec_id", "adc_dist")
+        .join(codes.select("vec_id", "sub_id", "code"), "vec_id")
+        .join(F.broadcast(lut2), ["q_id", "sub_id", "code"])
+        .groupBy("q_id", "vec_id", "adc_dist")
+        .agg(F.sum("t2").alias("adc_re"))
+    )
+    lut_v = adc2.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.abs(F.col("adc_re") - F.col("adc_dist")) > 1e-6, 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("adc_lut_violations")
+    )
+    # rank monotonicity per query: exact_dist must be non-decreasing
+    w = Window.partitionBy("q_id").orderBy("rank")
+    order_v = (
+        out.withColumn("__prev", F.lag("exact_dist").over(w))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("exact_dist") < F.col("__prev") - 1e-12, 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("order_violations")
+        )
+    )
+    n_pts = emb.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    return (
+        n_pts.crossJoin(counts)
+        .crossJoin(lut_v)
+        .crossJoin(order_v)
+        .select(
+            "n_points",
+            "n_queries",
+            "n_rows",
+            "adc_lut_violations",
+            "order_violations",
+            "self_violations",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BATCH GRAPH-ANN SERVING (round-7;
+# operators/similarity.graph_beam_search_batch): the NSW beam search
+# for 16 queries in lockstep — per hop TWO pruned Spark jobs serve
+# every query (union-frontier adjacency probe + union scoring of
+# newly discovered (q, id) pairs) instead of 2 jobs per hop PER
+# query. Gate invariants: per-query fill (n_returned ==
+# min(k, |visited_q \ {own id}|), AND-folded), sim range, per-query
+# rank monotonicity, self-exclusion, and — the strongest — exact
+# row-level agreement with the SINGLE-query beam search re-run inside
+# the gate for a 2-query sample (first + last), so batch==single is
+# hash-gated, not just property-tested.
+# ---------------------------------------------------------------------------
+@_register(
+    "embedding_graph_batch_topk",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(LEAST(16, COUNT(*)) AS BIGINT) AS n_queries,
+           CAST(0 AS BIGINT) AS sim_range_violations,
+           CAST(0 AS BIGINT) AS order_violations,
+           CAST(0 AS BIGINT) AS self_violations,
+           CAST(0 AS BIGINT) AS single_query_mismatches,
+           true AS all_returned_ok
+    FROM embeddings
+    """,
+)
+def embedding_graph_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.similarity import (
+        graph_beam_search_batch,
+        graph_beam_search_topk,
+        knn_graph,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m_nb, k, ef, max_hops, n_q = 8, 10, 48, 8, 16
+    graph = knn_graph(emb, dim=64, m_neighbors=m_nb).localCheckpoint(
+        eager=False
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < n_q)
+        .select("vec_id", to_double(F.col("embedding")).alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not qrows:
+        raise ValueError(
+            "graph_beam_search_batch needs query rows vec_id 0..15; none found"
+        )
+    qvecs = {r["vec_id"]: [float(x) for x in r["v"]] for r in qrows}
+    out, stats, _hops = graph_beam_search_batch(
+        emb, graph, qvecs, k=k, ef=ef, max_hops=max_hops, entry_ids=(0,)
+    )
+    out = out.localCheckpoint(eager=False)
+    # per-query fill check, driver-side fold over bounded state
+    returned = {
+        r["q_id"]: r["n"]
+        for r in out.groupBy("q_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    all_ok = all(
+        returned.get(q, 0)
+        == min(k, s["n_visited"] - (1 if s["own_visited"] else 0))
+        for q, s in stats.items()
+    )
+    # batch == single for a 2-query sample, hash-gated
+    mismatches = 0
+    for q in (qrows[0]["vec_id"], qrows[-1]["vec_id"]):
+        single, _nv, _h = graph_beam_search_topk(
+            emb,
+            graph,
+            qvecs[q],
+            k=k,
+            ef=ef,
+            max_hops=max_hops,
+            entry_ids=(0,),
+            exclude_ids=(q,),
+        )
+        srows = [(r["vec_id"], r["sim"]) for r in single.collect()]
+        brows = [
+            (r["vec_id"], r["sim"])
+            for r in out.filter(F.col("q_id") == q)
+            .orderBy("rank")
+            .select("vec_id", "sim")
+            .collect()
+        ]
+        mismatches += sum(1 for a, b in zip(srows, brows) if a != b)
+        mismatches += abs(len(srows) - len(brows))
+    w = Window.partitionBy("q_id").orderBy("rank")
+    inv = (
+        out.withColumn("__prev", F.lag("sim").over(w))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.abs(F.col("sim")) > 1.0 + 1e-9, 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("sim_range_violations"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("sim") > F.col("__prev") + 1e-12, 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("order_violations"),
+            F.coalesce(
+                F.sum(F.when(F.col("q_id") == F.col("vec_id"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("self_violations"),
+            F.count_distinct("q_id").cast("long").alias("n_queries"),
+        )
+    )
+    n_pts = emb.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    return (
+        n_pts.crossJoin(inv)
+        .select(
+            "n_points",
+            "n_queries",
+            "sim_range_violations",
+            "order_violations",
+            "self_violations",
+            F.lit(mismatches).cast("long").alias("single_query_mismatches"),
+            F.lit(bool(all_ok)).alias("all_returned_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # F11 — priority-ordered JSON field extraction (etl_sync.py:160-177:
 # first matching title wins) re-expressed as a coalesce chain over the
 # events props document.

@@ -795,3 +795,38 @@ def test_doulion_accuracy_on_planted_cliques(spark):
         sum(len(adj[a] & adj[b]) for a, b in sampled) // 3 * _DLN_DEN**3
     )
     assert abs(est - exact) / exact < 0.35
+
+
+def test_pq_batch_matches_single(spark):
+    """pq_adc_batch_topk must serve, per query, EXACTLY what the
+    single-query pq_adc_topk serves with the same codebooks — the
+    batch form is a plan restructuring, not a semantics change."""
+    from epl_cas_etl_2026_spark.operators.similarity import (
+        pq_adc_batch_topk,
+        pq_adc_topk,
+        pq_fit,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    dim, m, k_codes = 64, 8, 16
+    codebooks = pq_fit(emb, dim=dim, m=m, k=k_codes, iters=2)
+    qids = [r["vec_id"] for r in emb.filter("vec_id < 16").collect()]
+    assert len(qids) == 16
+    batch = (
+        pq_adc_batch_topk(
+            emb, codebooks, qids, dim=dim, m=m, shortlist=50, topk=10
+        )
+        .collect()
+    )
+    by_q: dict[int, list] = {}
+    for r in batch:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q in qids[:4] + qids[-2:]:  # 6-query sample: each ~1 plan
+        single = pq_adc_topk(
+            emb, codebooks, query_id=q, dim=dim, m=m, shortlist=50, topk=10
+        ).collect()
+        got = sorted(by_q.get(q, []), key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in got] == [r["vec_id"] for r in single]
+        for g, s in zip(got, single):
+            assert abs(g["adc_dist"] - s["adc_dist"]) < 1e-9
+            assert abs(g["exact_dist"] - s["exact_dist"]) < 1e-9

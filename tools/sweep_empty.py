@@ -30,6 +30,9 @@ EXPECTED_VALUEERRORS = {
     # (IVF-PQ: kmeans_fit; graph ANN: the vec_id-0 query-row guard)
     "embedding_ivfpq_topk",
     "embedding_graph_ann_topk",
+    # round-7 batch serving forms: same pq_fit / query-row init guards
+    "embedding_pq_batch_topk",
+    "embedding_graph_batch_topk",
 }
 
 
