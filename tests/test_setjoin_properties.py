@@ -83,3 +83,98 @@ def test_winnowing_density_python_model(hashes):
     assert all(1 <= p <= len(keys) for p in pos)
     for x, y in zip(pos, pos[1:]):
         assert 1 <= y - x <= W
+
+
+def prefix2_len(sz: int) -> int:
+    return min(sz - (sz * T10 + 9) // 10 + 2, sz)
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.sets(st.integers(0, 60), min_size=2, max_size=40),
+    st.sets(st.integers(0, 60), min_size=2, max_size=40),
+)
+def test_k2_extended_prefix_theorem(a, b):
+    """The heavy branch's witness guarantee: a qualifying pair with
+    both sizes >= 2 shares at least TWO elements of the extended
+    (pi1 + 1)-prefixes — so blocking heavy docs on unordered prefix
+    token pairs is lossless."""
+    inter = len(a & b)
+    union = len(a | b)
+    if inter * 10 < T10 * union:
+        return
+    sa, sb = sorted(a), sorted(b)
+    p2a = set(sa[: prefix2_len(len(a))])
+    p2b = set(sb[: prefix2_len(len(b))])
+    assert len(p2a & p2b) >= 2, (
+        f"k=2 prefix theorem violated: {sorted(a)} {sorted(b)}"
+    )
+
+
+def _brute_jaccard_hist(texts: dict[int, str]) -> dict[int, int]:
+    """Brute-force all-pairs J>=0.8 histogram — the oracle spec in
+    pure Python (word 3-gram distinct shingles)."""
+    shs = {}
+    for i, t in texts.items():
+        ws = [w for w in t.split(" ") if w]
+        shs[i] = {
+            " ".join(ws[j : j + 3]) for j in range(max(len(ws) - 2, 0))
+        }
+    hist: dict[int, int] = {}
+    ids = sorted(texts)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = shs[ids[ai]], shs[ids[bi]]
+            if not a or not b:
+                continue
+            i = len(a & b)
+            u = len(a | b)
+            if i * 10 >= T10 * u:
+                jp = i * 100 // u
+                hist[jp] = hist.get(jp, 0) + 1
+    return hist
+
+
+def test_df_capped_branches_lossless_on_adversarial_corpus(
+    spark, tmp_path
+):
+    """End-to-end branch-split check on a corpus built to exercise all
+    THREE candidate branches: 70 boilerplate docs sharing a heavy
+    (df > 64) core (heavy-pair branch), 70 identical 3-token docs
+    (singleton heavy tiny branch), light rare-token near-dups (light
+    branch), and below-threshold decoys. The query's histogram must
+    equal the pure-Python brute force exactly."""
+    import pandas as pd
+
+    from epl_cas_etl_2026_spark.plans.setjoin import docs_jaccard_prefix_join
+
+    texts: dict[int, str] = {}
+    core = " ".join(f"core{i}" for i in range(14))
+    # heavy-pair branch: 70 docs = shared core + one unique token at
+    # the END (shingle sets overlap heavily; some pairs land >= 0.8,
+    # the unique tails keep others below — brute force decides)
+    for d in range(70):
+        texts[d] = core + (f" tail{d}" if d % 2 else "")
+    # tiny branch: 70 identical 3-token docs (one shingle, df 70)
+    for d in range(70, 140):
+        texts[d] = "tiny a b"
+    # light branch: rare-token near-dup pairs
+    for d in range(140, 150):
+        toks = [f"rare{d}_{i}" for i in range(12)]
+        texts[2000 + 2 * d] = " ".join(toks)
+        texts[2000 + 2 * d + 1] = " ".join(toks[:11] + [f"alt{d}"])
+    # decoys sharing only sub-threshold overlap with the core
+    for d in range(150, 160):
+        texts[d] = " ".join(f"core{i}" for i in range(5)) + f" odd{d} odd{d}x"
+    pdf = pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[k] for k in texts]}
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {
+        r["j_pct"]: r["n_pairs"]
+        for r in docs_jaccard_prefix_join(spark, str(tmp_path)).collect()
+    }
+    want = _brute_jaccard_hist(texts)
+    assert got == want, f"got {got} want {want}"
+    # the fixture must actually exercise the heavy regime
+    assert want.get(100, 0) >= 70 * 69 // 2, "tiny-branch pairs missing"
