@@ -175,6 +175,13 @@ HEADLINE = [
     # engine — it stays driver-gated for correctness instead.
     "docs_near_dup_triangles_doulion",
     "embedding_pq_batch_topk",
+    # round-7 mid-round additions: Holt linear-trend smoothing (exact
+    # dyadic unrolling), Kneser-Ney bigram LM scoring, the ANN
+    # recall@k eval curve, and Fleiss' kappa annotator agreement.
+    "events_user_holt_dyadic",
+    "docs_kneser_ney_bigram",
+    "embedding_ann_recall_curve",
+    "orders_label_fleiss_kappa",
 ]
 
 

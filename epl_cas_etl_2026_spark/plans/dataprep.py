@@ -329,6 +329,118 @@ def orders_label_majority_vote(
 
 
 # ---------------------------------------------------------------------------
+# Fleiss' kappa — chance-corrected inter-annotator agreement for a
+# FIXED rater count, the labeling-QC twin of the majority vote above
+# (same fixture: an order's line items are its raters, l_returnflag
+# the label alphabet). Fleiss requires each item rated by exactly n
+# raters, so items = orders with exactly 4 line items (the uniform
+# 1..7 lines-per-order generator leaves ~1/7 of orders eligible —
+# reported as n_items next to the population count).
+#
+#   P_i  = (Σ_j n_ij² − n) / (n(n−1))        per-item agreement
+#   P̄    = mean_i P_i = (Σ_ij n_ij² − Nn) / (Nn(n−1))
+#   P̄_e  = Σ_j p_j²,  p_j = (Σ_i n_ij)/(Nn)  chance agreement
+#   κ    = (P̄ − P̄_e) / (1 − P̄_e)
+#
+# Every count is an exact BIGINT; the three final divisions are
+# single correctly-rounded IEEE ops both engines execute identically
+# on identical integer operands (no reassociation anywhere), then
+# half-up ppm quantization — the repo's cross-engine float rule.
+#
+# 100 TB shape: one map-side-combined groupBy (order, label) → a
+# bounded per-item fold (≤ |alphabet| rows each) → scalar sums; the
+# label-marginal pass is a |alphabet|-row aggregate. No windows.
+# ---------------------------------------------------------------------------
+_FLEISS_N = 4
+
+
+@_register(
+    "orders_label_fleiss_kappa",
+    f"""
+    WITH c AS (
+      SELECT l_orderkey AS k, l_returnflag AS f,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), eligible AS (
+      SELECT k FROM c GROUP BY k HAVING SUM(c) = {_FLEISS_N}
+    ), cells AS (
+      SELECT c.k, c.f, c.c FROM c JOIN eligible USING (k)
+    ), item_stats AS (
+      SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_items,
+             CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      FROM cells
+    ), marg AS (
+      SELECT CAST(SUM(col_sq) AS BIGINT) AS sum_col_sq
+      FROM (SELECT SUM(c) * SUM(c) AS col_sq FROM cells GROUP BY f)
+    )
+    SELECT n_items,
+           CAST({_FLEISS_N} AS BIGINT) AS n_raters,
+           CAST(FLOOR(
+             (CAST(sum_sq - n_items * {_FLEISS_N} AS DOUBLE)
+              / CAST(n_items * {_FLEISS_N * (_FLEISS_N - 1)} AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS p_bar_ppm,
+           CAST(FLOOR(
+             (CAST(sum_col_sq AS DOUBLE)
+              / CAST((n_items * {_FLEISS_N}) * (n_items * {_FLEISS_N})
+                     AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS p_e_ppm,
+           CAST(FLOOR(
+             ((CAST(sum_sq - n_items * {_FLEISS_N} AS DOUBLE)
+               / CAST(n_items * {_FLEISS_N * (_FLEISS_N - 1)} AS DOUBLE))
+              - (CAST(sum_col_sq AS DOUBLE)
+                 / CAST((n_items * {_FLEISS_N}) * (n_items * {_FLEISS_N})
+                        AS DOUBLE)))
+             / (1 - (CAST(sum_col_sq AS DOUBLE)
+                     / CAST((n_items * {_FLEISS_N}) * (n_items * {_FLEISS_N})
+                            AS DOUBLE)))
+             * 1000000 + 0.5) AS BIGINT) AS kappa_ppm
+    FROM item_stats, marg
+    """,
+)
+def orders_label_fleiss_kappa(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    n = _FLEISS_N
+    cnt = li.groupBy(
+        F.col("l_orderkey").alias("k"), F.col("l_returnflag").alias("f")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per = cnt.groupBy("k").agg(
+        F.sum("c").alias("total"), F.sum(F.col("c") * F.col("c")).alias("sq")
+    ).filter(F.col("total") == n)
+    cells = cnt.join(per.select("k"), "k")
+    item_stats = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("sq").cast("long").alias("sum_sq"),
+    )
+    marg = (
+        cells.groupBy("f")
+        .agg(F.sum("c").alias("col"))
+        .agg(
+            F.sum(F.col("col") * F.col("col")).cast("long").alias(
+                "sum_col_sq"
+            )
+        )
+    )
+    joined = item_stats.crossJoin(F.broadcast(marg))
+    p_bar = (F.col("sum_sq") - F.col("n_items") * n).cast("double") / (
+        F.col("n_items") * (n * (n - 1))
+    ).cast("double")
+    p_e = F.col("sum_col_sq").cast("double") / (
+        (F.col("n_items") * n) * (F.col("n_items") * n)
+    ).cast("double")
+    return joined.select(
+        "n_items",
+        F.lit(n).cast("long").alias("n_raters"),
+        F.floor(p_bar * 1000000 + 0.5).cast("long").alias("p_bar_ppm"),
+        F.floor(p_e * 1000000 + 0.5).cast("long").alias("p_e_ppm"),
+        F.floor((p_bar - p_e) / (F.lit(1.0) - p_e) * 1000000 + 0.5)
+        .cast("long")
+        .alias("kappa_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Out-of-fold target encoding — the leakage-safe way to turn a
 # categorical feature into a numeric one for model training: each
 # fold's encoding of a category is the target mean computed from the

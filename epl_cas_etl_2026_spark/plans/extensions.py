@@ -1642,6 +1642,160 @@ def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANN quality evaluation — recall@k curve of the multi-probe sign-bit
+# index against exact brute force, over a 16-query probe set (vec_ids
+# 0..15). The serving-eval operator every ANN deployment needs: ship
+# an index change only if recall@{1,5,10} holds. Both rankings use
+# the same round-to-6dp cosine and vec_id tie-break, so the WHOLE
+# curve — not an invariant subset — is the gated, SQL-twinned output.
+#
+# recall@k = |ANN top-k ∩ exact top-k| / k, averaged over queries
+# (ppm, half-up integer division — exact integers to the end).
+#
+# 100 TB shape: the exact arm is the brute-force eval baseline and
+# scans corpus × |probe set| on purpose (that IS the ground-truth
+# cost; probe sets are sampled, corpus-pass-bounded). Per-query top-k
+# is TWO-PHASE: per-physical-partition top-10 first (window over
+# (qid, spark_partition_id) — result provably partition-layout-
+# independent, since any global top-10 row is in its partition's
+# top-10), then a global window over ≤ 10·P survivors per query —
+# never one reducer holding a whole query's corpus scores.
+# ---------------------------------------------------------------------------
+_RECALL_KS = (1, 5, 10)
+
+
+@_register(
+    "embedding_ann_recall_curve",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {_SIGNBITS_SQL} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b
+          WHERE vec_id < 16),
+    sims AS (
+      SELECT qid, vec_id,
+             ROUND(list_dot_product(v, qv)
+                   / (sqrt(list_dot_product(v, v))
+                      * sqrt(list_dot_product(qv, qv))), 6) AS sim,
+             bit_count(xor(bucket, qb)) <= 1 AS probed
+      FROM b, q WHERE vec_id <> qid
+    ),
+    ex AS (SELECT qid, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, vec_id) AS er
+           FROM sims),
+    an AS (SELECT qid, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, vec_id) AS ar
+           FROM sims WHERE probed),
+    hits AS (
+      SELECT qid, er, ar FROM ex JOIN an USING (qid, vec_id)
+      WHERE er <= 10 AND ar <= 10
+    ),
+    nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q)
+    SELECT k, n_queries,
+           CASE WHEN n_queries = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((COALESCE(SUM(CASE WHEN er <= k AND ar <= k
+                                              THEN 1 ELSE 0 END), 0)
+                           * 1000000 + (n_queries * k) // 2)
+                          // (n_queries * k) AS BIGINT)
+           END AS recall_ppm
+    FROM (VALUES {", ".join(f"(CAST({k} AS BIGINT))" for k in _RECALL_KS)})
+         ks(k)
+    CROSS JOIN nq
+    LEFT JOIN hits ON TRUE
+    GROUP BY k, n_queries ORDER BY k
+    """,
+)
+def embedding_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    bucketed = emb.withColumn("bucket", _signbits_col(F.col("v")))
+    q = bucketed.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    sims = (
+        bucketed.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
+            (
+                F.bit_count(
+                    F.col("bucket").bitwiseXOR(F.col("qb")).cast("long")
+                )
+                <= 1
+            ).alias("probed"),
+        )
+        .localCheckpoint(eager=False)  # exact + ANN ranking consumers
+    )
+
+    def _topk(df: DataFrame, rank_name: str) -> DataFrame:
+        # phase 1: per-physical-partition prune (layout-independent:
+        # a global top-10 row is always in its own partition's top-10)
+        pid = df.withColumn("__pid", F.spark_partition_id())
+        w1 = Window.partitionBy("qid", "__pid").orderBy(
+            F.desc("sim"), F.asc("vec_id")
+        )
+        pruned = (
+            pid.withColumn("__rn", F.row_number().over(w1))
+            .filter(F.col("__rn") <= 10)
+            .drop("__pid", "__rn")
+        )
+        # phase 2: global rank over <= 10 * n_partitions survivors
+        w2 = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+        return (
+            pruned.withColumn(rank_name, F.row_number().over(w2))
+            .filter(F.col(rank_name) <= 10)
+            .select("qid", "vec_id", rank_name)
+        )
+
+    ex = _topk(sims, "er")
+    an = _topk(sims.filter(F.col("probed")), "ar")
+    hits = ex.join(an, ["qid", "vec_id"])
+    nq = q.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    ks = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(k).cast("long") for k in _RECALL_KS])
+        ).alias("k")
+    )
+    return (
+        ks.crossJoin(F.broadcast(nq))
+        .join(F.broadcast(hits), F.lit(True), "left")
+        .groupBy("k", "n_queries")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("er") <= F.col("k"))
+                        & (F.col("ar") <= F.col("k")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("h")
+        )
+        .select(
+            "k",
+            "n_queries",
+            F.when(F.col("n_queries") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "(h * CAST(1000000 AS BIGINT)"
+                    " + (n_queries * k) div 2) div (n_queries * k)"
+                )
+            )
+            .alias("recall_ppm"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stopword ratio — share of function words per doc (with length and
 # repetition, the classic fluency signal: natural prose has a stable
 # stopword share, keyword spam and tables don't). Same explode →
@@ -4470,6 +4624,117 @@ def events_user_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Holt linear-trend (double exponential) smoothing over a 16-event
+# trailing window, per user — the level+trend forecaster whose TWO
+# coupled recurrences (l_t = αx_t + (1−α)(l_{t−1}+b_{t−1});
+# b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}) make it strictly harder than
+# the EWMA above: the state is a 2-vector and the recurrence a 2×2
+# linear map, so no single weighted-window formula parameterized by
+# length alone exists. What DOES exist: for a FIXED window length ℓ
+# and fixed α=β=1/2, the one-step forecast l_ℓ+b_ℓ is a linear
+# combination of x_1..x_ℓ whose coefficients are EXACT DYADIC
+# rationals (denominator ≤ 2^30, numerator < 2^23 — verified at
+# module import), so every product and partial sum of cent-scale
+# integers is exactly representable in a double and the whole fold is
+# order-independent and bit-identical cross-engine. The 16×16
+# lower-triangular coefficient matrix is computed ONCE from the
+# recurrence with Fraction arithmetic (_holt_weights) and embedded as
+# the SAME literal array in both the Spark plan and the SQL oracle —
+# the engines share data, not a float code path.
+# 100 TB: keyed window, 16-element arrays, one shuffle on user_id,
+# no global sort; the coefficient table is 256 literal doubles.
+# ---------------------------------------------------------------------------
+def _holt_weights(max_len: int = 16) -> list:
+    """Forecast coefficients w[ℓ−1][i] of x_{i+1} in (l_ℓ + b_ℓ) for
+    Holt α=β=1/2, init l_1=x_1, b_1=0. Exact dyadic by construction;
+    asserts every value round-trips through a double exactly."""
+    from fractions import Fraction as Fr
+
+    out = []
+    for ln in range(1, max_len + 1):
+        lv = [Fr(0)] * ln
+        bv = [Fr(0)] * ln
+        lv[0] = Fr(1)
+        for t in range(1, ln):
+            nl = [(a + b) / 2 for a, b in zip(lv, bv)]
+            nl[t] += Fr(1, 2)
+            nb = [(n - a) / 2 + b / 2 for n, a, b in zip(nl, lv, bv)]
+            lv, bv = nl, nb
+        f = [a + b for a, b in zip(lv, bv)]
+        assert all(
+            c.denominator <= (1 << 30)
+            and (c.denominator & (c.denominator - 1)) == 0
+            and abs(c.numerator) < (1 << 23)
+            and Fr(float(c)) == c
+            for c in f
+        )
+        out.append([float(c) for c in f])
+    return out
+
+
+_HOLT_W = _holt_weights()
+_HOLT_W_SQL = "[" + ", ".join(
+    "[" + ", ".join(repr(c) for c in row) + "]" for row in _HOLT_W
+) + "]"
+
+
+@_register(
+    "events_user_holt_dyadic",
+    f"""
+    WITH arr AS (
+      SELECT event_id, user_id,
+             list(CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(FLOOR(list_sum(list_transform(range(1, len(l) + 1),
+                                i -> l[i] * ({_HOLT_W_SQL})[len(l)][i]))
+                      * 10 + 0.5) AS BIGINT) AS holt_milli
+    FROM arr ORDER BY user_id, event_id
+    """,
+)
+def events_user_holt_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, Window.currentRow)
+    )
+    wlit = F.array(*[
+        F.array(*[F.lit(c) for c in row]) for row in _HOLT_W
+    ])
+    # positional dot product of the trailing window against the
+    # length-matched coefficient row; every term dyadic-exact
+    forecast = F.expr(
+        "aggregate(transform(l, (x, i) -> x * element_at(wrow, i + 1)),"
+        " 0D, (a, v) -> a + v)"
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.collect_list("cents").over(w).alias("l"),
+        )
+        .withColumn("wrow", F.element_at(wlit, F.size("l")))
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(forecast * 10 + 0.5).cast("long").alias("holt_milli"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # String-parsing surface — regexp_extract + split_part as SCAN-STAGE
 # expressions (reference analogue: the catalog-normalization string
 # pipeline, etl_sync.py's nombre cleanup, generalized to structured
@@ -6189,6 +6454,149 @@ def docs_bigram_lm_perplexity(
         .join(head, "w1")
         .join(uni.withColumnRenamed("word", "w2"), "w2")
         .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.floor((-F.sum(F.log2(p)) / F.count(F.lit(1))) * 1000 + 0.5)
+            .cast("long")
+            .alias("q")
+        )
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_scored"),
+            F.sum("q").cast("long").alias("sum_millibits"),
+            F.min("q").cast("long").alias("min_millibits"),
+            F.max("q").cast("long").alias("max_millibits"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM — the smoothing that actually
+# wins LM evaluations (and the scorer KenLM-style quality filters
+# use), next to the Jelinek-Mercer baseline above. The KN idea: the
+# backoff weight of a word is NOT its frequency but its CONTINUATION
+# diversity — how many distinct contexts it follows —
+#
+#   p_KN(w2|w1) = max(c12 − D, 0)/c(w1·)
+#               + (D · N1+(w1·)/c(w1·)) · N1+(·w2)/N1+(··)
+#
+# with discount D = 3/4 (dyadic-exact literal), N1+(w1·) = distinct
+# successors of w1, N1+(·w2) = distinct predecessors of w2, N1+(··) =
+# total bigram types. All four statistics fall out of the SAME pair
+# table the JM query builds — no extra corpus pass. Scoring covers
+# observed transitions (as in JM); per-doc millibit quantization
+# before cross-doc aggregation, identical expression trees both
+# engines (the repo's cross-engine float rule; log2 precedent: the
+# JM query above, green since r5).
+#
+# 100 TB shape: two map-side-combined groupBys fit every statistic;
+# scoring is key equi-joins against the pair/head/continuation
+# tables (a web-corpus bigram table does NOT broadcast); only the
+# scalar type count crosses as a broadcast.
+# ---------------------------------------------------------------------------
+_KN_D = 0.75
+
+
+@_register(
+    "docs_kneser_ney_bigram",
+    f"""
+    WITH docs2 AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, source, u.p[1] AS w1, u.p[2] AS w2
+      FROM (SELECT doc_id, source,
+                   unnest(list_zip(ws[1:len(ws) - 1], ws[2:len(ws)])) AS p
+            FROM docs2) u
+      WHERE u.p[1] IS NOT NULL AND u.p[2] IS NOT NULL
+    ), pair AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY w1, w2
+    ), head AS (
+      SELECT w1, SUM(c12) AS ch, CAST(COUNT(*) AS BIGINT) AS n1f
+      FROM pair GROUP BY w1
+    ), cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM pair GROUP BY w2
+    ), types AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t FROM pair
+    ), perdoc AS (
+      SELECT doc_id, source,
+             CAST(FLOOR((-SUM(log2(
+                 (GREATEST(CAST(c12 AS DOUBLE) - {_KN_D}, 0)
+                  / CAST(ch AS DOUBLE))
+                 + ({_KN_D} * CAST(n1f AS DOUBLE) / CAST(ch AS DOUBLE))
+                   * (CAST(n1b AS DOUBLE) / CAST(t AS DOUBLE))))
+               / COUNT(*)) * 1000 + 0.5) AS BIGINT) AS q
+      FROM bg
+      JOIN pair USING (w1, w2)
+      JOIN head USING (w1)
+      JOIN cont ON bg.w2 = cont.w2
+      CROSS JOIN types
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_scored,
+           CAST(SUM(q) AS BIGINT) AS sum_millibits,
+           CAST(MIN(q) AS BIGINT) AS min_millibits,
+           CAST(MAX(q) AS BIGINT) AS max_millibits
+    FROM perdoc GROUP BY source ORDER BY source
+    """,
+)
+def docs_kneser_ney_bigram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.col("text"), " "), lambda w: w != "").alias(
+            "ws"
+        ),
+    )
+    bg = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(ws, 1, greatest(size(ws) - 1, 0))"),
+                    F.expr("slice(ws, 2, greatest(size(ws) - 1, 0))"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("p.0").alias("w1"),
+            F.col("p.1").alias("w2"),
+        )
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+    )
+    bg = bg.localCheckpoint(eager=False)  # LM fit + scoring consumers
+    pair = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    pair = pair.localCheckpoint(eager=False)  # head/cont/types + scoring
+    head = pair.groupBy("w1").agg(
+        F.sum("c12").alias("ch"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = pair.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    types = pair.agg(F.count(F.lit(1)).alias("t"))
+    p = (
+        F.greatest(F.col("c12").cast("double") - _KN_D, F.lit(0.0))
+        / F.col("ch").cast("double")
+    ) + (
+        F.lit(_KN_D) * F.col("n1f").cast("double")
+        / F.col("ch").cast("double")
+    ) * (
+        F.col("n1b").cast("double") / F.col("t").cast("double")
+    )
+    perdoc = (
+        bg.join(pair, ["w1", "w2"])
+        .join(head, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
         .groupBy("doc_id", "source")
         .agg(
             F.floor((-F.sum(F.log2(p)) / F.count(F.lit(1))) * 1000 + 0.5)

@@ -830,3 +830,179 @@ def test_pq_batch_matches_single(spark):
         for g, s in zip(got, single):
             assert abs(g["adc_dist"] - s["adc_dist"]) < 1e-9
             assert abs(g["exact_dist"] - s["exact_dist"]) < 1e-9
+
+
+def test_holt_matches_python_state_recursion(spark):
+    """Third implementation for events_user_holt_dyadic: run the
+    Holt STATE recurrence (l, b) directly in Python over the same
+    trailing windows — not the unrolled weight matrix the query and
+    its oracle share — so a derivation bug in _holt_weights cannot
+    pass unnoticed just because both engines embed the same
+    literals."""
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        events_user_holt_dyadic,
+    )
+
+    out = {
+        (r["user_id"], r["event_id"]): r["holt_milli"]
+        for r in events_user_holt_dyadic(spark, SF).collect()
+    }
+    ev = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    assert out
+    checked = 0
+    for uid, g in ev.groupby("user_id"):
+        cents = [
+            math.floor(v * 100 + 0.5) for v in g["value"].astype(float)
+        ]
+        eids = list(g["event_id"])
+        for t in range(len(cents)):
+            win = cents[max(0, t - 15) : t + 1]
+            lv, bv = float(win[0]), 0.0
+            for x in win[1:]:
+                nl = x / 2.0 + (lv + bv) / 2.0
+                bv = (nl - lv) / 2.0 + bv / 2.0
+                lv = nl
+            assert out[(uid, eids[t])] == math.floor(
+                (lv + bv) * 10 + 0.5
+            ), (uid, eids[t])
+            checked += 1
+    assert checked == len(out)
+
+
+def test_fleiss_kappa_matches_textbook_python(spark):
+    """Third implementation for orders_label_fleiss_kappa: textbook
+    Fleiss from the raw pandas rating matrix."""
+    from epl_cas_etl_2026_spark.plans.dataprep import (
+        _FLEISS_N,
+        orders_label_fleiss_kappa,
+    )
+
+    row = orders_label_fleiss_kappa(spark, SF).collect()[0]
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_returnflag")
+        .toPandas()
+    )
+    mat = li.groupby(["l_orderkey", "l_returnflag"]).size().unstack(
+        fill_value=0
+    )
+    mat = mat[mat.sum(axis=1) == _FLEISS_N]
+    N, n = len(mat), _FLEISS_N
+    assert row["n_items"] == N and row["n_raters"] == n
+    p_bar = (float((mat**2).to_numpy().sum()) - N * n) / (N * n * (n - 1))
+    p_j = mat.sum(axis=0).to_numpy(dtype=float) / (N * n)
+    p_e = float((p_j**2).sum())
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert abs(row["p_bar_ppm"] / 1e6 - p_bar) < 2e-6
+    assert abs(row["p_e_ppm"] / 1e6 - p_e) < 2e-6
+    assert abs(row["kappa_ppm"] / 1e6 - kappa) < 2e-6
+
+
+def test_ann_recall_curve_matches_numpy(spark):
+    """Third implementation for embedding_ann_recall_curve: exact and
+    multiprobe rankings recomputed in numpy from the raw vectors."""
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        _RECALL_KS,
+        embedding_ann_recall_curve,
+    )
+
+    got = {
+        r["k"]: (r["n_queries"], r["recall_ppm"])
+        for r in embedding_ann_recall_curve(spark, SF).collect()
+    }
+    emb = load_table(spark, SF, "embeddings").toPandas()
+    V = np.stack(
+        emb.sort_values("vec_id")["embedding"].map(np.asarray).to_numpy()
+    ).astype(np.float64)
+    ids = emb.sort_values("vec_id")["vec_id"].to_numpy()
+    buckets = np.array(
+        [sum((1 << i) for i in range(6) if v[i] >= 0) for v in V]
+    )
+    nq = int((ids < 16).sum())
+    hits = {k: 0 for k in _RECALL_KS}
+    norms = np.sqrt((V * V).sum(axis=1))
+    for qpos in np.flatnonzero(ids < 16):
+        sims = np.round(
+            (V @ V[qpos]) / (norms * norms[qpos]), 6
+        )
+        mask = ids != ids[qpos]
+        order = sorted(
+            np.flatnonzero(mask), key=lambda i: (-sims[i], ids[i])
+        )
+        exact = [ids[i] for i in order[:10]]
+        probed = [
+            i
+            for i in order
+            if bin(int(buckets[i]) ^ int(buckets[qpos])).count("1") <= 1
+        ]
+        ann = [ids[i] for i in probed[:10]]
+        for k in _RECALL_KS:
+            hits[k] += len(set(exact[:k]) & set(ann[:k]))
+    for k in _RECALL_KS:
+        want = (hits[k] * 1_000_000 + (nq * k) // 2) // (nq * k)
+        assert got[k] == (nq, want), (k, got[k], want)
+
+
+def test_kneser_ney_simplex_and_python_recompute(spark):
+    """KN sanity: (1) for every observed context w1 the full-vocab
+    probability mass (discounted observed + backoff for the rest)
+    sums to exactly 1; (2) per-source millibit sums recomputed in
+    pure Python from raw counts match the query."""
+    from collections import Counter, defaultdict
+
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        _KN_D,
+        docs_kneser_ney_bigram,
+    )
+
+    got = {
+        r["source"]: (r["n_docs_scored"], r["sum_millibits"])
+        for r in docs_kneser_ney_bigram(spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    ).toPandas()
+    pair: Counter = Counter()
+    transitions = []
+    for _, row in docs.iterrows():
+        ws = [w for w in row["text"].split(" ") if w != ""]
+        bgs = list(zip(ws[:-1], ws[1:]))
+        pair.update(bgs)
+        transitions.append((row["doc_id"], row["source"], bgs))
+    ch: Counter = Counter()
+    n1f: Counter = Counter()
+    n1b: Counter = Counter()
+    for (w1, w2), c in pair.items():
+        ch[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    T = len(pair)
+
+    def p_kn(w1, w2):
+        return max(pair[(w1, w2)] - _KN_D, 0.0) / ch[w1] + (
+            _KN_D * n1f[w1] / ch[w1]
+        ) * (n1b[w2] / T)
+
+    # (1) simplex: total mass over the continuation-unigram support
+    vocab2 = list(n1b)
+    for w1 in list(ch)[:5]:
+        mass = sum(p_kn(w1, w2) for w2 in vocab2)
+        assert abs(mass - 1.0) < 1e-9, (w1, mass)
+    # (2) per-source recompute
+    want: dict = defaultdict(lambda: [0, 0])
+    for doc_id, source, bgs in transitions:
+        if not bgs:
+            continue
+        q = math.floor(
+            (-sum(math.log2(p_kn(w1, w2)) for w1, w2 in bgs) / len(bgs))
+            * 1000
+            + 0.5
+        )
+        want[source][0] += 1
+        want[source][1] += q
+    assert got == {s: tuple(v) for s, v in want.items()}
