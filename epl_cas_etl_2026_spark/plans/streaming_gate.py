@@ -438,6 +438,175 @@ def events_stream_stream_join_gate(
 
 
 # ---------------------------------------------------------------------------
+# STREAM-STREAM LEFT OUTER join under the hard gate: the ninth gate
+# query, exercising the watermark-driven NULL-EMISSION state machine —
+# the semantics the inner-join gate above cannot reach (an unmatched
+# left row must be held in state until the watermark proves no match
+# can still arrive, then emitted exactly once with NULL right
+# columns).
+#
+# Determinism argument (hash gate, so it must be airtight): a 2-file
+# feed (explicit mtimes, maxFilesPerTrigger=1). Batch 1 carries ALL
+# real rows — the watermark is still zero during batch 1, so no state
+# eviction can drop a potential match and every real pair emits,
+# exactly as in the inner gate. Batch 2 carries two SENTINEL rows
+# (user_id −1, one per parity, ts = max real ts + 100 h) whose only
+# job is to advance both sides' watermarks past every real join
+# window. Spark's AvailableNow then runs a final NO-DATA batch
+# (SPARK-24156 eventual-state-cleanup, verified on this engine
+# build): with the watermark now above cts + 1 h for every real
+# click, ALL unmatched click state flushes as NULL rows. Net: the
+# streamed append-mode result equals the plain batch LEFT JOIN —
+# which is the oracle — with the sentinel pair excluded by user_id.
+#
+# The feed is a gate fixture (driver-side write of the ≤100k-row
+# events projection, like the watermark-dedup gate's day files);
+# production reads an already-landed zone.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_stream_outer_join_gate",
+    """
+    WITH c AS (
+      SELECT event_id AS cid, user_id, ts::TIMESTAMP AS cts
+      FROM events WHERE event_id % 2 = 1
+    ), p AS (
+      SELECT event_id AS pid, user_id, ts::TIMESTAMP AS pts
+      FROM events WHERE event_id % 2 = 0
+    ), lj AS (
+      SELECT c.user_id, cid, pid
+      FROM c LEFT JOIN p ON c.user_id = p.user_id
+       AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(pid) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN pid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched,
+           CAST(SUM(cid + COALESCE(pid, 0)) AS BIGINT) AS id_sum
+    FROM lj GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_stream_outer_join_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id")
+        .toPandas()
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_oj_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+
+        def _write(path: str, eids, tss, uids, mtime: int) -> None:
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array(eids, type=pa.int64()),
+                    pa.array(tss, type=pa.timestamp("us", tz="UTC")),
+                    pa.array(uids, type=pa.int64()),
+                ],
+                names=["event_id", "ts", "user_id"],
+            )
+            pq.write_table(tbl, path)
+            os.utime(path, (mtime, mtime))
+
+        _write(
+            os.path.join(src, "real.parquet"),
+            pdf["event_id"],
+            pdf["ts"].astype("datetime64[us]"),
+            pdf["user_id"],
+            1_000_000_000,
+        )
+        sentinel_ts = (
+            pdf["ts"].max() + __import__("pandas").Timedelta(hours=100)
+        )
+        max_eid = int(pdf["event_id"].max()) if len(pdf) else 0
+        _write(
+            os.path.join(src, "sentinel.parquet"),
+            # one per parity so BOTH sides' watermarks advance
+            [max_eid + 1, max_eid + 2],
+            [sentinel_ts, sentinel_ts],
+            [-1, -1],
+            1_000_000_001,
+        )
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        clicks = (
+            stream.filter(F.col("event_id") % 2 == 1)
+            .select(
+                F.col("event_id").alias("cid"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("cts"),
+            )
+            .withWatermark("cts", "1 hour")
+        )
+        purchases = (
+            stream.filter(F.col("event_id") % 2 == 0)
+            .select(
+                F.col("event_id").alias("pid"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("pts"),
+            )
+            .withWatermark("pts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND pts >= cts"
+                " AND pts <= cts + INTERVAL 1 HOUR"
+            ),
+            "leftOuter",
+        ).select(F.col("c_user").alias("user_id"), "cid", "pid")
+        name = f"stream_oj_gate_{next(_run_ids)}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = (
+            spark.table(name)
+            .filter(F.col("user_id") >= 0)  # drop the sentinel pair
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count("pid").cast("long").alias("n_matched"),
+                F.sum(F.col("pid").isNull().cast("long"))
+                .cast("long")
+                .alias("n_unmatched"),
+                F.sum(F.col("cid") + F.coalesce(F.col("pid"), F.lit(0)))
+                .cast("long")
+                .alias("id_sum"),
+            )
+            .orderBy("user_id")
+        )
+        rows = result.collect()
+        schema = result.schema
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
 # foreachBatch → transactional MERGE under the hard gate: the SIXTH
 # gate query, closing the loop between the streaming engine and the
 # versioned table (sources/versioned.py). A 3-file CDC feed (ordered
