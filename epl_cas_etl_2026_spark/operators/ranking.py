@@ -136,6 +136,54 @@ def two_phase_competition_rank(
     )
 
 
+def two_phase_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    rn_col: str = "__rn",
+    num_range_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable GLOBAL row_number over a UNIQUE sort key — the
+    companion of :func:`two_phase_competition_rank` for the positional
+    (non-tie-sharing) half of ranking semantics.
+
+    Phase 1: ``repartitionByRange`` on the sort columns (global order
+    across partitions by construction); local row_number with a window
+    PARTITIONED by ``spark_partition_id()``. Phase 2: per-partition
+    counts → prefix-sum offsets (driver work O(#partitions)) broadcast
+    back; global row_number = local + offset.
+
+    The caller must pass a sort key that is unique per row (callers
+    here append a unique id as the last column) — with duplicates the
+    boundary split between equal keys would be sampling-dependent.
+    """
+    spark = df.sparkSession
+    n = num_range_partitions or spark.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    parted = parted.localCheckpoint(eager=True)
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in parted.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(n):
+        offsets.append((pid, acc))
+        acc += counts.get(pid, 0)
+    offset_df = spark.createDataFrame(offsets, "__pid int, __offset long")
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    return (
+        parted.join(F.broadcast(offset_df), "__pid")
+        .withColumn(
+            rn_col,
+            (F.row_number().over(w) + F.col("__offset")).cast("long"),
+        )
+        .drop("__pid", "__offset")
+    )
+
+
 def intra_group_rank(
     df: DataFrame,
     group_col: str,

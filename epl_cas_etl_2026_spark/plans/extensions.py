@@ -2624,8 +2624,8 @@ def events_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame
     c AS (SELECT user_id, ts AS click_ts, MAX(event_id) AS click_event_id
           FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
     SELECT p.event_id, p.user_id, c.click_event_id,
-           ROUND((epoch_us(p.ts) - epoch_us(c.click_ts)) / 1000000.0, 3)
-             AS secs_since_click
+           CAST((epoch_us(p.ts) - epoch_us(c.click_ts) + 500) // 1000
+                AS BIGINT) AS millis_since_click
     FROM p ASOF LEFT JOIN c
       ON p.user_id = c.user_id AND p.ts > c.click_ts
     ORDER BY p.event_id
@@ -2653,13 +2653,17 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_payload=["click_event_id", "click_ts"],
         strict=True,
     )
+    # exact integer half-up millis — ROUND(double, 3) on a µs diff is
+    # engine-flippable exactly at .xxx5 boundaries (hit at sf1: Spark
+    # rounds the shortest decimal repr, DuckDB the binary value)
     return joined.select(
         "event_id",
         "user_id",
         "click_event_id",
-        F.round(
-            (F.unix_micros("ts") - F.unix_micros("click_ts")) / 1e6, 3
-        ).alias("secs_since_click"),
+        F.expr(
+            "(unix_micros(ts) - unix_micros(click_ts) + 500)"
+            " div CAST(1000 AS BIGINT)"
+        ).alias("millis_since_click"),
     ).orderBy("event_id")
 
 
@@ -2677,8 +2681,8 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (SELECT user_id, ts AS purchase_ts, MAX(event_id) AS purchase_event_id
           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
     SELECT c.event_id, c.user_id, p.purchase_event_id,
-           ROUND((epoch_us(p.purchase_ts) - epoch_us(c.ts)) / 1000000.0, 3)
-             AS secs_to_purchase
+           CAST((epoch_us(p.purchase_ts) - epoch_us(c.ts) + 500) // 1000
+                AS BIGINT) AS millis_to_purchase
     FROM c ASOF LEFT JOIN p
       ON c.user_id = p.user_id AND c.ts < p.purchase_ts
     ORDER BY c.event_id
@@ -2706,13 +2710,15 @@ def click_to_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         strict=True,
         direction="forward",
     )
+    # exact integer half-up millis (see purchase_attribution_asof)
     return joined.select(
         "event_id",
         "user_id",
         "purchase_event_id",
-        F.round(
-            (F.unix_micros("purchase_ts") - F.unix_micros("ts")) / 1e6, 3
-        ).alias("secs_to_purchase"),
+        F.expr(
+            "(unix_micros(purchase_ts) - unix_micros(ts) + 500)"
+            " div CAST(1000 AS BIGINT)"
+        ).alias("millis_to_purchase"),
     ).orderBy("event_id")
 
 

@@ -204,3 +204,117 @@ def test_heatmap_mixto_falls_through_unfiltered(quirk_tables):
     assert sorted(map(tuple, base)) == sorted(map(tuple, mixto))
     with pytest.raises(ValueError):
         api.heatmap_matrix(quirk_tables, "operativas", territorio="bogus")
+
+
+def test_sucursales_two_phase_matches_window(spark):
+    """Equivalence pin for the round-7 scale rewrite: the two-phase
+    range-partitioned ranking (two_phase_competition_rank +
+    two_phase_row_number, no unpartitioned WindowExec) must reproduce
+    the reference loop's position semantics exactly. Randomized
+    200-branch fixture with heavy ties, exact-zero branches and
+    pendientes; expected positions recomputed in pure Python."""
+    import random
+
+    rng = random.Random(7)
+    n_branch = 200
+    sucursales = spark.createDataFrame(
+        [
+            (i, f"Suc {i:03d}", 1 + i % 5, True, "local", 25.0, -100.0)
+            for i in range(1, n_branch + 1)
+        ],
+        "id int, nombre string, grupo_operativo_id int, activo boolean, "
+        "clasificacion string, latitud double, longitud double",
+    )
+    grupos = spark.createDataFrame(
+        [(g, f"GRP {g}", True) for g in range(1, 6)],
+        "id int, nombre string, activo boolean",
+    )
+    periodos = spark.createDataFrame(
+        [(1, "Q1", "Periodo Q1", D(2026, 1, 1), D(2026, 3, 31), True)],
+        "id int, codigo string, nombre string, fecha_inicio date, "
+        "fecha_fin date, activo boolean",
+    )
+    sup_rows, sid = [], 0
+    kind = {}
+    for i in range(1, n_branch + 1):
+        r = rng.random()
+        if r < 0.15:
+            kind[i] = "pend"  # no supervision rows at all
+            continue
+        if r < 0.35:
+            kind[i] = "ez"  # exact zeros only
+            for _ in range(rng.randint(1, 3)):
+                sid += 1
+                sup_rows.append((sid, i, 1, 0.0))
+            continue
+        kind[i] = "scored"
+        # coarse score grid -> heavy rounded-average ties
+        for _ in range(rng.randint(1, 4)):
+            sid += 1
+            sup_rows.append((sid, i, 1, float(rng.choice([60, 70, 80, 90]))))
+    sup = spark.createDataFrame(
+        sup_rows,
+        "id long, sucursal_id int, periodo_id int, "
+        "calificacion_general double",
+    )
+    tables = {
+        "periodos_cas": periodos,
+        "grupos_operativos": grupos,
+        "sucursales": sucursales,
+        "supervisiones_operativas": sup,
+    }
+    out = api.ranking_sucursales(
+        tables, "operativas", force_scale_path=True
+    ).collect()
+    out_window = api.ranking_sucursales(
+        tables, "operativas", force_scale_path=False
+    ).collect()
+    assert len(out) == n_branch
+    # both physical strategies, one result
+    key = lambda r: (r["sucursal"], r["posicion"], r["promedio"])  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, out_window))
+
+    # pure-Python expectation from the raw fixture
+    import collections
+
+    per = collections.defaultdict(list)
+    for _, b, _, score in sup_rows:
+        per[b].append(score)
+    disp = {}
+    for i in range(1, n_branch + 1):
+        scores = per.get(i)
+        if not scores:
+            disp[i] = None  # pendiente
+        elif sum(scores) == 0:
+            disp[i] = "ez"
+        else:
+            avg = sum(scores) / len(scores)
+            disp[i] = round(avg, 2)
+    scored = sorted(
+        (i for i in disp if isinstance(disp[i], float)),
+        key=lambda i: -disp[i],
+    )
+    exp_pos = {}
+    for idx, i in enumerate(scored):
+        exp_pos[i] = (
+            exp_pos[scored[idx - 1]]
+            if idx and disp[scored[idx - 1]] == disp[i]
+            else idx + 1
+        )
+    ez_sorted = sorted(
+        (i for i in disp if disp[i] == "ez"), key=lambda i: f"Suc {i:03d}"
+    )
+    for j, i in enumerate(ez_sorted):
+        exp_pos[i] = len(scored) + 1 + j
+
+    by_name = {r["sucursal"]: r for r in out}
+    for i in range(1, n_branch + 1):
+        r = by_name[f"Suc {i:03d}"]
+        if disp[i] is None:
+            assert r["posicion"] is None and r["promedio"] is None, i
+        elif disp[i] == "ez":
+            assert r["promedio"] is None, i
+            assert r["posicion"] == exp_pos[i], (i, r["posicion"], exp_pos[i])
+        else:
+            assert r["posicion"] == exp_pos[i], (i, r["posicion"], exp_pos[i])
+            assert abs(r["promedio"] - disp[i]) < 1e-9, i
