@@ -182,6 +182,11 @@ HEADLINE = [
     "docs_kneser_ney_bigram",
     "embedding_ann_recall_curve",
     "orders_label_fleiss_kappa",
+    # round-7 late additions: SCD2 point-in-time lookup (as-of
+    # composition) and the Matryoshka dim-truncation recall sweep.
+    # The stateful-EWMA gate stays out (streaming-gate convention).
+    "events_scd2_temporal_join",
+    "embedding_dim_truncation_recall",
 ]
 
 

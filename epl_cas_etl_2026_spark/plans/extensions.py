@@ -1796,6 +1796,141 @@ def embedding_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dimension-truncation recall sweep — the embedding-compression
+# decision operator (Matryoshka-style): how much of full-dim exact
+# top-10 survives if search uses only the first d dims? One row per
+# budget d ∈ {8,16,32,64}; the d=64 row is a built-in self-check
+# (recall ≡ 1). Same probe set, rounding, tie-break and two-phase
+# per-query top-k as embedding_ann_recall_curve; the d axis rides the
+# SAME pair scan (exploded, sliced in-plan) — one corpus×probes pass
+# for the whole sweep, not one per budget.
+# ---------------------------------------------------------------------------
+_TRUNC_DS = (8, 16, 32, 64)
+
+
+@_register(
+    "embedding_dim_truncation_recall",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM b WHERE vec_id < 16),
+    sims AS (
+      SELECT d, qid, vec_id,
+             ROUND(list_dot_product(v[1:d], qv[1:d])
+                   / NULLIF(sqrt(list_dot_product(v[1:d], v[1:d]))
+                            * sqrt(list_dot_product(qv[1:d], qv[1:d])), 0),
+                   6) AS sim
+      FROM b, q,
+           (VALUES {", ".join(f"({d})" for d in _TRUNC_DS)}) ds(d)
+      WHERE vec_id <> qid
+    ),
+    rk AS (SELECT d, qid, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY d, qid
+                                     ORDER BY sim DESC NULLS LAST, vec_id)
+                    AS r
+           FROM sims),
+    ex AS (SELECT qid, vec_id FROM rk WHERE d = 64 AND r <= 10),
+    hits AS (
+      SELECT rk.d, rk.qid FROM rk JOIN ex USING (qid, vec_id)
+      WHERE rk.r <= 10
+    ),
+    nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q)
+    SELECT CAST(ds.d AS BIGINT) AS d, n_queries,
+           CASE WHEN n_queries = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((COALESCE(COUNT(hits.qid), 0) * 1000000
+                           + (n_queries * 10) // 2)
+                          // (n_queries * 10) AS BIGINT)
+           END AS recall_ppm
+    FROM (VALUES {", ".join(f"({d})" for d in _TRUNC_DS)}) ds(d)
+    CROSS JOIN nq
+    LEFT JOIN hits ON hits.d = ds.d
+    GROUP BY ds.d, n_queries ORDER BY d
+    """,
+)
+def embedding_dim_truncation_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    ds = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(d).cast("int") for d in _TRUNC_DS])
+        ).alias("d")
+    )
+    vt = F.slice(F.col("v"), F.lit(1), F.col("d"))
+    qt = F.slice(F.col("qv"), F.lit(1), F.col("d"))
+    sims = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .crossJoin(F.broadcast(ds))
+        .select(
+            "d",
+            "qid",
+            "vec_id",
+            F.round(
+                dot(vt, qt)
+                / F.nullif(
+                    F.sqrt(dot(vt, vt)) * F.sqrt(dot(qt, qt)), F.lit(0.0)
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+
+    def _trunc_topk(df: DataFrame) -> DataFrame:
+        pid = df.withColumn("__pid", F.spark_partition_id())
+        w1 = Window.partitionBy("d", "qid", "__pid").orderBy(
+            F.desc_nulls_last("sim"), F.asc("vec_id")
+        )
+        pruned = (
+            pid.withColumn("__rn", F.row_number().over(w1))
+            .filter(F.col("__rn") <= 10)
+            .drop("__pid", "__rn")
+        )
+        w2 = Window.partitionBy("d", "qid").orderBy(
+            F.desc_nulls_last("sim"), F.asc("vec_id")
+        )
+        return (
+            pruned.withColumn("r", F.row_number().over(w2))
+            .filter(F.col("r") <= 10)
+            .select("d", "qid", "vec_id")
+        )
+
+    rk = _trunc_topk(sims).localCheckpoint(eager=False)  # ex + hits
+    ex = rk.filter(F.col("d") == 64).select("qid", "vec_id")
+    hits = rk.join(ex, ["qid", "vec_id"]).select("d", "qid")
+    nq = q.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    return (
+        ds.select(F.col("d").cast("long").alias("d"))
+        .crossJoin(F.broadcast(nq))
+        .join(
+            F.broadcast(hits.withColumnRenamed("d", "hd")),
+            F.col("hd") == F.col("d"),
+            "left",
+        )
+        .groupBy("d", "n_queries")
+        .agg(F.count("qid").alias("h"))
+        .select(
+            "d",
+            "n_queries",
+            F.when(F.col("n_queries") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "(h * CAST(1000000 AS BIGINT)"
+                    " + (n_queries * 10) div 2) div (n_queries * 10)"
+                )
+            )
+            .alias("recall_ppm"),
+        )
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stopword ratio — share of function words per doc (with length and
 # repetition, the classic fluency signal: natural prose has a stable
 # stopword share, keyword spam and tables don't). Same explode →

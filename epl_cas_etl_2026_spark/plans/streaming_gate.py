@@ -950,3 +950,147 @@ def events_stream_static_enrich_gate(
     )
     q.awaitTermination()
     return spark.table(name).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# applyInPandasWithState under the hard gate: the TENTH gate query —
+# a CUSTOM stateful operator (per-user trailing-16 dyadic EWMA) that
+# no built-in streaming aggregation expresses: the state is a ring
+# buffer of the user's last 15 cent values, carried ACROSS
+# micro-batches, and every arriving event emits one scored row
+# (append mode). This drives the arbitrary-stateful-processing API —
+# Arrow-batched state store reads/writes, per-group pandas execution,
+# multi-batch state carry — end to end under the hash gate.
+#
+# Determinism: the feed is the watermark-dedup gate's day-split
+# fixture (explicit mtimes, maxFilesPerTrigger=10), so batches arrive
+# in day order; within a batch the handler sorts the group's rows by
+# (ts, event_id). Day order + intra-group sort = the global per-user
+# (ts, event_id) order, so every event sees exactly the same trailing
+# window as the batch query — and the ORACLE IS the batch twin's SQL
+# verbatim (events_user_ewma_dyadic), the strongest streaming-vs-
+# batch equivalence in the registry: per-event equality, not rollup
+# equality. The dyadic-exact EWMA (α=1/2 ⇒ every product/sum exact in
+# a double) is what makes per-event float equality across THREE
+# implementations (Spark SQL expr, DuckDB SQL, pandas/numpy handler)
+# a fair gate.
+# ---------------------------------------------------------------------------
+def _ewma_oracle_sql() -> str:
+    from epl_cas_etl_2026_spark.plans import extensions
+
+    return extensions.ORACLES["events_user_ewma_dyadic"]
+
+
+@_register("events_stream_stateful_ewma_gate", _ewma_oracle_sql())
+def events_stream_stateful_ewma_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .toPandas()
+    )
+    pdf["day"] = pdf["ts"].dt.normalize()
+    tmp = tempfile.mkdtemp(prefix="stream_apws_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for i, (day, part) in enumerate(
+            sorted(pdf.groupby("day"), key=lambda kv: kv[0])
+        ):
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array(part["event_id"], type=pa.int64()),
+                    pa.array(
+                        part["ts"].astype("datetime64[us]"),
+                        type=pa.timestamp("us", tz="UTC"),
+                    ),
+                    pa.array(part["user_id"], type=pa.int64()),
+                    pa.array(part["value"], type=pa.float64()),
+                ],
+                names=["event_id", "ts", "user_id", "value"],
+            )
+            path = os.path.join(src, f"day_{i:03d}.parquet")
+            pq.write_table(tbl, path)
+            os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, value double"
+            )
+            .option("maxFilesPerTrigger", 10)
+            .parquet(src)
+        )
+
+        def _score(key, pdfs, state):
+            import math
+
+            import pandas as pd
+
+            tail = list(state.get[0]) if state.exists else []
+            frames = [f for f in pdfs if len(f)]
+            if not frames:
+                state.update((tail,))
+                return iter(())
+            g = pd.concat(frames).sort_values(["ts", "event_id"])
+            eids, outs = [], []
+            for _, row in g.iterrows():
+                cents = math.floor(float(row["value"]) * 100 + 0.5)
+                tail.append(cents)
+                if len(tail) > 16:
+                    tail = tail[-16:]
+                k = len(tail)
+                num = sum(
+                    x * 2.0 ** (i + 1 - k) for i, x in enumerate(tail)
+                )
+                ewma = num / (2.0 - 2.0 ** (1 - k))
+                eids.append(int(row["event_id"]))
+                outs.append(math.floor(ewma * 1000 + 0.5))
+            state.update((tail[-15:],))
+            return iter(
+                [
+                    pd.DataFrame(
+                        {
+                            "event_id": eids,
+                            "user_id": [key[0]] * len(eids),
+                            "ewma_milli": outs,
+                        }
+                    )
+                ]
+            )
+
+        scored = stream.groupBy("user_id").applyInPandasWithState(
+            _score,
+            "event_id long, user_id long, ewma_milli long",
+            "tail array<long>",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+        name = f"stream_apws_gate_{next(_run_ids)}"
+        q = (
+            scored.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = spark.table(name).orderBy("user_id", "event_id").select(
+            "event_id", "user_id", "ewma_milli"
+        )
+        rows = result.collect()
+        schema = result.schema
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

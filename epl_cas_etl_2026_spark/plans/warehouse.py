@@ -626,3 +626,116 @@ def lineitem_salted_skew_join_rollup(
         )
         .orderBy("s_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 POINT-IN-TIME lookup — the warehouse temporal join: enrich a
+# fact row with the dimension version that was valid AT the fact's
+# event time. Dimension = each user's browsing state (their
+# non-purchase event stream compressed to state CHANGES, the same
+# collapse events_scd2_compress gates); facts = purchases. "Version
+# valid at ts" over tiling intervals IS a backward as-of join, so the
+# lookup reuses operators/windows.as_of_join — union both sides, ONE
+# shuffle+sort on (user, ts), last-state carry-forward; no range-join
+# explosion, no per-fact subquery. Facts before any state version
+# stay NULL (LEFT semantics) and are reported.
+#
+# Determinism: state changes that tie on (user, ts) are pre-collapsed
+# to the max-event_id row (the as_of_join contract); the purchase-at-
+# state-change-instant edge sees the state (non-strict <=), matching
+# DuckDB's native ASOF >= twin.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_scd2_temporal_join",
+    """
+    WITH dim_events AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE event_type <> 'purchase'
+    ), ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM dim_events
+    ), changes AS (
+      SELECT user_id, event_type AS state, ts, event_id
+      FROM ordered WHERE prev_type IS NULL OR event_type <> prev_type
+    ), versions AS (
+      -- collapse (user, ts) ties deterministically: max event_id wins
+      SELECT user_id, state, ts FROM (
+        SELECT user_id, state, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM changes) WHERE rn = 1
+    ), facts AS (
+      SELECT event_id, user_id, ts,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), looked AS (
+      SELECT f.user_id, f.cents, v.state
+      FROM facts f ASOF LEFT JOIN versions v
+        ON f.user_id = v.user_id AND f.ts >= v.ts
+    )
+    SELECT COALESCE(state, '(no-state)') AS state,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS purchase_cents
+    FROM looked GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_scd2_temporal_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.windows import as_of_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim_events = events.filter(F.col("event_type") != "purchase")
+    w_obs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        dim_events.withColumn(
+            "prev_type", F.lag("event_type").over(w_obs)
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id", F.col("event_type").alias("state"), "ts", "event_id"
+        )
+    )
+    w_tie = Window.partitionBy("user_id", "ts").orderBy(
+        F.desc("event_id")
+    )
+    versions = (
+        changes.withColumn("rn", F.row_number().over(w_tie))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "state", F.col("ts").alias("state_ts"))
+    )
+    facts = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    looked = as_of_join(
+        facts,
+        versions,
+        on="user_id",
+        left_ts="ts",
+        right_ts="state_ts",
+        right_payload=["state"],
+        strict=False,  # a purchase AT a state change sees that state
+    )
+    return (
+        looked.groupBy(
+            F.coalesce(F.col("state"), F.lit("(no-state)")).alias("state")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.sum("cents").cast("long").alias("purchase_cents"),
+        )
+        .orderBy("state")
+    )
