@@ -187,6 +187,9 @@ HEADLINE = [
     # The stateful-EWMA gate stays out (streaming-gate convention).
     "events_scd2_temporal_join",
     "embedding_dim_truncation_recall",
+    # bit-identical 2-iteration Newton logistic regression (one
+    # map-side-combined aggregation per iteration)
+    "lineitem_logreg_newton",
 ]
 
 

@@ -1327,3 +1327,224 @@ def customers_decile_lift_table(
         )
         .orderBy("segment", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed logistic regression — TWO unrolled Newton/IRLS
+# iterations fit P(l_returnflag = 'R' | quantity, discount), and the
+# whole fit is BIT-IDENTICAL cross-engine. Why that is possible:
+#
+# · iteration 1 starts at β = 0, where μ ≡ 1/2 and the working
+#   weights are exactly 1/4 — the normal equations reduce to EXACT
+#   INTEGER feature moments (Σx², Σxy-style sums over integer
+#   quantity / cent-scale discount), so β₁ = 2·S⁻¹r with S, r exact;
+# · iteration 2 needs per-row μ = σ(β₁ᵀx), which touches libm exp().
+#   exp is not correctly rounded, so raw Σ w·x·xᵀ would be float-sum
+#   order-dependent AND last-ulp engine-dependent. Both problems die
+#   with PER-ROW INTEGER QUANTIZATION: w_q = ⌊μ(1−μ)·10⁶⌋,
+#   r_q = ⌊(y−μ)·10⁶⌋ — sums of int64 are exact and order-free, and a
+#   1-ulp exp() disagreement flips a ⌊·10⁶⌋ only within 10⁻¹⁰ of a
+#   boundary (≈10⁻¹⁰ per row — negligible at any SF);
+# · both 3×3 solves run the SAME Cramer expression tree on doubles
+#   cast from exact ints (every op correctly rounded ⇒ identical):
+#   the Python driver solve (_solve3) and the SQL oracle's CTE are
+#   transcriptions of one formula — edit them TOGETHER.
+#
+# 100 TB shape: each iteration is ONE map-side-combined aggregation
+# over the fact table (9 resp. 9 integer sums); only the 3-vector β
+# reaches the driver and returns as plan literals (the k-means /
+# IVF-PQ driver-state pattern). The oracle replays both iterations in
+# SQL over the same parquet.
+# ---------------------------------------------------------------------------
+def _solve3(s11, s12, s13, s22, s23, s33, r1, r2, r3):
+    """Cramer 3×3 for a SYMMETRIC system — mirror of the SQL CTE in
+    lineitem_logreg_newton's oracle (keep the expression trees
+    identical; both run on IEEE doubles from exact integers)."""
+    s11, s12, s13 = float(s11), float(s12), float(s13)
+    s22, s23, s33 = float(s22), float(s23), float(s33)
+    r1, r2, r3 = float(r1), float(r2), float(r3)
+    det = (
+        s11 * (s22 * s33 - s23 * s23)
+        - s12 * (s12 * s33 - s23 * s13)
+        + s13 * (s12 * s23 - s22 * s13)
+    )
+    n1 = (
+        r1 * (s22 * s33 - s23 * s23)
+        - s12 * (r2 * s33 - s23 * r3)
+        + s13 * (r2 * s23 - s22 * r3)
+    )
+    n2 = (
+        s11 * (r2 * s33 - s23 * r3)
+        - r1 * (s12 * s33 - s23 * s13)
+        + s13 * (s12 * r3 - r2 * s13)
+    )
+    n3 = (
+        s11 * (s22 * r3 - r2 * s23)
+        - s12 * (s12 * r3 - r2 * s13)
+        + r1 * (s12 * s23 - s22 * s13)
+    )
+    return det, n1, n2, n3
+
+
+def _cramer_sql(prefix: str, s: str, r: str) -> str:
+    """Render the _solve3 expression tree as SQL (same structure)."""
+    s11, s12, s13 = f"{s}11", f"{s}12", f"{s}13"
+    s22, s23, s33 = f"{s}22", f"{s}23", f"{s}33"
+    r1, r2, r3 = f"{r}1", f"{r}2", f"{r}3"
+    return f"""
+      {s11} * ({s22} * {s33} - {s23} * {s23})
+        - {s12} * ({s12} * {s33} - {s23} * {s13})
+        + {s13} * ({s12} * {s23} - {s22} * {s13}) AS {prefix}det,
+      {r1} * ({s22} * {s33} - {s23} * {s23})
+        - {s12} * ({r2} * {s33} - {s23} * {r3})
+        + {s13} * ({r2} * {s23} - {s22} * {r3}) AS {prefix}n1,
+      {s11} * ({r2} * {s33} - {s23} * {r3})
+        - {r1} * ({s12} * {s33} - {s23} * {s13})
+        + {s13} * ({s12} * {r3} - {r2} * {s13}) AS {prefix}n2,
+      {s11} * ({s22} * {r3} - {r2} * {s23})
+        - {s12} * ({s12} * {r3} - {r2} * {s13})
+        + {r1} * ({s12} * {s23} - {s22} * {s13}) AS {prefix}n3
+    """
+
+
+_LOGREG_ORACLE = f"""
+    WITH feats AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(FLOOR(CAST(l_discount AS DOUBLE) * 100 + 0.5)
+                  AS BIGINT) AS x2,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ), m1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+             CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+             CAST(SUM(x1) AS DOUBLE) AS s13,
+             CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+             CAST(SUM(x2) AS DOUBLE) AS s23,
+             CAST(COUNT(*) AS DOUBLE) AS s33,
+             CAST(SUM(x1 * (2 * y - 1)) AS DOUBLE) AS r1,
+             CAST(SUM(x2 * (2 * y - 1)) AS DOUBLE) AS r2,
+             CAST(SUM(2 * y - 1) AS DOUBLE) AS r3
+      FROM feats
+    ), c1 AS (
+      SELECT n, n_pos, {_cramer_sql("", "s", "r")}
+      FROM m1
+    ), beta1 AS (
+      SELECT n, n_pos,
+             n1 / det * 2 AS b1, n2 / det * 2 AS b2, n3 / det * 2 AS b3
+      FROM c1
+    ), scored AS (
+      SELECT x1, x2, y, b1, b2, b3,
+             1.0 / (1.0 + exp(-(b1 * x1 + b2 * x2 + b3))) AS mu
+      FROM feats CROSS JOIN beta1
+    ), quant AS (
+      SELECT x1, x2,
+             CAST(FLOOR(mu * (1 - mu) * 1000000) AS BIGINT) AS wq,
+             CAST(FLOOR((y - mu) * 1000000) AS BIGINT) AS rq
+      FROM scored
+    ), m2 AS (
+      SELECT CAST(SUM(wq * x1 * x1) AS DOUBLE) AS a11,
+             CAST(SUM(wq * x1 * x2) AS DOUBLE) AS a12,
+             CAST(SUM(wq * x1) AS DOUBLE) AS a13,
+             CAST(SUM(wq * x2 * x2) AS DOUBLE) AS a22,
+             CAST(SUM(wq * x2) AS DOUBLE) AS a23,
+             CAST(SUM(wq) AS DOUBLE) AS a33,
+             CAST(SUM(rq * x1) AS DOUBLE) AS t1,
+             CAST(SUM(rq * x2) AS DOUBLE) AS t2,
+             CAST(SUM(rq) AS DOUBLE) AS t3
+      FROM quant
+    ), c2 AS (
+      SELECT {_cramer_sql("d", "a", "t")}
+      FROM m2
+    )
+    SELECT n AS n_rows, n_pos,
+           CAST(FLOOR((b1 + dn1 / ddet) * 1000000 + 0.5) AS BIGINT)
+             AS beta_qty_micro,
+           CAST(FLOOR((b2 + dn2 / ddet) * 1000000 + 0.5) AS BIGINT)
+             AS beta_disc_micro,
+           CAST(FLOOR((b3 + dn3 / ddet) * 1000000 + 0.5) AS BIGINT)
+             AS beta_intercept_micro
+    FROM beta1 CROSS JOIN c2
+"""
+
+
+@_register("lineitem_logreg_newton", _LOGREG_ORACLE)
+def lineitem_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("x2"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    li = li.localCheckpoint(eager=False)  # iteration 1 + 2 consumers
+    m1 = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum("x1").alias("s13"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("x2").alias("s23"),
+        F.sum(F.lit(2) * F.col("y") - 1).alias("r3"),
+        F.sum(F.col("x1") * (F.lit(2) * F.col("y") - 1)).alias("r1"),
+        F.sum(F.col("x2") * (F.lit(2) * F.col("y") - 1)).alias("r2"),
+    ).collect()[0]
+    schema = (
+        "n_rows long, n_pos long, beta_qty_micro long, "
+        "beta_disc_micro long, beta_intercept_micro long"
+    )
+    if not m1["n"]:
+        # mirror the oracle's empty-input row: n = 0, NULL betas
+        return spark.createDataFrame([(0, None, None, None, None)], schema)
+    det, n1, n2, n3 = _solve3(
+        m1["s11"], m1["s12"], m1["s13"], m1["s22"], m1["s23"],
+        float(m1["n"]), m1["r1"], m1["r2"], m1["r3"],
+    )
+    b1, b2, b3 = n1 / det * 2, n2 / det * 2, n3 / det * 2
+    mu = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(
+            -(
+                F.lit(b1) * F.col("x1")
+                + F.lit(b2) * F.col("x2")
+                + F.lit(b3)
+            )
+        )
+    )
+    quant = li.select(
+        "x1",
+        "x2",
+        F.floor(mu * (F.lit(1) - mu) * 1000000).cast("long").alias("wq"),
+        F.floor((F.col("y") - mu) * 1000000).cast("long").alias("rq"),
+    )
+    m2 = quant.agg(
+        F.sum(F.col("wq") * F.col("x1") * F.col("x1")).alias("a11"),
+        F.sum(F.col("wq") * F.col("x1") * F.col("x2")).alias("a12"),
+        F.sum(F.col("wq") * F.col("x1")).alias("a13"),
+        F.sum(F.col("wq") * F.col("x2") * F.col("x2")).alias("a22"),
+        F.sum(F.col("wq") * F.col("x2")).alias("a23"),
+        F.sum("wq").alias("a33"),
+        F.sum(F.col("rq") * F.col("x1")).alias("t1"),
+        F.sum(F.col("rq") * F.col("x2")).alias("t2"),
+        F.sum("rq").alias("t3"),
+    ).collect()[0]
+    ddet, dn1, dn2, dn3 = _solve3(
+        m2["a11"], m2["a12"], m2["a13"], m2["a22"], m2["a23"],
+        m2["a33"], m2["t1"], m2["t2"], m2["t3"],
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(m1["n"]),
+                int(m1["n_pos"]),
+                math.floor((b1 + dn1 / ddet) * 1000000 + 0.5),
+                math.floor((b2 + dn2 / ddet) * 1000000 + 0.5),
+                math.floor((b3 + dn3 / ddet) * 1000000 + 0.5),
+            )
+        ],
+        schema,
+    )

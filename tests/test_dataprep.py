@@ -797,3 +797,56 @@ def test_decile_lift_table_matches_pure_python(spark, tmp_path):
     assert got[("HOUSE", 10)]["cum_capture_ppm"] == 1_000_000
     assert all(got[("HOUSE", i)]["lift_ppm"] == 1_000_000
                for i in range(1, 11))
+
+
+def test_logreg_newton_matches_numpy_irls(spark):
+    """Third implementation for lineitem_logreg_newton: both Newton
+    iterations recomputed in numpy (linalg.solve instead of Cramer,
+    vectorized sigmoid instead of the SQL expression) with the same
+    per-row integer quantization — exact micro equality. Plus a
+    semantic check: with label-independent features the intercept
+    must sit near logit(positive share)."""
+    import math
+
+    import numpy as np
+
+    from epl_cas_etl_2026_spark.plans.dataprep import lineitem_logreg_newton
+    from epl_cas_etl_2026_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE as SF
+
+    row = lineitem_logreg_newton(spark, SF).collect()[0]
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_quantity", "l_discount", "l_returnflag")
+        .toPandas()
+    )
+    x1 = li["l_quantity"].astype(np.int64).to_numpy()
+    x2 = np.floor(li["l_discount"].astype(np.float64) * 100 + 0.5).astype(
+        np.int64
+    )
+    y = (li["l_returnflag"] == "R").astype(np.int64).to_numpy()
+    X = np.stack([x1, x2, np.ones_like(x1)], axis=1).astype(np.float64)
+    # iteration 1 from beta = 0: mu = 1/2, W = I/4 exactly
+    S = X.T @ X
+    r = X.T @ (2 * y - 1).astype(np.float64)
+    b = 2.0 * np.linalg.solve(S, r)
+    # iteration 2 with per-row integer quantization
+    mu = 1.0 / (1.0 + np.exp(-(X @ b)))
+    wq = np.floor(mu * (1 - mu) * 1_000_000).astype(np.int64)
+    rq = np.floor((y - mu) * 1_000_000).astype(np.int64)
+    A = (X * wq[:, None]).T @ X
+    t = X.T @ rq.astype(np.float64)
+    b2 = b + np.linalg.solve(A, t)
+    got = (
+        row["beta_qty_micro"],
+        row["beta_disc_micro"],
+        row["beta_intercept_micro"],
+    )
+    want = tuple(math.floor(v * 1_000_000 + 0.5) for v in b2)
+    # linalg.solve vs Cramer differ in last-ulp rounding; the micro
+    # quantization absorbs it except exactly at a boundary — allow 1
+    for g, w in zip(got, want):
+        assert abs(g - w) <= 1, (got, want)
+    p = y.mean()
+    assert abs(b2[2] - math.log(p / (1 - p))) < 0.05
+    assert row["n_rows"] == len(li) and row["n_pos"] == int(y.sum())
