@@ -188,8 +188,11 @@ HEADLINE = [
     "events_scd2_temporal_join",
     "embedding_dim_truncation_recall",
     # bit-identical 2-iteration Newton logistic regression (one
-    # map-side-combined aggregation per iteration)
+    # map-side-combined aggregation per iteration), its reliability
+    # bins, and contrastive hard-negative mining
     "lineitem_logreg_newton",
+    "lineitem_logreg_calibration",
+    "embedding_hard_negatives",
 ]
 
 

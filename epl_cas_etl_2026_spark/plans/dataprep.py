@@ -1407,7 +1407,10 @@ def _cramer_sql(prefix: str, s: str, r: str) -> str:
     """
 
 
-_LOGREG_ORACLE = f"""
+#: shared CTE stack: features → iteration-1 exact moments → Cramer →
+#: β₁ → quantized iteration-2 moments → Cramer → β₂ (both logreg
+#: oracles select from this; the expression trees mirror _solve3)
+_LOGREG_CTES = f"""
     WITH feats AS (
       SELECT CAST(l_quantity AS BIGINT) AS x1,
              CAST(FLOOR(CAST(l_discount AS DOUBLE) * 100 + 0.5)
@@ -1457,22 +1460,49 @@ _LOGREG_ORACLE = f"""
     ), c2 AS (
       SELECT {_cramer_sql("d", "a", "t")}
       FROM m2
+    ), beta2 AS (
+      SELECT n, n_pos,
+             b1 + dn1 / ddet AS bb1,
+             b2 + dn2 / ddet AS bb2,
+             b3 + dn3 / ddet AS bb3
+      FROM beta1 CROSS JOIN c2
     )
-    SELECT n AS n_rows, n_pos,
-           CAST(FLOOR((b1 + dn1 / ddet) * 1000000 + 0.5) AS BIGINT)
-             AS beta_qty_micro,
-           CAST(FLOOR((b2 + dn2 / ddet) * 1000000 + 0.5) AS BIGINT)
-             AS beta_disc_micro,
-           CAST(FLOOR((b3 + dn3 / ddet) * 1000000 + 0.5) AS BIGINT)
-             AS beta_intercept_micro
-    FROM beta1 CROSS JOIN c2
 """
 
+_LOGREG_ORACLE = (
+    _LOGREG_CTES
+    + """
+    SELECT n AS n_rows, n_pos,
+           CAST(FLOOR(bb1 * 1000000 + 0.5) AS BIGINT) AS beta_qty_micro,
+           CAST(FLOOR(bb2 * 1000000 + 0.5) AS BIGINT) AS beta_disc_micro,
+           CAST(FLOOR(bb3 * 1000000 + 0.5) AS BIGINT)
+             AS beta_intercept_micro
+    FROM beta2
+"""
+)
 
-@_register("lineitem_logreg_newton", _LOGREG_ORACLE)
-def lineitem_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
+_LOGREG_CAL_ORACLE = (
+    _LOGREG_CTES
+    + """
+    , cal AS (
+      SELECT y,
+             CAST(FLOOR(1.0 / (1.0 + exp(-(bb1 * x1 + bb2 * x2 + bb3)))
+                        * 1000000) AS BIGINT) AS pq
+      FROM feats CROSS JOIN beta2
+    )
+    SELECT CAST(LEAST(pq // 100000, 9) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST((SUM(pq) + COUNT(*) // 2) // COUNT(*) AS BIGINT)
+             AS predicted_ppm,
+           CAST((SUM(y) * 1000000 + COUNT(*) // 2) // COUNT(*) AS BIGINT)
+             AS actual_ppm
+    FROM cal GROUP BY 1 ORDER BY bin
+"""
+)
 
+
+def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("long").alias("x1"),
         F.floor(F.col("l_discount").cast("double") * 100 + 0.5)
@@ -1480,7 +1510,12 @@ def lineitem_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x2"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
     )
-    li = li.localCheckpoint(eager=False)  # iteration 1 + 2 consumers
+    return li.localCheckpoint(eager=False)  # iteration 1 + 2 consumers
+
+
+def _logreg_fit(spark: SparkSession, li: DataFrame):
+    """Both Newton iterations; returns (n, n_pos, (b1, b2, b3)) with
+    the post-iteration-2 betas, or (0, 0, None) on empty input."""
     m1 = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("y").alias("n_pos"),
@@ -1493,13 +1528,8 @@ def lineitem_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x1") * (F.lit(2) * F.col("y") - 1)).alias("r1"),
         F.sum(F.col("x2") * (F.lit(2) * F.col("y") - 1)).alias("r2"),
     ).collect()[0]
-    schema = (
-        "n_rows long, n_pos long, beta_qty_micro long, "
-        "beta_disc_micro long, beta_intercept_micro long"
-    )
     if not m1["n"]:
-        # mirror the oracle's empty-input row: n = 0, NULL betas
-        return spark.createDataFrame([(0, None, None, None, None)], schema)
+        return 0, 0, None
     det, n1, n2, n3 = _solve3(
         m1["s11"], m1["s12"], m1["s13"], m1["s22"], m1["s23"],
         float(m1["n"]), m1["r1"], m1["r2"], m1["r3"],
@@ -1536,15 +1566,102 @@ def lineitem_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         m2["a11"], m2["a12"], m2["a13"], m2["a22"], m2["a23"],
         m2["a33"], m2["t1"], m2["t2"], m2["t3"],
     )
+    return (
+        int(m1["n"]),
+        int(m1["n_pos"]),
+        (b1 + dn1 / ddet, b2 + dn2 / ddet, b3 + dn3 / ddet),
+    )
+
+
+@_register("lineitem_logreg_newton", _LOGREG_ORACLE)
+def lineitem_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    li = _logreg_features(spark, sf_dir)
+    n, n_pos, betas = _logreg_fit(spark, li)
+    schema = (
+        "n_rows long, n_pos long, beta_qty_micro long, "
+        "beta_disc_micro long, beta_intercept_micro long"
+    )
+    if betas is None:
+        # mirror the oracle's empty-input row: n = 0, NULL betas
+        return spark.createDataFrame([(0, None, None, None, None)], schema)
     return spark.createDataFrame(
         [
-            (
-                int(m1["n"]),
-                int(m1["n_pos"]),
-                math.floor((b1 + dn1 / ddet) * 1000000 + 0.5),
-                math.floor((b2 + dn2 / ddet) * 1000000 + 0.5),
-                math.floor((b3 + dn3 / ddet) * 1000000 + 0.5),
-            )
+            (n, n_pos)
+            + tuple(math.floor(b * 1000000 + 0.5) for b in betas)
         ],
         schema,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reliability / calibration bins for the Newton fit above — the model
+# EVALUATION artifact every scoring pipeline needs next to the fit:
+# bin the fitted probabilities into deciles and compare mean predicted
+# vs actual positive rate per bin. A calibrated model tracks the
+# diagonal. Same bit-identical discipline: per-row ⌊μ·10⁶⌋
+# quantization BEFORE any aggregation (the exp() ulp rule), exact
+# integer sums, half-up integer divisions; the oracle replays the
+# entire two-iteration fit + scoring pass in SQL.
+#
+# 100 TB shape: the fit is the two aggregations above; scoring + bin
+# rollup is ONE more map-side-combined pass (≤10 output rows).
+# ---------------------------------------------------------------------------
+@_register(
+    "lineitem_logreg_calibration",
+    _LOGREG_CAL_ORACLE,
+)
+def lineitem_logreg_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _logreg_features(spark, sf_dir)
+    n, n_pos, betas = _logreg_fit(spark, li)
+    schema = (
+        "bin long, n long, n_pos long, predicted_ppm long, actual_ppm long"
+    )
+    if betas is None:
+        return spark.createDataFrame([], schema)
+    b1, b2, b3 = betas
+    mu = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(
+            -(
+                F.lit(b1) * F.col("x1")
+                + F.lit(b2) * F.col("x2")
+                + F.lit(b3)
+            )
+        )
+    )
+    scored = li.select(
+        "y",
+        F.floor(mu * 1000000).cast("long").alias("pq"),
+    ).select(
+        "y",
+        "pq",
+        F.expr("least(pq div CAST(100000 AS BIGINT), 9)")
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("pq").alias("sp"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("(sp + n div 2) div n").cast("long").alias(
+                "predicted_ppm"
+            ),
+            F.expr(
+                "(n_pos * CAST(1000000 AS BIGINT) + n div 2) div n"
+            )
+            .cast("long")
+            .alias("actual_ppm"),
+        )
+        .orderBy("bin")
     )

@@ -809,3 +809,91 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term_rank", "word", "tf", "df", "tfidf_millis")
         .orderBy("doc_id", "term_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — the contrastive-training-data operator: for
+# each eval query, the top-K most-similar candidates whose label
+# DISAGREES with the query's (near in embedding space, wrong class —
+# exactly the negatives a contrastive/reranker fine-tune needs;
+# random negatives are too easy, same-label candidates are
+# positives). Same probe set, 6dp-rounded cosine and vec_id tie-break
+# as the nDCG eval above; per-query top-K is a keyed window over the
+# label-mismatch subset. Output grain: (query, neg_rank) — fully
+# SQL-twinned, the mined ids themselves hash.
+#
+# 100 TB shape: the scan is corpus × |probe set| (the eval-baseline
+# cost, probe sets are sampled); the label filter prunes BEFORE the
+# rank, and the per-query window is the two-phase-prunable shape used
+# throughout (|probe| keys here, so the plain keyed window is right).
+# ---------------------------------------------------------------------------
+_HN_K = 5
+
+
+@_register(
+    "embedding_hard_negatives",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN {tuple(_EVAL_QIDS)}
+    ), scored AS (
+      SELECT q.qid, q.qlabel, e.vec_id, e.label,
+             ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid AND e.label <> q.qlabel
+    ), ranked AS (
+      SELECT qid, qlabel, vec_id, label, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, vec_id) AS neg_rank
+      FROM scored
+    )
+    SELECT qid AS query_id, qlabel AS query_label,
+           CAST(neg_rank AS BIGINT) AS neg_rank,
+           vec_id AS negative_id, label AS negative_label,
+           CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT) AS sim_micro
+    FROM ranked WHERE neg_rank <= {_HN_K}
+    ORDER BY query_id, neg_rank
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(*_EVAL_QIDS)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        to_double(F.col("embedding")).alias("qv"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(
+                cosine(to_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= _HN_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("qlabel").alias("query_label"),
+            "neg_rank",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.floor(F.col("sim") * 1000000 + 0.5)
+            .cast("long")
+            .alias("sim_micro"),
+        )
+        .orderBy("query_id", "neg_rank")
+    )
