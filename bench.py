@@ -193,6 +193,8 @@ HEADLINE = [
     "lineitem_logreg_newton",
     "lineitem_logreg_calibration",
     "embedding_hard_negatives",
+    # grouped quantile normalization (two-phase grouped + global ranks)
+    "orders_quantile_normalize_stats",
 ]
 
 

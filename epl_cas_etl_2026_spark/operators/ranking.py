@@ -184,6 +184,70 @@ def two_phase_row_number(
     )
 
 
+def two_phase_grouped_row_number(
+    df: DataFrame,
+    group_col: str,
+    order_by: Sequence[Column],
+    rn_col: str = "__rn",
+    num_range_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable PER-GROUP row_number when the group count is SMALL —
+    the straggler case a plain ``Window.partitionBy(group)`` cannot
+    survive (5 groups ⇒ 5 reducers own the whole table; at 100 TB
+    each sorts 20 TB serially).
+
+    Phase 1: ``repartitionByRange(group, *order)`` — each partition
+    holds a contiguous slice of ONE OR MORE groups' sort orders, and
+    a group's rows span contiguous partitions; local row_number over
+    ``(pid, group)``. Phase 2: per-(pid, group) counts → per-group
+    running offsets on the driver (O(#partitions × #groups), small by
+    precondition) broadcast back; global per-group row_number =
+    local + offset.
+
+    Same unique-sort-key precondition as :func:`two_phase_row_number`.
+    """
+    spark = df.sparkSession
+    n = num_range_partitions or spark.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(
+        n, F.col(group_col), *order_by
+    ).withColumn("__pid", F.spark_partition_id())
+    parted = parted.localCheckpoint(eager=True)
+    counts = (
+        parted.groupBy("__pid", group_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    per_group: dict = {}
+    for r in counts:
+        per_group.setdefault(r[group_col], []).append(
+            (r["__pid"], r["cnt"])
+        )
+    offsets = []
+    for g, lst in per_group.items():
+        acc = 0
+        for pid, cnt in sorted(lst):
+            offsets.append((pid, g, acc))
+            acc += cnt
+    if not offsets:  # empty input: no offsets to join, rank is moot
+        return parted.drop("__pid").withColumn(
+            rn_col, F.lit(None).cast("long")
+        )
+    # schema inferred from data so the group column's type carries
+    # through (string/int/...); groups must be non-null by precondition
+    offset_df = spark.createDataFrame(
+        offsets, ["__pid", group_col, "__offset"]
+    )
+    w = Window.partitionBy("__pid", group_col).orderBy(*order_by)
+    return (
+        parted.join(F.broadcast(offset_df), ["__pid", group_col])
+        .withColumn(
+            rn_col,
+            (F.row_number().over(w) + F.col("__offset")).cast("long"),
+        )
+        .drop("__pid", "__offset")
+    )
+
+
 def intra_group_rank(
     df: DataFrame,
     group_col: str,

@@ -1665,3 +1665,117 @@ def lineitem_logreg_calibration(
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped quantile normalization — the rank-based feature transform
+# (map each group's empirical distribution onto the GLOBAL one, so
+# downstream models see priority-comparable prices): normalized value
+# of the r-th of n_g rows in a group = the global value at rank
+# ⌈r·N/n_g⌋ (half-up, clamped). Batch-effect correction in
+# bioinformatics, score-equating in ranking systems — same algebra.
+#
+# Scale shape: per-group ranks via two_phase_grouped_row_number (the
+# 5-group case is exactly the few-reducers straggler a plain
+# Window.partitionBy(priority) cannot survive at 100 TB), the global
+# rank via two_phase_row_number, and the value lookup is an equi-join
+# on the target rank — no unpartitioned WindowExec anywhere. The
+# per-row mapping is certified by a mod-reduced checksum (the repo's
+# scale-proof checksum rule) instead of shipping 1.5 M rows.
+# ---------------------------------------------------------------------------
+_QN_P = 1_000_000_007
+
+
+@_register(
+    "orders_quantile_normalize_stats",
+    f"""
+    WITH o AS (
+      SELECT o_orderpriority AS grp,
+             CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                  AS BIGINT) AS cents,
+             CAST(o_orderkey AS BIGINT) AS k
+      FROM orders
+    ), g AS (
+      SELECT grp, cents, k,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents, k) AS r,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS ng
+      FROM o
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o
+    ), gv AS (
+      SELECT cents AS norm_cents,
+             ROW_NUMBER() OVER (ORDER BY cents, k) AS gr
+      FROM o
+    ), m AS (
+      SELECT g.grp, g.k, gv.norm_cents
+      FROM g CROSS JOIN t
+      JOIN gv
+        ON gv.gr = LEAST(GREATEST((g.r * t.n + g.ng // 2) // g.ng,
+                                    CAST(1 AS BIGINT)), t.n)
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(norm_cents) AS BIGINT) AS sum_norm_cents,
+           CAST(MIN(norm_cents) AS BIGINT) AS min_norm_cents,
+           CAST(MAX(norm_cents) AS BIGINT) AS max_norm_cents,
+           CAST(SUM(((norm_cents % {_QN_P}) * ((k % 1000) + 1))
+                    % {_QN_P}) % {_QN_P} AS BIGINT) AS map_checksum
+    FROM m GROUP BY grp ORDER BY grp
+    """,
+)
+def orders_quantile_normalize_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.ranking import (
+        two_phase_grouped_row_number,
+        two_phase_row_number,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderkey").cast("long").alias("k"),
+    )
+    o = o.localCheckpoint(eager=False)  # group ranks + global ranks
+    g = two_phase_grouped_row_number(
+        o, "grp", [F.asc("cents"), F.asc("k")], "r"
+    )
+    sizes = o.groupBy("grp").agg(F.count(F.lit(1)).alias("ng"))
+    tot = o.agg(F.count(F.lit(1)).alias("n"))
+    glob = two_phase_row_number(
+        o, [F.asc("cents"), F.asc("k")], "gr"
+    ).select(F.col("cents").alias("norm_cents"), "gr")
+    target = F.expr(
+        "least(greatest((r * n + ng div 2) div ng,"
+        " CAST(1 AS BIGINT)), n)"
+    )
+    m = (
+        g.join(F.broadcast(sizes), "grp")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("gr", target)
+        .join(glob, "gr")
+    )
+    return (
+        m.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("norm_cents").cast("long").alias("sum_norm_cents"),
+            F.min("norm_cents").cast("long").alias("min_norm_cents"),
+            F.max("norm_cents").cast("long").alias("max_norm_cents"),
+            (
+                F.sum(
+                    (
+                        (F.col("norm_cents") % _QN_P)
+                        * ((F.col("k") % 1000) + 1)
+                    )
+                    % _QN_P
+                )
+                % _QN_P
+            )
+            .cast("long")
+            .alias("map_checksum"),
+        )
+        .orderBy("grp")
+    )

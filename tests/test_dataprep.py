@@ -850,3 +850,50 @@ def test_logreg_newton_matches_numpy_irls(spark):
     p = y.mean()
     assert abs(b2[2] - math.log(p / (1 - p))) < 0.05
     assert row["n_rows"] == len(li) and row["n_pos"] == int(y.sum())
+
+
+def test_quantile_normalize_matches_pandas(spark):
+    """Third implementation for orders_quantile_normalize_stats:
+    the rank→global-value mapping recomputed with pandas sort/searchsorted
+    arithmetic; exact equality on all five gated columns."""
+    import math
+
+    from epl_cas_etl_2026_spark.plans.dataprep import (
+        _QN_P,
+        orders_quantile_normalize_stats,
+    )
+    from epl_cas_etl_2026_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE as SF
+
+    got = {
+        r["grp"]: tuple(r)[1:]
+        for r in orders_quantile_normalize_stats(spark, SF).collect()
+    }
+    o = (
+        load_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_totalprice", "o_orderkey")
+        .toPandas()
+    )
+    o["cents"] = (
+        o["o_totalprice"].astype(float) * 100 + 0.5
+    ).apply(math.floor)
+    o = o.sort_values(["cents", "o_orderkey"]).reset_index(drop=True)
+    gvals = o["cents"].to_list()  # global sort order
+    N = len(o)
+    want = {}
+    for grp, part in o.groupby("o_orderpriority"):
+        part = part.sort_values(["cents", "o_orderkey"])
+        ng = len(part)
+        acc = []
+        for r, (_, row) in enumerate(part.iterrows(), start=1):
+            tgt = min(max((r * N + ng // 2) // ng, 1), N)
+            acc.append((gvals[tgt - 1], int(row["o_orderkey"])))
+        want[grp] = (
+            ng,
+            sum(v for v, _ in acc),
+            min(v for v, _ in acc),
+            max(v for v, _ in acc),
+            sum(((v % _QN_P) * ((k % 1000) + 1)) % _QN_P for v, k in acc)
+            % _QN_P,
+        )
+    assert got == want
