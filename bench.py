@@ -195,6 +195,9 @@ HEADLINE = [
     "embedding_hard_negatives",
     # grouped quantile normalization (two-phase grouped + global ranks)
     "orders_quantile_normalize_stats",
+    # robust frame statistics + bounded-staleness attribution
+    "events_user_rolling_median",
+    "purchase_attribution_bounded_asof",
 ]
 
 

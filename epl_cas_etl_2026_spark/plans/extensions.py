@@ -2803,6 +2803,82 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BOUNDED-staleness attribution — the production attribution window:
+# a purchase is credited to the user's latest prior click ONLY if the
+# click is at most 24 h old; staler matches are dropped to NULL (no
+# credit), exactly like a marketing attribution window or a feature-
+# freshness SLA in a feature store. Same single union+sort as-of
+# exchange; the bound is a post-join predicate on the exact integer
+# µs difference, NOT a range join — the match is still "latest prior",
+# then tested, which is NOT expressible as a plain range join (a
+# range join would credit an older in-window click when the latest
+# one is out-of-window... there is none; but it would return MULTIPLE
+# in-window clicks — the as-of pick must happen first).
+# ---------------------------------------------------------------------------
+_ATTR_WINDOW_MS = 24 * 3600 * 1000
+
+
+@_register(
+    "purchase_attribution_bounded_asof",
+    f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS click_ts, MAX(event_id) AS click_event_id
+          FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    j AS (
+      SELECT p.event_id, p.user_id, c.click_event_id,
+             CAST((epoch_us(p.ts) - epoch_us(c.click_ts) + 500) // 1000
+                  AS BIGINT) AS ms
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts > c.click_ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN ms <= {_ATTR_WINDOW_MS} THEN click_event_id END
+             AS click_event_id,
+           CASE WHEN ms <= {_ATTR_WINDOW_MS} THEN ms END
+             AS millis_since_click
+    FROM j ORDER BY event_id
+    """,
+)
+def purchase_attribution_bounded_asof(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.windows import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    joined = as_of_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_event_id", "click_ts"],
+        strict=True,
+    ).withColumn(
+        "ms",
+        F.expr(
+            "(unix_micros(ts) - unix_micros(click_ts) + 500)"
+            " div CAST(1000 AS BIGINT)"
+        ),
+    )
+    in_window = F.col("ms") <= _ATTR_WINDOW_MS
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(in_window, F.col("click_event_id")).alias("click_event_id"),
+        F.when(in_window, F.col("ms")).alias("millis_since_click"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
 # Forward as-of join — time-to-convert: for every click, the NEXT
 # purchase by the same user (mirror of the backward attribution join
 # above; same single union+sort exchange, time traversed descending).
@@ -4870,6 +4946,66 @@ def events_user_holt_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             F.floor(forecast * 10 + 0.5).cast("long").alias("holt_milli"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling MEDIAN over a 15-event trailing window, per user — the
+# robust twin of the moving average (one fat-finger spike moves a
+# mean for 15 events, a median for none). No native frame-median
+# exists in either engine; both sides sort the frame's collect_list
+# and index the middle — lower median (element ⌈k/2⌉ of the sorted
+# window, exact integer cents) so the result is a VALUE FROM THE
+# DATA, not an interpolated float (cross-engine exact by
+# construction). 100 TB: keyed window, 15-element arrays, one
+# shuffle on user_id.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_user_rolling_median",
+    """
+    WITH arr AS (
+      SELECT event_id, user_id,
+             list(CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS l
+      FROM events
+    )
+    SELECT event_id, user_id,
+           list_sort(l)[(len(l) + 1) // 2] AS median_cents
+    FROM arr ORDER BY user_id, event_id
+    """,
+)
+def events_user_rolling_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-14, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.collect_list("cents").over(w).alias("l"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.expr(
+                "element_at(array_sort(l),"
+                " CAST((size(l) + 1) div 2 AS INT))"
+            ).alias("median_cents"),
         )
         .orderBy("user_id", "event_id")
     )
