@@ -198,6 +198,10 @@ HEADLINE = [
     # robust frame statistics + bounded-staleness attribution
     "events_user_rolling_median",
     "purchase_attribution_bounded_asof",
+    # caliper matching (bucket-blocked, lossless under the caliper)
+    # and the mergeSchema landing-zone roundtrip
+    "orders_caliper_match_stats",
+    "orders_schema_evolution_stats",
 ]
 
 

@@ -1779,3 +1779,128 @@ def orders_quantile_normalize_stats(
         )
         .orderBy("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Caliper nearest-neighbor matching — the observational-study /
+# causal-inference data-prep step (Rosenbaum-Rubin style): each
+# TREATED unit (urgent orders) is matched to its nearest CONTROL
+# (low-priority order) on the covariate (price), with matches beyond
+# the caliper discarded — textbook caliper matching, with
+# replacement, deterministic ties (smaller |gap|, then lower control
+# key).
+#
+# Scale shape: a global "nearest by score" would need a single sorted
+# axis; the caliper makes it BUCKETABLE AND LOSSLESS — bucket width =
+# caliper, candidates = controls in the treated unit's bucket ±1
+# (every control within the caliper is in those three buckets by
+# construction, so the bucket join provably loses no admissible
+# match). Equi-join on bucket, keyed window per treated unit — no
+# global sort, no broadcast of the control table. The exact matching
+# is pinned by a mod-reduced checksum over (treated, control) pairs.
+# ---------------------------------------------------------------------------
+_CALIPER_CENTS = 100_00  # match within ±100.00 of the treated price
+
+
+@_register(
+    "orders_caliper_match_stats",
+    f"""
+    WITH t AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS tk,
+             CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                  AS BIGINT) AS s
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), c AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS ck,
+             CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                  AS BIGINT) AS cs
+      FROM orders WHERE o_orderpriority = '5-LOW'
+    ), cand AS (
+      SELECT t.tk, t.s, c.ck, ABS(t.s - c.cs) AS gap
+      FROM t JOIN c
+        ON c.cs // {_CALIPER_CENTS} BETWEEN t.s // {_CALIPER_CENTS} - 1
+                                        AND t.s // {_CALIPER_CENTS} + 1
+      WHERE ABS(t.s - c.cs) <= {_CALIPER_CENTS}
+    ), best AS (
+      SELECT tk, ck, gap,
+             ROW_NUMBER() OVER (PARTITION BY tk ORDER BY gap, ck) AS rn
+      FROM cand
+    ), m AS (SELECT tk, ck, gap FROM best WHERE rn = 1)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_treated,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(SUM(gap) AS BIGINT) AS sum_gap_cents,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_cents,
+           CAST(SUM(((tk % 1000000007) * ((ck % 1000) + 1))
+                    % 1000000007) % 1000000007 AS BIGINT)
+             AS match_checksum
+    FROM m
+    """,
+)
+def orders_caliper_match_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    o = o.localCheckpoint(eager=False)  # treated + control consumers
+    t = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("k").alias("tk"),
+        F.col("cents").alias("s"),
+        F.expr(f"cents div {_CALIPER_CENTS}").alias("tb"),
+    )
+    c = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("k").alias("ck"),
+        F.col("cents").alias("cs"),
+        # each control registers in its bucket and both neighbors so
+        # the treated side probes ONE key (lossless under the caliper)
+        F.explode(
+            F.array(
+                F.expr(f"cents div {_CALIPER_CENTS} - 1"),
+                F.expr(f"cents div {_CALIPER_CENTS}"),
+                F.expr(f"cents div {_CALIPER_CENTS} + 1"),
+            )
+        ).alias("tb"),
+    )
+    cand = (
+        t.join(c, "tb")
+        .withColumn("gap", F.abs(F.col("s") - F.col("cs")))
+        .filter(F.col("gap") <= _CALIPER_CENTS)
+    )
+    w = Window.partitionBy("tk").orderBy("gap", "ck")
+    m = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("tk", "ck", "gap")
+    )
+    n_t = t.agg(F.count(F.lit(1)).cast("long").alias("n_treated"))
+    return (
+        m.agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.sum("gap").cast("long").alias("sum_gap_cents"),
+            F.max("gap").cast("long").alias("max_gap_cents"),
+            (
+                F.sum(
+                    (
+                        (F.col("tk") % 1000000007)
+                        * ((F.col("ck") % 1000) + 1)
+                    )
+                    % 1000000007
+                )
+                % 1000000007
+            )
+            .cast("long")
+            .alias("match_checksum"),
+        )
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "n_treated",
+            "n_matched",
+            "sum_gap_cents",
+            "max_gap_cents",
+            "match_checksum",
+        )
+    )

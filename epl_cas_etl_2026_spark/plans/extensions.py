@@ -7150,3 +7150,85 @@ def orders_orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution read (mergeSchema) — the daily lake problem: a
+# landing zone where early files lack a column later files carry.
+# Two parquet parts are written with DIFFERENT but compatible schemas
+# (the even-key half without o_orderpriority, the odd-key half with
+# it), read back as ONE table via mergeSchema=true, and the merged
+# frame's shape is gated: the late column must be NULL exactly on the
+# early-file rows, totals must survive the roundtrip. The oracle
+# derives the same answer from the orders table directly (the
+# roundtrip is the thing under test, not the data).
+#
+# Scratch-path convention follows orders_orc_roundtrip_stats:
+# ``spark.epl.scratch.dir`` (shared-FS URI on a real cluster) with a
+# driver-local tempdir fallback that is correct on local[*] only.
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_schema_evolution_stats",
+    """
+    WITH o AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
+             CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                  AS BIGINT) AS cents,
+             o_orderpriority AS prio
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_prio,
+           CAST(COUNT(DISTINCT CASE WHEN k % 2 = 1 THEN prio END)
+                AS BIGINT) AS n_prio_values
+    FROM o
+    """,
+)
+def orders_schema_evolution_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    scratch = spark.conf.get("spark.epl.scratch.dir", None)
+    if scratch:
+        tmp = scratch.rstrip("/") + "/schema_evo"
+    else:
+        tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        zone = _os.path.join(tmp, "zone")
+        # early files: no prio column yet
+        orders.filter(F.col("k") % 2 == 0).select("k", "cents").write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(zone, "gen=early"))
+        # late files: schema grew a column
+        orders.filter(F.col("k") % 2 == 1).select(
+            "k", "cents", "prio"
+        ).write.mode("overwrite").parquet(_os.path.join(zone, "gen=late"))
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            _os.path.join(zone, "gen=early"), _os.path.join(zone, "gen=late")
+        )
+        result = merged.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.sum(F.col("prio").isNull().cast("long"))
+            .cast("long")
+            .alias("n_missing_prio"),
+            F.count_distinct("prio").cast("long").alias("n_prio_values"),
+        )
+        rows = result.collect()
+        schema = result.schema
+    finally:
+        if not scratch:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
