@@ -202,6 +202,8 @@ HEADLINE = [
     # and the mergeSchema landing-zone roundtrip
     "orders_caliper_match_stats",
     "orders_schema_evolution_stats",
+    # point-in-time-correct feature-store training-set assembly
+    "events_pit_training_set",
 ]
 
 

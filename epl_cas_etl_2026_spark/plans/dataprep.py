@@ -1904,3 +1904,109 @@ def orders_caliper_match_stats(
             "match_checksum",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time-correct training-set assembly — THE feature-store
+# operation: for every training example (a purchase, labeled by its
+# size), attach the feature snapshot that was current STRICTLY BEFORE
+# the example's event time — never the same day's (that is label
+# leakage: the snapshot already contains the example). Feature
+# snapshots here are per-(user, day) cumulative activity counts built
+# from the event stream; the PIT join is a strict backward as-of on
+# day grain via operators/windows.as_of_join (one union+sort
+# exchange). Examples whose user has no prior snapshot surface as
+# cold-start rows (NULL features) and are counted, not dropped —
+# the training pipeline must SEE them.
+#
+# 100 TB: snapshot build = one groupBy + keyed cumsum window; the
+# as-of is the single-exchange union trick; rollup is dim-grained.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_pit_training_set",
+    """
+    WITH snap AS (
+      SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day,
+             CAST(SUM(COUNT(*)) OVER (
+               PARTITION BY user_id ORDER BY date_trunc('day', ts::TIMESTAMP)
+             ) AS BIGINT) AS cum_events,
+             CAST(SUM(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END))
+               OVER (PARTITION BY user_id
+                     ORDER BY date_trunc('day', ts::TIMESTAMP))
+               AS BIGINT) AS cum_clicks
+      FROM events GROUP BY user_id, 2
+    ), ex AS (
+      SELECT event_id, user_id, ts::TIMESTAMP AS ts,
+             date_trunc('day', ts::TIMESTAMP) AS ex_day,
+             CASE WHEN CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5)
+                            AS BIGINT) >= 500 THEN 1 ELSE 0 END AS label
+      FROM events WHERE event_type = 'purchase'
+    ), pit AS (
+      SELECT ex.event_id, ex.label, s.cum_events, s.cum_clicks
+      FROM ex ASOF LEFT JOIN snap s
+        ON ex.user_id = s.user_id AND ex.ex_day > s.day
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_examples,
+           CAST(SUM(CASE WHEN cum_events IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cold_start,
+           CAST(COALESCE(SUM(cum_events), 0) AS BIGINT) AS sum_cum_events,
+           CAST(COALESCE(SUM(cum_clicks), 0) AS BIGINT) AS sum_cum_clicks
+    FROM pit GROUP BY label ORDER BY label
+    """,
+)
+def events_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.windows import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("d_events"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("d_clicks"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    snap = daily.select(
+        "user_id",
+        "day",
+        F.sum("d_events").over(w).cast("long").alias("cum_events"),
+        F.sum("d_clicks").over(w).cast("long").alias("cum_clicks"),
+    )
+    ex = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.date_trunc("day", "ts").alias("ex_day"),
+        F.when(
+            F.floor(F.col("value").cast("double") * 100 + 0.5) >= 500, 1
+        )
+        .otherwise(0)
+        .alias("label"),
+    )
+    pit = as_of_join(
+        ex,
+        snap,
+        on="user_id",
+        left_ts="ex_day",
+        right_ts="day",
+        right_payload=["cum_events", "cum_clicks"],
+        strict=True,  # STRICTLY before the example's day — no leakage
+    )
+    return (
+        pit.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_examples"),
+            F.sum(F.col("cum_events").isNull().cast("long"))
+            .cast("long")
+            .alias("n_cold_start"),
+            F.coalesce(F.sum("cum_events"), F.lit(0))
+            .cast("long")
+            .alias("sum_cum_events"),
+            F.coalesce(F.sum("cum_clicks"), F.lit(0))
+            .cast("long")
+            .alias("sum_cum_clicks"),
+        )
+        .orderBy("label")
+    )
