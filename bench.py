@@ -204,6 +204,10 @@ HEADLINE = [
     "orders_schema_evolution_stats",
     # point-in-time-correct feature-store training-set assembly
     "events_pit_training_set",
+    # index-quality evals: semantic decontamination sweep + simhash
+    # banding precision/recall tradeoff table
+    "embedding_semantic_decontaminate",
+    "docs_simhash_band_sweep",
 ]
 
 

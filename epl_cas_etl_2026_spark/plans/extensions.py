@@ -4952,6 +4952,135 @@ def events_user_holt_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SimHash banding-parameter sweep — the dedup-index twin of the ANN
+# recall curve: how do candidate volume, precision and recall move as
+# the 60-bit hash is split into fewer, wider bands? Ground truth =
+# ALL hamming≤3 pairs, which the 4×15 config catches EXACTLY (with 4
+# bands, ≤3 flipped bits leave some band untouched — pigeonhole), so
+# the (4,15) row is a built-in recall ≡ 1.0 self-check and the sweep
+# needs no brute-force pass. 1×60 = exact-hash-only (high precision,
+# low recall), 2×30 guarantees hamming≤1 only. This is the table an
+# index operator reads before picking banding for a new corpus.
+#
+# 100 TB: each config is one band-key shuffle (the near-dup plan),
+# never all-pairs; the three configs share the per-doc hash scan.
+# ---------------------------------------------------------------------------
+_SWEEP_CONFIGS = ((1, 60), (2, 30), (4, 15))
+_SWEEP_HAM = 3
+
+
+def _sweep_cfg_sql(nb: int, bb: int) -> str:
+    mask = (1 << bb) - 1
+    return f"""
+      SELECT {nb} AS n_bands, {bb} AS band_bits,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN hamming <= {_SWEEP_HAM} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+               bit_count(xor(sa.h, sb.h)) AS hamming
+        FROM (SELECT doc_id, k AS band, (h >> (k * {bb})) & {mask} AS key
+              FROM sim, generate_series(0, {nb - 1}) AS t(k)) a
+        JOIN (SELECT doc_id, k AS band, (h >> (k * {bb})) & {mask} AS key
+              FROM sim, generate_series(0, {nb - 1}) AS t(k)) c
+          ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+        JOIN sim sa ON sa.doc_id = a.doc_id
+        JOIN sim sb ON sb.doc_id = c.doc_id
+      )
+    """
+
+
+@_register(
+    "docs_simhash_band_sweep",
+    f"""
+    WITH sim AS ({_SIMHASH_SQL}),
+    cfg AS (
+      {" UNION ALL ".join(_sweep_cfg_sql(nb, bb)
+                          for nb, bb in _SWEEP_CONFIGS)}
+    ),
+    truth AS (
+      SELECT n_hit AS n_truth FROM cfg WHERE n_bands = 4
+    )
+    SELECT n_bands, band_bits, n_candidates, n_truth, n_hit,
+           CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((n_hit * 1000000 + n_candidates // 2)
+                          // n_candidates AS BIGINT) END AS precision_ppm,
+           CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((n_hit * 1000000 + n_truth // 2)
+                          // n_truth AS BIGINT) END AS recall_ppm
+    FROM cfg CROSS JOIN truth ORDER BY n_bands
+    """,
+)
+def docs_simhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = []
+    for nb, bb in _SWEEP_CONFIGS:
+        cand = simhash_near_dup_pairs(
+            docs, max_hamming=64, n_bands=nb, band_bits=bb
+        )
+        stats.append(
+            cand.agg(
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.sum(
+                    (F.col("hamming") <= _SWEEP_HAM).cast("long")
+                )
+                .cast("long")
+                .alias("n_hit"),
+            ).select(
+                F.lit(nb).cast("long").alias("n_bands"),
+                F.lit(bb).cast("long").alias("band_bits"),
+                "n_candidates",
+                "n_hit",
+            )
+        )
+    cfg = stats[0]
+    for s in stats[1:]:
+        cfg = cfg.unionByName(s)
+    truth = (
+        cfg.filter(F.col("n_bands") == 4)
+        .select(F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_truth"))
+    )
+    return (
+        cfg.crossJoin(F.broadcast(truth))
+        .select(
+            "n_bands",
+            "band_bits",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).alias(
+                "n_candidates"
+            ),
+            "n_truth",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            "n_bands",
+            "band_bits",
+            "n_candidates",
+            "n_truth",
+            "n_hit",
+            F.when(F.col("n_candidates") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "(n_hit * CAST(1000000 AS BIGINT)"
+                    " + n_candidates div 2) div n_candidates"
+                )
+            )
+            .alias("precision_ppm"),
+            F.when(F.col("n_truth") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "(n_hit * CAST(1000000 AS BIGINT)"
+                    " + n_truth div 2) div n_truth"
+                )
+            )
+            .alias("recall_ppm"),
+        )
+        .orderBy("n_bands")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rolling MEDIAN over a 15-event trailing window, per user — the
 # robust twin of the moving average (one fat-finger spike moves a
 # mean for 15 events, a median for none). No native frame-median

@@ -830,6 +830,85 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HN_K = 5
 
 
+# ---------------------------------------------------------------------------
+# Semantic decontamination — the embedding-space complement of the
+# n-gram scrub (docs_benchmark_decontaminate): a corpus item is
+# contaminated if it sits within cosine τ of ANY benchmark item, even
+# with zero lexical overlap (paraphrased eval questions are the
+# classic leak). Benchmark = the first 16 vectors (the repo's probe
+# convention); production benchmarks are thousands of rows — SMALL —
+# so corpus × benchmark with the benchmark broadcast IS the scale
+# shape (one corpus pass, no shuffle), and the max-sim aggregation is
+# map-side combined.
+# ---------------------------------------------------------------------------
+_DECON_TAU_MICRO = 400_000  # cosine ≥ 0.40 → semantically too close
+
+
+@_register(
+    "embedding_semantic_decontaminate",
+    f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    bench AS (SELECT vec_id AS bid, v AS bv FROM b WHERE vec_id < 16),
+    corpus AS (SELECT vec_id, label, v FROM b WHERE vec_id >= 16),
+    scored AS (
+      SELECT c.vec_id, c.label,
+             MAX(CAST(FLOOR(
+               list_dot_product(c.v, bench.bv)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(bench.bv, bench.bv)))
+               * 1000000 + 0.5) AS BIGINT)) AS max_sim_micro
+      FROM corpus c CROSS JOIN bench
+      GROUP BY c.vec_id, c.label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_corpus,
+           CAST(SUM(CASE WHEN max_sim_micro >= {_DECON_TAU_MICRO}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(MAX(max_sim_micro) AS BIGINT) AS worst_sim_micro
+    FROM scored GROUP BY label ORDER BY label
+    """,
+)
+def embedding_semantic_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    bench = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("bid"), F.col("v").alias("bv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 16)
+    scored = (
+        corpus.crossJoin(F.broadcast(bench))
+        .select(
+            "vec_id",
+            "label",
+            F.floor(
+                cosine(F.col("v"), F.col("bv")) * 1000000 + 0.5
+            )
+            .cast("long")
+            .alias("sim_micro"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.max("sim_micro").alias("max_sim_micro"))
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_corpus"),
+            F.sum(
+                (F.col("max_sim_micro") >= _DECON_TAU_MICRO).cast("long")
+            )
+            .cast("long")
+            .alias("n_contaminated"),
+            F.max("max_sim_micro").cast("long").alias("worst_sim_micro"),
+        )
+        .orderBy("label")
+    )
+
+
 @_register(
     "embedding_hard_negatives",
     f"""
