@@ -1706,12 +1706,18 @@ _QN_P = 1_000_000_007
       SELECT cents AS norm_cents,
              ROW_NUMBER() OVER (ORDER BY cents, k) AS gr
       FROM o
-    ), m AS (
-      SELECT g.grp, g.k, gv.norm_cents
+    ), tgt AS (
+      -- the target rank must be a PROJECTED column before the join:
+      -- joining on the raw LEAST(...) expression denies DuckDB the
+      -- hash join and degrades to a nested loop (measured: the sf1
+      -- rehearsal sat at 1.5M x 1.5M comparisons for 15+ minutes)
+      SELECT g.grp, g.k,
+             LEAST(GREATEST((g.r * t.n + g.ng // 2) // g.ng,
+                            CAST(1 AS BIGINT)), t.n) AS gr
       FROM g CROSS JOIN t
-      JOIN gv
-        ON gv.gr = LEAST(GREATEST((g.r * t.n + g.ng // 2) // g.ng,
-                                    CAST(1 AS BIGINT)), t.n)
+    ), m AS (
+      SELECT tgt.grp, tgt.k, gv.norm_cents
+      FROM tgt JOIN gv USING (gr)
     )
     SELECT grp,
            CAST(COUNT(*) AS BIGINT) AS n,
