@@ -208,6 +208,8 @@ HEADLINE = [
     # banding precision/recall tradeoff table
     "embedding_semantic_decontaminate",
     "docs_simhash_band_sweep",
+    # error-tolerant CSV ingestion (PERMISSIVE + corrupt-record triage)
+    "orders_csv_malformed_stats",
 ]
 
 

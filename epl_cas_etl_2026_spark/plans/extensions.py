@@ -7361,3 +7361,122 @@ def orders_schema_evolution_stats(
         if not scratch:
             shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Error-tolerant CSV ingestion — the landing-zone reality check: a
+# feed where some lines are corrupt (truncated fields, non-numeric
+# garbage) must load WITHOUT dropping the batch. The file is written
+# with deterministic corruption (every 13th order's amount column is
+# replaced by 'CORRUPT<k>', every 29th line loses its last field),
+# read back in PERMISSIVE mode with a _corrupt_record column, and the
+# gated output certifies the triage: good rows keep exact totals,
+# corrupt rows are COUNTED and quarantined, nothing vanishes. The
+# oracle derives the same triage arithmetic from the orders table and
+# the corruption rule (the roundtrip is the thing under test).
+#
+# 100 TB: CSV parsing is scan-stage work; PERMISSIVE mode costs one
+# extra string column on failed rows only. Scratch path per the
+# spark.epl.scratch.dir convention.
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_csv_malformed_stats",
+    """
+    WITH o AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
+             CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                  AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN k % 13 = 0 OR k % 29 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN k % 13 <> 0 AND k % 29 <> 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN k % 13 <> 0 AND k % 29 <> 0
+                         THEN cents ELSE 0 END) AS BIGINT)
+             AS good_cents
+    FROM o
+    """,
+)
+def orders_csv_malformed_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    # render the feed: k,cents,tag — with deterministic corruption
+    lines = orders.select(
+        F.when(
+            F.col("k") % 13 == 0,
+            F.concat_ws(
+                ",",
+                F.col("k").cast("string"),
+                F.concat(F.lit("CORRUPT"), F.col("k") % 7),
+                F.lit("t"),
+            ),
+        )
+        .when(
+            F.col("k") % 29 == 0,
+            # truncated line: last field missing
+            F.concat_ws(",", F.col("k").cast("string")),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.col("k").cast("string"),
+                F.col("cents").cast("string"),
+                F.lit("t"),
+            )
+        )
+        .alias("value")
+    )
+    scratch = spark.conf.get("spark.epl.scratch.dir", None)
+    if scratch:
+        tmp = scratch.rstrip("/") + "/csv_malformed"
+    else:
+        tmp = tempfile.mkdtemp(prefix="csv_malformed_")
+    try:
+        feed = _os.path.join(tmp, "feed")
+        lines.write.mode("overwrite").text(feed)
+        back = (
+            spark.read.schema(
+                "k long, cents long, tag string, _corrupt_record string"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(feed)
+        )
+        # PERMISSIVE quirk: querying ONLY the corrupt column is
+        # disallowed/unreliable — materialize the full frame first
+        back = back.cache()
+        result = back.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("_corrupt_record").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_corrupt"),
+            F.sum(F.col("_corrupt_record").isNull().cast("long"))
+            .cast("long")
+            .alias("n_good"),
+            F.sum(
+                F.when(
+                    F.col("_corrupt_record").isNull(), F.col("cents")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("good_cents"),
+        )
+        rows = result.collect()
+        schema = result.schema
+        back.unpersist()
+    finally:
+        if not scratch:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
