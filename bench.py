@@ -210,6 +210,8 @@ HEADLINE = [
     "docs_simhash_band_sweep",
     # error-tolerant CSV ingestion (PERMISSIVE + corrupt-record triage)
     "orders_csv_malformed_stats",
+    # small-file compaction maintenance cycle
+    "orders_compaction_stats",
 ]
 
 

@@ -7480,3 +7480,82 @@ def orders_csv_malformed_stats(
         if not scratch:
             shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction audit — THE lake-ops maintenance job: a
+# landing zone fragmented into tiny files (64 here, round-robin)
+# murders scan throughput (one task + one footer per file); OPTIMIZE
+# rewrites it into right-sized files. Deterministic by construction:
+# round-robin repartition(64) fills every partition when n ≥ 64, and
+# the compacted count is the exact ceil(n / ROWS_PER_FILE) — so file
+# counts are ARITHMETIC both engines state, not filesystem accidents.
+# The gated row certifies the whole maintenance cycle: fragment →
+# compact → nothing lost (row count and exact cent totals survive
+# both rewrites).
+# ---------------------------------------------------------------------------
+_COMPACT_ROWS_PER_FILE = 8192
+
+
+@_register(
+    "orders_compaction_stats",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(LEAST(64, COUNT(*)) AS BIGINT) AS n_files_small,
+           CAST((COUNT(*) + {_COMPACT_ROWS_PER_FILE - 1})
+                // {_COMPACT_ROWS_PER_FILE} AS BIGINT) AS n_files_compacted
+    FROM orders
+    """,
+)
+def orders_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import math as _math
+    import os as _os
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    scratch = spark.conf.get("spark.epl.scratch.dir", None)
+    if scratch:
+        tmp = scratch.rstrip("/") + "/compaction"
+    else:
+        tmp = tempfile.mkdtemp(prefix="compaction_")
+    try:
+        small = _os.path.join(tmp, "small")
+        orders.repartition(64).write.mode("overwrite").parquet(small)
+        n_small = len(_glob.glob(_os.path.join(small, "*.parquet")))
+        frag = spark.read.parquet(small)
+        n_rows = frag.count()
+        n_target = _math.ceil(n_rows / _COMPACT_ROWS_PER_FILE)
+        compacted = _os.path.join(tmp, "compacted")
+        if n_target:
+            frag.repartition(n_target).write.mode("overwrite").parquet(
+                compacted
+            )
+        n_comp = (
+            len(_glob.glob(_os.path.join(compacted, "*.parquet")))
+            if n_target
+            else 0
+        )
+        back = spark.read.parquet(compacted) if n_target else frag
+        result = back.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("long")
+            .alias("sum_cents"),
+            F.lit(n_small).cast("long").alias("n_files_small"),
+            F.lit(n_comp).cast("long").alias("n_files_compacted"),
+        )
+        rows = result.collect()
+        schema = result.schema
+    finally:
+        if not scratch:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
