@@ -212,6 +212,8 @@ HEADLINE = [
     "orders_csv_malformed_stats",
     # small-file compaction maintenance cycle
     "orders_compaction_stats",
+    # exact sliding-window distinct via bucketed day-bitmap OR-merge
+    "events_sliding_distinct_users",
 ]
 
 

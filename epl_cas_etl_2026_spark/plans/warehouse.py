@@ -739,3 +739,89 @@ def events_scd2_temporal_join(
         )
         .orderBy("state")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT sliding-window distinct — trailing-7-day unique users per
+# event type, per day. The op every engagement dashboard wants and
+# COUNT(DISTINCT) fundamentally cannot give incrementally (distinct
+# does not decompose over sliding frames; re-scanning 7 days of raw
+# events per day is the naive 7× answer). The scale shape: compress
+# each (type, day, id-bucket) to a BITMAP once — events collapse to
+# day-grain bitmap cells — then every sliding answer is an OR of ≤ 7
+# day-bitmaps per bucket plus a SUM of per-bucket counts (bit
+# positions collide ACROSS buckets, so buckets are counted separately
+# and summed — the events_bitmap_distinct_rollup rule). The 7-day
+# fan-out rides a broadcast band join against the tiny day grid, so
+# raw events are touched EXACTLY ONCE.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_sliding_distinct_users",
+    """
+    WITH days AS (
+      SELECT DISTINCT event_type,
+             date_trunc('day', ts::TIMESTAMP) AS day
+      FROM events
+    ),
+    win AS (
+      SELECT d.event_type, d.day, e.user_id
+      FROM days d JOIN events e
+        ON e.event_type = d.event_type
+       AND date_trunc('day', e.ts::TIMESTAMP)
+             BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_7d
+    FROM win GROUP BY event_type, win.day
+    ORDER BY event_type, day
+    """,
+)
+def events_sliding_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    uid = (
+        "CASE WHEN user_id < 0 THEN raise_error("
+        "'bitmap distinct requires non-negative ids') "
+        "ELSE user_id + 1 END"
+    )
+    daily = (
+        events.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.expr(f"bitmap_bucket_number({uid})").alias("bucket"),
+            F.expr(f"bitmap_bit_position({uid})").alias("pos"),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .localCheckpoint(eager=False)  # grid + band-join consumers
+    )
+    days = daily.select("event_type", "day").distinct()
+    banded = daily.alias("b").join(
+        F.broadcast(days.alias("d")),
+        (F.col("b.event_type") == F.col("d.event_type"))
+        & (
+            F.datediff(F.col("d.day"), F.col("b.day")).between(0, 6)
+        ),
+    )
+    return (
+        banded.groupBy(
+            F.col("d.event_type").alias("event_type"),
+            F.col("d.day").alias("w_day"),
+            F.col("b.bucket").alias("bucket"),
+        )
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm7"))
+        .groupBy("event_type", "w_day")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm7)"))
+            .cast("long")
+            .alias("n_users_7d")
+        )
+        .select(
+            "event_type",
+            F.date_format("w_day", "yyyy-MM-dd").alias("day"),
+            "n_users_7d",
+        )
+        .orderBy("event_type", "day")
+    )

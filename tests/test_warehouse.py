@@ -204,3 +204,64 @@ def test_zorder_prunes_at_least_as_well_on_2d_box(spark):
     assert z.rows_matching == d.rows_matching > 0
     assert z.rows_scanned <= d.rows_scanned
     assert z.rows_scanned >= z.rows_matching  # pruning is sound
+
+
+def test_sliding_distinct_crosses_bucket_boundaries(spark, tmp_path):
+    """events_sliding_distinct_users with user ids spanning several
+    32768-id bitmap buckets AND windows where a user is active only
+    in earlier days of the window — brute-force recompute in Python.
+    Testdata ids are single-bucket, so the per-bucket OR + cross-
+    bucket SUM path is exercised only here."""
+    import itertools
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from epl_cas_etl_2026_spark.plans.warehouse import (
+        events_sliding_distinct_users,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = itertools.count()
+    # ids straddling bucket edges; sparse day pattern per user
+    ids = [0, 1, 32767, 32768, 65535, 65536, 98304]
+    for d in range(10):
+        for i, uid in enumerate(ids):
+            if (d + i) % 3 == 0:  # sparse, deterministic
+                rows.append(
+                    (next(eid), t0 + dt.timedelta(days=d, hours=i), uid,
+                     "click", 1.0, "{}")
+                )
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], type=pa.int64()),
+            pa.array([r[1] for r in rows], type=pa.timestamp("us", tz="UTC")),
+            pa.array([r[2] for r in rows], type=pa.int64()),
+            pa.array([r[3] for r in rows], type=pa.string()),
+            pa.array([r[4] for r in rows], type=pa.float64()),
+            pa.array([r[5] for r in rows], type=pa.string()),
+        ],
+        names=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = {
+        (r["event_type"], r["day"]): r["n_users_7d"]
+        for r in events_sliding_distinct_users(spark, str(tmp_path)).collect()
+    }
+    # brute force
+    by_day: dict = {}
+    for _, ts, uid, typ, _, _ in rows:
+        by_day.setdefault((typ, ts.date()), set()).add(uid)
+    days = sorted({d for _, d in by_day})
+    want = {}
+    for typ in {t for t, _ in by_day}:
+        for d in days:
+            if (typ, d) not in by_day:
+                continue
+            users: set = set()
+            for k in range(7):
+                users |= by_day.get((typ, d - dt.timedelta(days=k)), set())
+            want[(typ, d.isoformat())] = len(users)
+    assert got == want
