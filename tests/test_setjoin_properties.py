@@ -178,3 +178,68 @@ def test_df_capped_branches_lossless_on_adversarial_corpus(
     assert got == want, f"got {got} want {want}"
     # the fixture must actually exercise the heavy regime
     assert want.get(100, 0) >= 70 * 69 // 2, "tiny-branch pairs missing"
+
+
+def test_two_phase_row_number_matches_window(spark):
+    """two_phase_row_number == unpartitioned ROW_NUMBER on randomized
+    data with heavy order-key ties (unique via the id tiebreak)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from epl_cas_etl_2026_spark.operators.ranking import (
+        two_phase_row_number,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, rng.randint(0, 20)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, score long")
+    got = {
+        r["id"]: r["__rn"]
+        for r in two_phase_row_number(
+            df, [F.desc("score"), F.asc("id")], num_range_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_two_phase_grouped_row_number_matches_window(spark):
+    """two_phase_grouped_row_number == Window.partitionBy(group) on
+    randomized data: several groups of very different sizes, ties on
+    the score column."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from epl_cas_etl_2026_spark.operators.ranking import (
+        two_phase_grouped_row_number,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(3000):
+        g = rng.choice(["a", "b", "c", "dd", "e"])
+        rows.append((i, g, rng.randint(0, 10)))
+    df = spark.createDataFrame(rows, "id long, grp string, score long")
+    got = {
+        (r["grp"], r["id"]): r["__rn"]
+        for r in two_phase_grouped_row_number(
+            df,
+            "grp",
+            [F.asc("score"), F.asc("id")],
+            num_range_partitions=9,
+        ).collect()
+    }
+    w = Window.partitionBy("grp").orderBy(F.asc("score"), F.asc("id"))
+    want = {
+        (r["grp"], r["id"]): r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
