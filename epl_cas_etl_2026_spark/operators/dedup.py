@@ -428,22 +428,31 @@ def simhash_near_dup_pairs(
     max_hamming: int = 8,
     n_bands: int = 4,
     band_bits: int = 15,
+    prehashed=None,
 ):
     """SimHash near-dup via band join: split the 60-bit hash into
     ``n_bands`` bands; a pair is a CANDIDATE iff some whole band is
     equal (pigeonhole: any pair with hamming < n_bands is guaranteed
     caught), then verify bit_count(xor) <= max_hamming exactly. One
-    shuffle on the band keys — no all-pairs stage."""
-    # spread the hashing stage when the local scan is a single split
-    # (at scale the scan has plenty of splits — no exchange happens)
-    sc = docs.sparkSession.sparkContext
-    target = min(32, sc.defaultParallelism)
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
-    hashed = docs.select(
-        F.col(id_col), simhash60_udf()(F.col(text_col)).alias("h")
-    )
-    hashed.persist()
+    shuffle on the band keys — no all-pairs stage.
+
+    ``prehashed``: an already-computed ``(id_col, h)`` frame — callers
+    sweeping several banding configs hash the corpus ONCE and share it
+    (the Arrow simhash UDF is the expensive stage, not the band join).
+    """
+    if prehashed is not None:
+        hashed = prehashed
+    else:
+        # spread the hashing stage when the local scan is a single
+        # split (at scale the scan has plenty of splits — no exchange)
+        sc = docs.sparkSession.sparkContext
+        target = min(32, sc.defaultParallelism)
+        if docs.rdd.getNumPartitions() < target:
+            docs = docs.repartition(target)
+        hashed = docs.select(
+            F.col(id_col), simhash60_udf()(F.col(text_col)).alias("h")
+        )
+        hashed.persist()
     mask = (1 << band_bits) - 1
     # Unlike the vector-LSH paths (which keep the band join slim and
     # join the WIDE payload back onto the deduped pairs), the whole

@@ -5012,13 +5012,27 @@ def _sweep_cfg_sql(nb: int, bb: int) -> str:
     """,
 )
 def docs_simhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from epl_cas_etl_2026_spark.operators.dedup import simhash_near_dup_pairs
+    from epl_cas_etl_2026_spark.operators.dedup import (
+        simhash60_udf,
+        simhash_near_dup_pairs,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
+    # hash the corpus ONCE — the Arrow simhash UDF is the expensive
+    # stage; the three banding configs share it (was 3 hash passes)
+    sc = docs.sparkSession.sparkContext
+    target = min(32, sc.defaultParallelism)
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    hashed = docs.select(
+        "doc_id", simhash60_udf()(F.col("text")).alias("h")
+    )
+    hashed.persist()
     stats = []
     for nb, bb in _SWEEP_CONFIGS:
         cand = simhash_near_dup_pairs(
-            docs, max_hamming=64, n_bands=nb, band_bits=bb
+            None, max_hamming=64, n_bands=nb, band_bits=bb,
+            prehashed=hashed,
         )
         stats.append(
             cand.agg(
