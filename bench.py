@@ -214,6 +214,9 @@ HEADLINE = [
     "orders_compaction_stats",
     # exact sliding-window distinct via bucketed day-bitmap OR-merge
     "events_sliding_distinct_users",
+    # time-bounded strict funnel + point-process rate estimation
+    "events_bounded_funnel_conversion",
+    "events_interarrival_rate",
 ]
 
 

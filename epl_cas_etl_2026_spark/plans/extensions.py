@@ -7573,3 +7573,156 @@ def orders_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not scratch:
             shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# TIME-BOUNDED strict funnel — the production funnel next to the
+# unbounded one above: each step must happen within 1 h of the
+# previous step's FIRST completion (signup → click ≤ 1 h → purchase
+# ≤ 1 h after that click). The bound changes semantics materially: a
+# user who clicks 2 h after signup is a step-1-only user here but
+# converts in the unbounded funnel. Same per-user MIN-chain shape
+# (groupBy + equi-join per step, no windows); the window predicate is
+# exact integer µs.
+# ---------------------------------------------------------------------------
+_FUNNEL_BOUND_US = 3_600_000_000  # 1 hour
+
+
+@_register(
+    "events_bounded_funnel_conversion",
+    f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND epoch_us(e.ts::TIMESTAMP) - epoch_us(s1.t1::TIMESTAMP)
+              <= {_FUNNEL_BOUND_US}
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND epoch_us(e.ts::TIMESTAMP) - epoch_us(s2.t2::TIMESTAMP)
+              <= {_FUNNEL_BOUND_US}
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 'step1_signup' AS step, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM s1
+      UNION ALL SELECT 'step2_click_1h', CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL SELECT 'step3_purchase_1h', CAST(COUNT(*) AS BIGINT)
+      FROM s3
+    ) ORDER BY step
+    """,
+)
+def events_bounded_funnel_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.localCheckpoint(eager=False)  # three step consumers
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+
+    def _next_step(prev: DataFrame, prev_t: str, etype: str, out_t: str):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(
+                (F.col("ts") > F.col(prev_t))
+                & (
+                    F.unix_micros("ts") - F.unix_micros(prev_t)
+                    <= _FUNNEL_BOUND_US
+                )
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    s2 = _next_step(s1, "t1", "click", "t2")
+    s3 = _next_step(s2, "t2", "purchase", "t3")
+
+    def _cnt(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        ).select(F.lit(label).alias("step"), "n_users")
+
+    return (
+        _cnt(s1, "step1_signup")
+        .unionByName(_cnt(s2, "step2_click_1h"))
+        .unionByName(_cnt(s3, "step3_purchase_1h"))
+        .orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event arrival-rate estimation — the point-process view of the
+# event stream: per type, the MLE of an exponential inter-arrival
+# rate is n_gaps / Σ gaps, computed here entirely in exact integer µs
+# (gaps via a keyed lag window per (type, user) — a user's behavior
+# is the process; cross-user gaps are meaningless). Output keeps the
+# integer sufficient statistics AND the half-up events-per-hour rate,
+# so downstream recomputation needs no floats.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_interarrival_rate",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts::TIMESTAMP)
+               - lag(epoch_us(ts::TIMESTAMP)) OVER (
+                   PARTITION BY event_type, user_id
+                   ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+           CAST((COUNT(gap_us) * 3600000000 + SUM(gap_us) // 2)
+                // SUM(gap_us) AS BIGINT) AS rate_per_hour_milli
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_interarrival_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    gaps = ev.select(
+        "event_type",
+        (F.col("us") - F.lag("us").over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_us").cast("long").alias("n_gaps"),
+            F.sum("gap_us").cast("long").alias("sum_gap_us"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            "sum_gap_us",
+            F.expr(
+                "(n_gaps * CAST(3600000000 AS BIGINT)"
+                " + sum_gap_us div 2) div sum_gap_us"
+            ).alias("rate_per_hour_milli"),
+        )
+        .orderBy("event_type")
+    )
