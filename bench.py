@@ -407,36 +407,84 @@ def report(timings: dict[str, float]) -> None:
     print(line)
 
 
-def check_budgets(timings: dict[str, float], calib: float) -> dict:
-    """Per-query regression budgets (round-6 verdict item 2): compare
-    each timing against the pinned median in tools/bench_budgets.json,
-    normalized by the host-condition calib ratio; >1.5x is a
-    violation. The pin file is produced by tools/pin_budgets.py from a
-    committed BENCH_FULL.json."""
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "tools",
-        "bench_budgets.json",
-    )
-    if not os.path.exists(path):
-        return {"status": "no_budget_file"}
-    with open(path) as fh:
-        pinned = json.load(fh)
+def check_budgets(
+    timings: dict[str, float], calib: float, pinned: dict | None = None
+) -> dict:
+    """Per-query regression budgets (round-6 verdict item 2, model fixed
+    per the round-7 verdict): compare each timing against the pinned
+    median in tools/bench_budgets.json.
+
+    The round-6 model scaled the WHOLE budget by the host CPU-calib
+    ratio — wrong for sub-second queries, whose wall time is dominated
+    by fixed Spark job-scheduling overhead that does not vary with
+    single-thread CPU speed (a 26%-faster driver host shrank every
+    budget to 0.74x and reported 37 violations on an unchanged tree,
+    all false: raw-ratio median was 1.06x). The fixed model:
+
+        budget(q) = overhead + scale * max(0, pinned(q) - overhead)
+
+    where ``overhead`` is the pinned per-job scheduling floor (the
+    fastest pinned query is essentially a pure noop job) and ``scale``
+    is the calib ratio floored at 0.9 (faster hosts barely shrink
+    budgets; slower hosts still grow them). A query violates only when
+    ALL of:
+
+      * model ratio  > 1.5x   (the calib-adjusted budget), and
+      * raw ratio    > 2.0x   (the unscaled pinned median — the
+        driver's own performance bar; min-of-3 noise on this host has
+        been observed at 1.64x of a pinned median on an unchanged
+        tree, so 1.5x raw would still false-alarm), and
+      * absolute excess > 0.5 s  (a real regression worth alarming on
+        is not 0.2 s on a 0.3 s query)
+
+    so a host with calib anywhere within ±35% of the pin reports zero
+    violations on an unchanged tree, while an artificially slowed
+    query (e.g. 3x or +2 s) still trips (tests/test_bench_budgets).
+    """
+    if pinned is None:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tools",
+            "bench_budgets.json",
+        )
+        if not os.path.exists(path):
+            return {"status": "no_budget_file"}
+        with open(path) as fh:
+            pinned = json.load(fh)
     base_calib = pinned.get("cpu_calib_sec") or calib
-    scale = calib / base_calib if base_calib else 1.0
-    viol = {
-        name: {
-            "sec": t,
-            "budget_sec": round(pinned["budgets"][name] * scale, 3),
-        }
-        for name, t in timings.items()
-        if name in pinned["budgets"]
-        and t > 1.5 * pinned["budgets"][name] * scale
-    }
+    raw_scale = calib / base_calib if base_calib else 1.0
+    scale = max(raw_scale, 0.9)
+    budgets = pinned["budgets"]
+    overhead = pinned.get("overhead_sec")
+    if overhead is None:  # pre-r8 pin file: derive from the floor
+        overhead = min(budgets.values())
+    viol = {}
+    ratios = []
+    for name, t in timings.items():
+        if name not in budgets:
+            continue
+        b = budgets[name]
+        model = overhead + scale * max(0.0, b - overhead)
+        ratios.append(t / b)
+        if t > 1.5 * model and t > 2.0 * b and t - model > 0.5:
+            viol[name] = {
+                "sec": t,
+                "budget_sec": round(model, 3),
+                "raw_budget_sec": b,
+                "model_ratio": round(t / model, 2),
+                "raw_ratio": round(t / b, 2),
+            }
+    ratios.sort()
     return {
         "status": "checked",
-        "n_checked": sum(1 for n in timings if n in pinned["budgets"]),
+        "n_checked": len(ratios),
         "calib_scale": round(scale, 4),
+        "calib_scale_raw": round(raw_scale, 4),
+        "overhead_sec": round(overhead, 3),
+        "raw_ratio_median": (
+            round(ratios[len(ratios) // 2], 3) if ratios else None
+        ),
+        "raw_ratio_max": round(ratios[-1], 3) if ratios else None,
         "violations": len(viol),
         "violating": viol,
     }

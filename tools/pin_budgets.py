@@ -48,6 +48,12 @@ def main(paths: list[str]) -> None:
         "cpu_calib_sec": round(
             statistics.median([r["cpu_calib_sec"] for r in runs]), 4
         ),
+        # Fixed per-job Spark scheduling overhead: the fastest pinned
+        # query is essentially a pure noop job whose wall is all
+        # scheduling floor. check_budgets() scales only the portion of
+        # each budget ABOVE this with the CPU-calib ratio — the floor
+        # does not vary with single-thread CPU speed.
+        "overhead_sec": min(budgets.values()),
         "budgets": budgets,
     }
     dest = os.path.join(HERE, "bench_budgets.json")
