@@ -985,9 +985,13 @@ def pq_adc_batch_topk(
     per query by exact distance — per query identical to
     :func:`pq_adc_topk` (property-pinned by
     tests/test_analytics_props.py::test_pq_batch_matches_single).
-    """
-    from pyspark.sql import Window
 
+    This is the IN-QUERY form: it materializes the codebook frame from
+    the Python tensor and encodes the corpus inline. The production
+    build-once/serve-many form is :func:`pq_adc_batch_serve`, which
+    takes the two PERSISTED index artifacts (codebook frame + codes
+    frame) instead — both share the serving core verbatim.
+    """
     spark = emb.sparkSession
     k_codes = len(codebooks[0])
     cbdf = spark.createDataFrame(
@@ -998,6 +1002,40 @@ def pq_adc_batch_topk(
         ],
         "sub_id int, code int, centroid array<double>",
     )
+    codes = pq_encode(emb, codebooks, dim, m, id_col, vec_col)
+    return pq_adc_batch_serve(
+        emb, cbdf, codes, query_ids,
+        dim=dim, m=m, shortlist=shortlist, topk=topk,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def pq_adc_batch_serve(
+    emb: DataFrame,
+    codebook_df: DataFrame,
+    codes: DataFrame,
+    query_ids,
+    dim: int = 64,
+    m: int = 8,
+    shortlist: int = 50,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC batch serving from PERSISTED index artifacts.
+
+    ``codebook_df``: (sub_id, code, centroid array<double>) — the m×k
+    codebook rows as read back from the index table; ``codes``: the
+    encoded corpus (id, sub_id, code) as read back from the codes
+    table. NO fitting or encoding happens here — the plan touches raw
+    vectors only for the Q query rows (LUT construction) and the
+    per-query exact-rerank shortlist, which is exactly the production
+    serve cost: at 100 TB the codes table (~m bytes/vector) is the
+    only corpus-wide scan, and with the codes written bucketed/sorted
+    by id the rerank join prunes to shortlist row groups.
+    """
+    from pyspark.sql import Window
+
     qids = [int(q) for q in query_ids]
     # per-query LUT rows (q_id, sub_id, code, t) computed in-plan:
     # Q·m·k_codes rows — broadcastable for any sane Q
@@ -1013,10 +1051,9 @@ def pq_adc_batch_topk(
             emb.filter(F.col(id_col).isin(qids)), dim, m, id_col, vec_col
         )
         .withColumnRenamed(id_col, "q_id")
-        .join(F.broadcast(cbdf), "sub_id")
+        .join(F.broadcast(codebook_df), "sub_id")
         .select("q_id", "sub_id", "code", sub_d.alias("t"))
     )
-    codes = pq_encode(emb, codebooks, dim, m, id_col, vec_col)
     adc = (
         codes.select(id_col, "sub_id", "code")
         .join(F.broadcast(lut), ["sub_id", "code"])
