@@ -217,6 +217,14 @@ HEADLINE = [
     # time-bounded strict funnel + point-process rate estimation
     "events_bounded_funnel_conversion",
     "events_interarrival_rate",
+    # round-8 additions (appended — prefix subsets stay valid):
+    # persisted-index PQ serving (reads ONLY the committed artifacts;
+    # the in-gate refit comparison is part of the gated query, so the
+    # benched cost includes it) and Lee-et-al exact substring dedup
+    # (two-phase hash-lossless 50-gram detection + island merge +
+    # HOF-fold rewrite)
+    "embedding_pq_index_serve",
+    "docs_exact_substring_dedup",
 ]
 
 
