@@ -1094,3 +1094,309 @@ def events_stream_stateful_ewma_gate(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# STREAM-STREAM FULL OUTER join under the hard gate (round-8): the
+# eleventh gate, completing the outer-join state machine — BOTH sides'
+# unmatched rows must be held in state and NULL-emitted exactly once
+# when the watermark proves no match can arrive (the left-outer gate
+# above exercises only the click side's emission path).
+#
+# Same determinism construction as the LEFT OUTER gate: batch 1 is all
+# real rows under a still-zero watermark (every real pair emits), the
+# 2-row sentinel file advances both watermarks 100 h past the data,
+# and AvailableNow's final no-data batch flushes the remaining state —
+# clicks as (cid, NULL) AND purchases as (NULL, pid). The sentinel
+# pair joins itself and is excluded by user_id. Oracle: the plain
+# batch FULL JOIN.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_stream_full_outer_join_gate",
+    """
+    WITH c AS (
+      SELECT event_id AS cid, user_id, ts::TIMESTAMP AS cts
+      FROM events WHERE event_id % 2 = 1
+    ), p AS (
+      SELECT event_id AS pid, user_id, ts::TIMESTAMP AS pts
+      FROM events WHERE event_id % 2 = 0
+    ), fj AS (
+      SELECT COALESCE(c.user_id, p.user_id) AS user_id, cid, pid
+      FROM c FULL JOIN p ON c.user_id = p.user_id
+       AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(cid) AS BIGINT) AS n_left,
+           CAST(COUNT(pid) AS BIGINT) AS n_right,
+           CAST(SUM(CASE WHEN pid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_left_only,
+           CAST(SUM(CASE WHEN cid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_right_only,
+           CAST(SUM(COALESCE(cid, 0) + COALESCE(pid, 0)) AS BIGINT)
+             AS id_sum
+    FROM fj GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_stream_full_outer_join_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id")
+        .toPandas()
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_foj_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+
+        def _write(path: str, eids, tss, uids, mtime: int) -> None:
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array(eids, type=pa.int64()),
+                    pa.array(tss, type=pa.timestamp("us", tz="UTC")),
+                    pa.array(uids, type=pa.int64()),
+                ],
+                names=["event_id", "ts", "user_id"],
+            )
+            pq.write_table(tbl, path)
+            os.utime(path, (mtime, mtime))
+
+        _write(
+            os.path.join(src, "real.parquet"),
+            pdf["event_id"],
+            pdf["ts"].astype("datetime64[us]"),
+            pdf["user_id"],
+            1_000_000_000,
+        )
+        sentinel_ts = (
+            pdf["ts"].max() + __import__("pandas").Timedelta(hours=100)
+        )
+        max_eid = int(pdf["event_id"].max()) if len(pdf) else 0
+        _write(
+            os.path.join(src, "sentinel.parquet"),
+            [max_eid + 1, max_eid + 2],
+            [sentinel_ts, sentinel_ts],
+            [-1, -1],
+            1_000_000_001,
+        )
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        clicks = (
+            stream.filter(F.col("event_id") % 2 == 1)
+            .select(
+                F.col("event_id").alias("cid"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("cts"),
+            )
+            .withWatermark("cts", "1 hour")
+        )
+        purchases = (
+            stream.filter(F.col("event_id") % 2 == 0)
+            .select(
+                F.col("event_id").alias("pid"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("pts"),
+            )
+            .withWatermark("pts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND pts >= cts"
+                " AND pts <= cts + INTERVAL 1 HOUR"
+            ),
+            "fullOuter",
+        ).select(
+            F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+            "cid",
+            "pid",
+        )
+        name = f"stream_foj_gate_{next(_run_ids)}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = (
+            spark.table(name)
+            .filter(F.col("user_id") >= 0)  # drop the sentinel pair
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count("cid").cast("long").alias("n_left"),
+                F.count("pid").cast("long").alias("n_right"),
+                F.sum(F.col("pid").isNull().cast("long"))
+                .cast("long")
+                .alias("n_left_only"),
+                F.sum(F.col("cid").isNull().cast("long"))
+                .cast("long")
+                .alias("n_right_only"),
+                F.sum(
+                    F.coalesce(F.col("cid"), F.lit(0))
+                    + F.coalesce(F.col("pid"), F.lit(0))
+                )
+                .cast("long")
+                .alias("id_sum"),
+            )
+            .orderBy("user_id")
+        )
+        rows = result.collect()
+        schema = result.schema
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# UPDATE-MODE aggregation with LATE-DATA OVERWRITE under the hard gate
+# (round-8): the twelfth gate, exercising the one state-store output
+# path no other gate touches — update mode re-EMITS a changed
+# aggregate row when late (out-of-order but within-watermark) data
+# lands on an already-emitted window, and the sink consumer performs
+# the upsert read (last emission per key wins).
+#
+# Determinism construction: file 1 carries all real events (every
+# hourly window emits its batch-1 state; the watermark advances to
+# max_ts − 2 h). File 2 REPLAYS the events of the final hour
+# (ts > max_ts − 1 h) — late relative to the already-emitted windows
+# but strictly above the watermark, so the state store must ACCEPT
+# them and update mode must re-emit exactly those windows with
+# increased counts. The memory sink accumulates both emissions; the
+# upsert read keeps, per (window, event_type), the row with the
+# maximal n_events — counts grow monotonically, so "max count" IS
+# "latest emission", with no batch-id dependence. Oracle: the batch
+# aggregation over events UNION ALL the same final-hour replay.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_stream_update_late_gate",
+    f"""
+    WITH mx AS (SELECT MAX(ts::TIMESTAMP) AS m FROM events),
+    base AS (SELECT event_type, ts::TIMESTAMP AS ts, value FROM events),
+    late AS (
+      SELECT event_type, ts::TIMESTAMP AS ts, value FROM events, mx
+      WHERE ts::TIMESTAMP > m - INTERVAL 1 HOUR
+    ),
+    allr AS (SELECT * FROM base UNION ALL SELECT * FROM late)
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M')
+             AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {det_avg_sql('value')} AS avg_value
+    FROM allr GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_stream_update_late_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Window as W
+
+    from epl_cas_etl_2026_spark.sources.parquet import load_table
+
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value")
+        .toPandas()
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_upd_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+
+        def _write(path: str, frame: "pd.DataFrame", mtime: int) -> None:
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array(frame["event_type"], type=pa.string()),
+                    pa.array(
+                        frame["ts"].astype("datetime64[us]"),
+                        type=pa.timestamp("us", tz="UTC"),
+                    ),
+                    pa.array(frame["value"], type=pa.float64()),
+                ],
+                names=["event_type", "ts", "value"],
+            )
+            pq.write_table(tbl, path)
+            os.utime(path, (mtime, mtime))
+
+        _write(os.path.join(src, "real.parquet"), pdf, 1_000_000_000)
+        late = pdf[pdf["ts"] > pdf["ts"].max() - pd.Timedelta(hours=1)]
+        _write(os.path.join(src, "late.parquet"), late, 1_000_000_001)
+
+        stream = (
+            spark.readStream.schema(
+                "event_type string, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                det_avg(F.col("value")).alias("avg_value"),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n_events",
+                "avg_value",
+            )
+        )
+        name = f"stream_upd_gate_{next(_run_ids)}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the upsert read: per key, the emission with the largest count
+        # is the final state (counts are monotone under late arrivals)
+        w_last = W.partitionBy("window_start", "event_type").orderBy(
+            F.desc("n_events")
+        )
+        result = (
+            spark.table(name)
+            .withColumn("__rn", F.row_number().over(w_last))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .orderBy("window_start", "event_type")
+        )
+        rows = result.collect()
+        schema = result.schema
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
