@@ -4,7 +4,16 @@ exactly what the external driver constructs, not the tuned get_spark —
 and compare each query against its DuckDB oracle with the dtype-strict
 comparator. Exits non-zero on any failure.
 
-Usage: python tools/rehearse_gate.py [--all] [--sf /root/testdata/sf0.01]
+Usage: python tools/rehearse_gate.py [--all | --changed]
+           [--sf /root/testdata/sf0.01] [--queries a,b,c]
+
+--changed (round-7 verdict item 7: keep local certification sub-5-min
+as the registry grows) rehearses ONLY queries the gate ledger cannot
+vouch for: never hash-green in any committed CORRECTNESS round, or
+with a (plan source + oracle SQL) fingerprint that differs from the
+one recorded at their last green row — i.e. gate_policy priorities 0
+and 1. An unchanged tree rehearses nothing; a one-query edit
+rehearses that query in seconds instead of the 395 s full sweep.
 """
 
 from __future__ import annotations
@@ -20,6 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="every query, not just the window")
+    ap.add_argument(
+        "--changed",
+        action="store_true",
+        help="only queries with no green row or a changed fingerprint",
+    )
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument(
         "--queries", default=None, help="comma-separated subset to rehearse"
@@ -42,6 +56,17 @@ def main() -> int:
         if unknown:
             print(f"unknown queries: {unknown}")
             return 1
+    elif args.changed:
+        from epl_cas_etl_2026_spark.plans.gate_policy import classify
+
+        keys = classify(qs, osql)
+        names = [n for n in qs if keys[n][0] <= 1]
+        if not names:
+            print(
+                "nothing changed: every registered query has a green row "
+                "with a matching ledger fingerprint"
+            )
+            return 0
     else:
         names = list(qs) if args.all else list(qs)[:50]
     t0 = time.time()
