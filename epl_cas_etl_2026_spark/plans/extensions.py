@@ -207,6 +207,29 @@ _SIMHASH_SQL = """
       ) GROUP BY doc_id
 """
 
+# Verified simhash near-dup pairs (hamming <= 3) as a standalone
+# SELECT — the pair-generation prefix shared (textually) by the
+# docs_simhash_near_dup / docs_near_dup_clusters / docs_dedup_keep_best
+# oracles. tools/rehearse_sf1.py builds its ITERATIVE closure oracle
+# from this constant at sf1, where the recursive-CTE `reach` closure is
+# output-quadratic on near-clique components (round-7 verdict item 5).
+_SIMHASH_PAIRS_SQL = f"""
+    WITH sim AS ({_SIMHASH_SQL}),
+    banded AS (
+      SELECT doc_id, k AS band, (h >> (k * 15)) & 32767 AS key
+      FROM sim, generate_series(0, 3) AS t(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM banded a JOIN banded c
+        ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b FROM cand
+    JOIN sim sa ON sa.doc_id = id_a
+    JOIN sim sb ON sb.doc_id = id_b
+    WHERE bit_count(xor(sa.h, sb.h)) <= 3
+"""
+
 
 @_register(
     "docs_simhash_near_dup",

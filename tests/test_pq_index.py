@@ -123,3 +123,29 @@ def test_gated_pair_green_shape(spark, tmp_path, monkeypatch):
     assert s["inquery_mismatches"] == 0
     assert s["self_violations"] == 0
     assert s["n_rows"] == s["n_queries"] * 10
+
+
+def test_serve_plan_is_arrow_free(spark, tmp_path, monkeypatch):
+    """The whole point of the persisted index: serving touches no
+    Python/Arrow stage (pq_fit and pq_encode are Arrow-batched; the
+    serve plan must contain neither — LUT construction is a JVM array
+    slice and the corpus side is a parquet scan of the codes table)."""
+    import epl_cas_etl_2026_spark.plans.extensions as ext
+    from epl_cas_etl_2026_spark.operators.similarity import (
+        pq_adc_batch_serve,
+    )
+
+    monkeypatch.setattr(
+        ext, "_pq_index_root", lambda _s, _f: str(tmp_path / "idx3")
+    )
+    cb_vt, codes_vt = ext._pq_index_ensure(spark, SF)
+    emb = load_table(spark, SF, "embeddings")
+    served = pq_adc_batch_serve(
+        emb, cb_vt.read(spark), codes_vt.read(spark), [0, 1],
+        dim=64, m=8, shortlist=30, topk=5,
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" not in plan

@@ -58,6 +58,101 @@ COUNT_ONLY: set = set()
 #: against DuckDB cheaply. Full oracle compare stays at sf<=0.1.
 INVARIANT = {"docs_leakage_safe_split"}
 
+#: CC-consumer queries whose committed oracle computes the transitive
+#: closure with a recursive CTE — output-quadratic on the sf1
+#: near-clique simhash graph (the `reach` CTE enumerates node x
+#: reachable-node; measured >37 GB spill). At sf1 the closure is
+#: rebuilt ITERATIVELY instead (round-7 verdict item 5): min-label
+#: propagation + pointer doubling over the same verified pair graph,
+#: materialized as a temp table, then a FULL dtype-strict compare of
+#: the query output against the same final SQL the committed oracle
+#: applies on top of the closure. Semantics identical (labels converge
+#: to the component-min id, exactly what MIN(b) yields); algorithm
+#: independent of the Spark large-star/small-star implementation.
+#: Equivalence against the recursive-CTE oracle itself is pinned at
+#: sf0.01 by tests/test_cc_oracle.py.
+CLOSURE_FINAL = {
+    "docs_near_dup_clusters": """
+      SELECT component, COUNT(*) AS cluster_size
+      FROM cc_comp GROUP BY component ORDER BY component
+    """,
+    "docs_dedup_keep_best": """
+      WITH ranked AS (
+        SELECT d.doc_id, d.lang,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                                  ORDER BY length(d.text) DESC, d.doc_id)
+                 AS rn
+        FROM documents d JOIN cc_comp c ON d.doc_id = c.doc_id
+      ),
+      kept AS (
+        SELECT doc_id, lang FROM ranked WHERE rn = 1
+        UNION ALL
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM cc_comp)
+      )
+      SELECT d.lang,
+             COUNT(*) AS n_docs,
+             (SELECT COUNT(*) FROM kept k WHERE k.lang = d.lang) AS n_kept
+      FROM documents d GROUP BY d.lang ORDER BY d.lang
+    """,
+}
+
+
+def build_cc_comp(con) -> int:
+    """Materialize temp table cc_comp(doc_id, component) in DuckDB via
+    iterative min-label propagation + pointer doubling over the
+    verified simhash pair graph. Returns rounds to fixpoint (O(log n)
+    thanks to the doubling step). Linear work per round — never the
+    node x reachable-node blowup of the recursive CTE."""
+    from epl_cas_etl_2026_spark.plans.extensions import _SIMHASH_PAIRS_SQL
+
+    con.execute(
+        f"""CREATE OR REPLACE TEMP TABLE cc_edges AS
+        WITH p AS ({_SIMHASH_PAIRS_SQL})
+        SELECT id_a AS s, id_b AS d FROM p
+        UNION SELECT id_b, id_a FROM p"""
+    )
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE cc_lab AS "
+        "SELECT DISTINCT s AS node, s AS label FROM cc_edges"
+    )
+    rounds = 0
+    while True:
+        rounds += 1
+        # min over own label and neighbors' labels
+        con.execute(
+            """CREATE OR REPLACE TEMP TABLE cc_nxt AS
+            SELECT node, MIN(label) AS label FROM (
+              SELECT node, label FROM cc_lab
+              UNION ALL
+              SELECT e.d AS node, l.label
+              FROM cc_edges e JOIN cc_lab l ON l.node = e.s
+            ) GROUP BY node"""
+        )
+        # pointer doubling: label <- label(label) (labels are always
+        # node ids, so the self-join is total)
+        con.execute(
+            """CREATE OR REPLACE TEMP TABLE cc_lab2 AS
+            SELECT a.node, LEAST(a.label, b.label) AS label
+            FROM cc_nxt a JOIN cc_nxt b ON a.label = b.node"""
+        )
+        changed = con.sql(
+            "SELECT COUNT(*) FROM cc_lab2 a JOIN cc_lab b "
+            "ON a.node = b.node AND a.label <> b.label"
+        ).fetchone()[0]
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE cc_lab AS SELECT * FROM cc_lab2"
+        )
+        if changed == 0:
+            break
+        if rounds > 60:
+            raise RuntimeError("cc closure did not converge in 60 rounds")
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE cc_comp AS "
+        "SELECT node AS doc_id, label AS component FROM cc_lab"
+    )
+    return rounds
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -100,7 +195,19 @@ def main() -> int:
             n = sdf.count()
             rec["rows"] = n
             osql = ORACLES.get(name)
-            if name in INVARIANT:
+            if name in CLOSURE_FINAL:
+                cc_rounds = build_cc_comp(con)
+                ok, msg = compare(sdf, con, CLOSURE_FINAL[name])
+                rec["check"] = "full"
+                rec["oracle"] = (
+                    "iterative min-label+pointer-doubling closure "
+                    f"({cc_rounds} rounds; recursive CTE is "
+                    "output-quadratic at sf1)"
+                )
+                rec["ok"] = bool(ok)
+                if not ok:
+                    rec["msg"] = msg[:300]
+            elif name in INVARIANT:
                 rows = sdf.collect()
                 n_docs_total = sum(r["n_docs"] for r in rows)
                 n_oracle = con.sql(
