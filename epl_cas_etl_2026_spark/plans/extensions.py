@@ -8178,7 +8178,10 @@ def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = isl.groupBy("doc_id", "source", "len", "island").agg(
         F.min("s").cast("long").alias("sp_s"),
         (F.max("s") + L).cast("long").alias("sp_e"),
-    )
+    # two consumers (per-source stats + the rewrite join) — pin the
+    # tiny merged-span frame so the gram explode/dedup/window pipeline
+    # runs once, not twice
+    ).localCheckpoint(eager=False)
     per_source = spans.groupBy("source").agg(
         F.count_distinct("doc_id").alias("n_docs_affected"),
         F.count(F.lit(1)).alias("n_spans"),
