@@ -30,6 +30,10 @@ EXPECTED_VALUEERRORS = {
     # (IVF-PQ: kmeans_fit; graph ANN: the vec_id-0 query-row guard)
     "embedding_ivfpq_topk",
     "embedding_graph_ann_topk",
+    # round-8 persisted-index pair: build (and serve's build-on-first-
+    # touch) run pq_fit, inheriting its deterministic-init guard
+    "embedding_pq_index_build",
+    "embedding_pq_index_serve",
     # round-7 batch serving forms: same pq_fit / query-row init guards
     "embedding_pq_batch_topk",
     "embedding_graph_batch_topk",
