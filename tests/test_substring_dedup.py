@@ -152,3 +152,69 @@ def test_rewrite_idempotent():
         t = rewritten[doc_id]
         for i in range(len(t) - L + 1):
             assert t[i : i + L] not in dup_grams, (doc_id, i)
+
+
+# -- hypothesis: random block-structured corpora vs the reference ----------
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _block_corpus(draw):
+    """Docs built by concatenating blocks from a SMALL pool, so 50-char
+    duplicates arise across docs naturally (pure-random text would
+    never collide at L=50)."""
+    pool_n = draw(st.integers(2, 5))
+    blocks = [
+        draw(
+            st.text(
+                alphabet=st.sampled_from("abcdef "),
+                min_size=18,
+                max_size=30,
+            )
+        )
+        for _ in range(pool_n)
+    ]
+    docs = []
+    n_docs = draw(st.integers(2, 8))
+    for i in range(n_docs):
+        seq = draw(
+            st.lists(st.integers(0, pool_n - 1), min_size=0, max_size=6)
+        )
+        docs.append((i, f"src{i % 2}", "".join(blocks[j] for j in seq)))
+    return docs
+
+
+@settings(max_examples=4, deadline=None)
+@given(_block_corpus())
+def test_hypothesis_random_corpus_matches_reference(
+    spark, tmp_path_factory, corpus
+):
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        docs_exact_substring_dedup,
+    )
+
+    d = tmp_path_factory.mktemp("substr_hyp")
+    spark.createDataFrame(
+        corpus, "doc_id long, source string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    got = {
+        r["source"]: r
+        for r in docs_exact_substring_dedup(spark, str(d)).collect()
+    }
+    spans, rewritten = ref_exact_substring(corpus)
+    by_src: dict[str, dict] = {}
+    for doc_id, src, _text in corpus:
+        agg = by_src.setdefault(src, {"n_spans": 0, "removed": 0, "kept": 0})
+        sp = spans[doc_id]
+        agg["n_spans"] += len(sp)
+        agg["removed"] += sum(e - s for s, e in sp)
+        agg["kept"] += len(rewritten[doc_id])
+    for src, agg in by_src.items():
+        if agg["n_spans"] == 0:
+            assert src not in got
+            continue
+        assert got[src]["n_spans"] == agg["n_spans"], src
+        assert got[src]["chars_removed"] == agg["removed"], src
+        assert got[src]["chars_kept"] == agg["kept"], src
