@@ -8258,3 +8258,96 @@ def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL-JPEG ROUND-TRIP under the hard gate (round-8; operators/jpeg.py):
+# deterministic flat-color JPEGs are encoded in-plan (mapInPandas, one
+# baseline-JFIF payload per doc: luma L = doc_id*37 % 256, dims
+# 8+doc_id%9 × 8+doc_id%7 — non-MCU-multiple on purpose), then decoded
+# by the REAL baseline decoder (Huffman → dequant → IDCT → luma
+# stats). The oracle is EXACT arithmetic, not a re-implementation:
+# a flat block quantizes to a DC-only spectrum, so the decoded value
+# is v = clip(q00·round(8(L−128)/q00)/8 + 128, 0, 255) with q00 = 5 at
+# quality 85 — SQL-computable per doc. Tie-safety: 8(L−128)/5 has
+# fractional part in {0,±.2,±.4,±.6,±.8}, never .5, so numpy
+# nearest-rounding and SQL ROUND agree for every L; v/255·1000 can
+# never land exactly on a +0.5 floor boundary (v has 1/8 granularity;
+# (102k+51)/400 is never ≡ 0 mod 50/400). The doc_id < 512 cap bounds
+# fixture GENERATION (the decode itself is scan-stage parallel at any
+# scale); padding is edge-replicate, so flat stays flat and the
+# non-multiple dims still decode to the exact model value.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_jpeg_roundtrip_stats",
+    """
+    WITH d AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(doc_id * 37 % 256 AS BIGINT) AS L,
+             CAST(8 + doc_id % 9 AS BIGINT) AS w,
+             CAST(8 + doc_id % 7 AS BIGINT) AS h
+      FROM documents WHERE doc_id < 512
+    ),
+    v AS (
+      SELECT doc_id, w, h,
+             LEAST(GREATEST(
+               5.0 * ROUND(8.0 * (L - 128) / 5.0, 0) / 8.0 + 128.0,
+               0.0), 255.0) AS vv
+      FROM d
+    )
+    SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(h) AS BIGINT) AS sum_height,
+           CAST(SUM(CAST(FLOOR(vv / 255.0 * 1000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_luma_milli,
+           CAST(SUM(3) AS BIGINT) AS sum_components
+    FROM v GROUP BY 1 ORDER BY 1
+    """,
+)
+def docs_jpeg_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.jpeg import (
+        decode_jpeg_real,
+        encode_jpeg_baseline,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < 512)
+    )
+
+    def enc(it):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                L = int(d) * 37 % 256
+                w = 8 + int(d) % 9
+                h = 8 + int(d) % 7
+                img = _np.full((h, w, 3), float(L))
+                payloads.append(
+                    encode_jpeg_baseline(w, h, rgb_rows=img, quality=85)
+                )
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    enc_df = docs.mapInPandas(enc, "doc_id long, payload binary")
+    dec = decode_jpeg_real(enc_df, id_col="doc_id", on_error="fail")
+    return (
+        dec.groupBy((F.col("id") % 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"),
+            F.sum("mean_luma_milli").cast("long").alias("sum_luma_milli"),
+            F.sum("n_components").cast("long").alias("sum_components"),
+        )
+        .orderBy("bucket")
+    )
