@@ -367,3 +367,38 @@ def test_weighted_sample_is_take_ordered(spark, sf_smoke):
     )
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange") == 0, plan
+
+
+def test_exact_substring_dedup_single_scan_jvm_rewrite(spark, sf_oracle):
+    """ExactSubstr (round 8): the pinned-candidate / pinned-span plan
+    must keep exactly ONE parquet scan in the final query (the gram
+    explode and its two-phase hash→string confirm live behind the
+    checkpoint cuts and run once, not three times), the doc rewrite
+    must stay a JVM higher-order fold (no Arrow/Python eval anywhere),
+    and post-checkpoint exchanges must stay on the doc/source keys."""
+    plan = _plan(spark, sf_oracle, "docs_exact_substring_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FileScan parquet") == 1, plan.count("FileScan parquet")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    exchanges = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert exchanges <= {"doc_id", "source", "h", "gram"}, exchanges
+    # scan reads only the three columns the query needs
+    m = re.search(r"ReadSchema: [^\n]*", plan)
+    assert m and "lang" not in m.group(0), m.group(0)
+
+
+def test_jpeg_roundtrip_scan_pruned_and_two_arrow_stages(spark, sf_oracle):
+    """The real-JPEG gate query must push the doc_id<512 fixture cap
+    into the parquet scan, read ONLY doc_id, and spend exactly two
+    Arrow batch stages (encode, decode) — no joins, no row-at-a-time
+    Python eval."""
+    plan = _plan(spark, sf_oracle, "docs_jpeg_roundtrip_stats")
+    pushed = _pushed(plan)
+    assert "LessThan(doc_id,512)" in pushed, pushed
+    m = re.search(r"ReadSchema: [^\n]*", plan)
+    assert m and "struct<doc_id:bigint>" in m.group(0), m and m.group(0)
+    assert plan.count("MapInPandas") == 2, plan.count("MapInPandas")
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan, re.findall(r"\w*Join\w*", plan)
