@@ -1,0 +1,487 @@
+"""Real PNG codec (ISO/IEC 15948 / RFC 2083) in stdlib zlib + numpy.
+
+Same standard as the BMP/WAV/JPEG codecs (operators/multimodal.py,
+operators/jpeg.py): decode the format FOR REAL without media
+libraries. PNG needs only DEFLATE — which is stdlib ``zlib`` — so
+unlike JPEG nothing here is approximate: the codec is lossless and
+round-trips bit-exactly.
+
+Coverage (the full legal baseline matrix, not a happy-path subset):
+
+- color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+  6 (RGBA); bit depths 8/16 everywhere they are legal, plus the
+  sub-byte packed depths 1/2/4 for gray and palette;
+- all five scanline filters (None/Sub/Up/Average/Paeth) on both
+  sides — the encoder picks per-row via the libpng minimum-sum-of-
+  absolute-differences heuristic, the decoder reconstructs them all
+  (Sub as a per-lane cumulative sum mod 256; Average/Paeth with the
+  intra-row carry the spec requires);
+- Adam7 interlace on both sides (each of the 7 passes is its own
+  independently-filtered sub-image);
+- CRC32 verified on EVERY chunk (ancillary ones included), and loud
+  rejection of bad signatures, truncated streams, length overruns,
+  unknown critical chunks, and illegal IHDR combinations.
+
+The reference repo (RDG-CONSULTORES/epl-cas-etl-2026) has no media
+pipeline; this extends the engine's multimodal real-decode surface
+(SURVEY.md §2 multimodal columns) to the dominant lossless format.
+
+At 100 TB the decode runs scan-stage parallel inside ``mapInPandas``
+(``decode_png_real`` below — the exact batch shape of
+``decode_image_real``), so the only scaling knobs are partition size
+and ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_LEGAL_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, spec order.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (spec section 9.4): nearest of
+    left/up/up-left to the initial estimate a + b - c, ties broken
+    a, then b, then c."""
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Filtering (encode side) and reconstruction (decode side). Filters
+# operate on BYTES of the packed scanline; the "left" byte is the one
+# `fu` (filter unit = max(1, channels * depth // 8)) positions back.
+# ---------------------------------------------------------------------------
+def _filter_row(
+    raw: np.ndarray, prior: np.ndarray, fu: int, ftype: int
+) -> np.ndarray:
+    left = np.zeros_like(raw)
+    left[fu:] = raw[:-fu]
+    upleft = np.zeros_like(prior)
+    upleft[fu:] = prior[:-fu]
+    if ftype == 0:
+        return raw.copy()
+    if ftype == 1:
+        return raw - left
+    if ftype == 2:
+        return raw - prior
+    if ftype == 3:
+        avg = (left.astype(np.uint16) + prior.astype(np.uint16)) // 2
+        return raw - avg.astype(np.uint8)
+    if ftype == 4:
+        return raw - _paeth_predict(left, prior, upleft)
+    raise ValueError(f"illegal filter type {ftype}")
+
+
+def _best_filter(raw: np.ndarray, prior: np.ndarray, fu: int) -> tuple[int, np.ndarray]:
+    """libpng MSAD heuristic: pick the filter whose output bytes,
+    interpreted as signed, have the smallest sum of magnitudes."""
+    best_t, best_row, best_score = 0, raw.copy(), None
+    for t in range(5):
+        row = _filter_row(raw, prior, fu, t)
+        signed = row.astype(np.int16)
+        score = int(np.minimum(signed, 256 - signed).sum())
+        if best_score is None or score < best_score:
+            best_t, best_row, best_score = t, row, score
+    return best_t, best_row
+
+
+def _recon_row(
+    filt: np.ndarray, prior: np.ndarray, fu: int, ftype: int
+) -> np.ndarray:
+    if ftype == 0:
+        return filt.copy()
+    if ftype == 2:
+        return filt + prior
+    if ftype == 1:
+        # Recon(x) = Filt(x) + Recon(x - fu): per-lane prefix sum mod 256.
+        lanes = filt.astype(np.uint32).reshape(-1, fu)
+        return (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(-1)
+    out = np.zeros_like(filt)
+    n = len(filt)
+    if ftype == 3:
+        for i in range(n):
+            left = int(out[i - fu]) if i >= fu else 0
+            out[i] = (int(filt[i]) + (left + int(prior[i])) // 2) & 0xFF
+        return out
+    if ftype == 4:
+        for i in range(n):
+            a = int(out[i - fu]) if i >= fu else 0
+            c = int(prior[i - fu]) if i >= fu else 0
+            b = int(prior[i])
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (int(filt[i]) + pred) & 0xFF
+        return out
+    raise ValueError(f"illegal filter type {ftype}")
+
+
+def _pack_scanline(row: np.ndarray, depth: int) -> np.ndarray:
+    """Pack one row of per-sample values into scanline bytes.
+    row shape: (width * channels,) with dtype uint8 (depth<=8) or
+    uint16 (depth 16)."""
+    if depth == 16:
+        return row.astype(">u2").view(np.uint8)
+    if depth == 8:
+        return row.astype(np.uint8)
+    # sub-byte: big-endian bit packing, row padded to a byte boundary
+    bits = np.unpackbits(
+        row.astype(np.uint8).reshape(-1, 1), axis=1, bitorder="big"
+    )[:, 8 - depth :]
+    flat = bits.reshape(-1)
+    pad = (-len(flat)) % 8
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, dtype=np.uint8)])
+    return np.packbits(flat, bitorder="big")
+
+
+def _unpack_scanline(
+    data: np.ndarray, width: int, channels: int, depth: int
+) -> np.ndarray:
+    """Inverse of _pack_scanline → (width * channels,) sample values."""
+    if depth == 16:
+        return data.view(">u2").astype(np.uint16)
+    if depth == 8:
+        return data.astype(np.uint8)
+    bits = np.unpackbits(data, bitorder="big")
+    n = width * channels
+    bits = bits[: n * depth].reshape(n, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=1).astype(np.uint8)
+
+
+def _scanline_bytes(width: int, channels: int, depth: int) -> int:
+    return (width * channels * depth + 7) // 8
+
+
+def _filter_image(
+    rows: np.ndarray, width: int, channels: int, depth: int, filter_mode: str
+) -> bytes:
+    """rows: (h, width*channels) sample array → filtered scanline
+    stream (filter byte + packed bytes per row)."""
+    fu = max(1, channels * depth // 8)
+    out = bytearray()
+    stride = _scanline_bytes(width, channels, depth)
+    prior = np.zeros(stride, dtype=np.uint8)
+    fixed = {"none": 0, "sub": 1, "up": 2, "average": 3, "paeth": 4}
+    for r in range(rows.shape[0]):
+        raw = _pack_scanline(rows[r], depth)
+        if filter_mode == "adaptive":
+            t, filt = _best_filter(raw, prior, fu)
+        else:
+            t = fixed[filter_mode]
+            filt = _filter_row(raw, prior, fu, t)
+        out.append(t)
+        out += filt.tobytes()
+        prior = raw
+    return bytes(out)
+
+
+def _defilter_image(
+    stream: memoryview, width: int, height: int, channels: int, depth: int
+) -> np.ndarray:
+    """Inverse of _filter_image → (h, width*channels) sample array.
+    Consumes exactly height * (1 + stride) bytes from the stream."""
+    fu = max(1, channels * depth // 8)
+    stride = _scanline_bytes(width, channels, depth)
+    need = height * (1 + stride)
+    if len(stream) < need:
+        raise ValueError("IDAT stream truncated")
+    dt = np.uint16 if depth == 16 else np.uint8
+    rows = np.zeros((height, width * channels), dtype=dt)
+    prior = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for r in range(height):
+        ftype = stream[pos]
+        filt = np.frombuffer(stream[pos + 1 : pos + 1 + stride], dtype=np.uint8)
+        raw = _recon_row(filt, prior, fu, ftype)
+        rows[r] = _unpack_scanline(raw, width, channels, depth)
+        prior = raw
+        pos += 1 + stride
+    return rows, need
+
+
+def _pass_dims(width: int, height: int, p: int) -> tuple[int, int]:
+    x0, y0, dx, dy = _ADAM7[p]
+    w = (width - x0 + dx - 1) // dx if width > x0 else 0
+    h = (height - y0 + dy - 1) // dy if height > y0 else 0
+    return w, h
+
+
+def encode_png(
+    width: int,
+    height: int,
+    *,
+    pixels: np.ndarray,
+    color_type: int = 2,
+    bit_depth: int = 8,
+    palette: list | None = None,
+    interlace: bool = False,
+    filter_mode: str = "adaptive",
+    compress_level: int = 9,
+) -> bytes:
+    """Encode a PNG. ``pixels``: (h, w) for 1-channel types, else
+    (h, w, channels); palette entries are (r, g, b) tuples for color
+    type 3 (pixels then hold palette indices)."""
+    if color_type not in _CHANNELS:
+        raise ValueError(f"illegal color type {color_type}")
+    if bit_depth not in _LEGAL_DEPTHS[color_type]:
+        raise ValueError(
+            f"illegal bit depth {bit_depth} for color type {color_type}"
+        )
+    channels = _CHANNELS[color_type]
+    arr = np.asarray(pixels)
+    if channels == 1:
+        arr = arr.reshape(height, width)
+    else:
+        arr = arr.reshape(height, width, channels)
+    flat = arr.reshape(height, width * channels)
+    if interlace:
+        stream = bytearray()
+        for p in range(7):
+            x0, y0, dx, dy = _ADAM7[p]
+            w, h = _pass_dims(width, height, p)
+            if w == 0 or h == 0:
+                continue
+            sub = arr[y0::dy, x0::dx]
+            stream += _filter_image(
+                sub.reshape(h, w * channels), w, channels, bit_depth,
+                filter_mode,
+            )
+        raw_stream = bytes(stream)
+    else:
+        raw_stream = _filter_image(flat, width, channels, bit_depth, filter_mode)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0,
+        1 if interlace else 0,
+    )
+    out = bytearray(PNG_SIGNATURE)
+    out += _chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        if not palette:
+            raise ValueError("color type 3 requires a palette")
+        out += _chunk(
+            b"PLTE", b"".join(bytes((r, g, b)) for r, g, b in palette)
+        )
+    idat = zlib.compress(raw_stream, compress_level)
+    # split IDAT to prove multi-chunk reassembly on the decode side
+    half = max(1, len(idat) // 2)
+    out += _chunk(b"IDAT", idat[:half])
+    if idat[half:]:
+        out += _chunk(b"IDAT", idat[half:])
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_png(buf: bytes) -> dict:
+    """Decode a PNG to {width, height, bit_depth, color_type,
+    channels, pixels} where pixels is (h, w, channels) in the sample
+    space of the file (palette already applied → RGB). Raises
+    ValueError on any malformation; every chunk's CRC is checked."""
+    if bytes(buf[:8]) != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    seen_iend = False
+    while pos < len(buf):
+        if pos + 8 > len(buf):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack_from(">I", buf, pos)
+        tag = bytes(buf[pos + 4 : pos + 8])
+        end = pos + 8 + length
+        if end + 4 > len(buf):
+            raise ValueError(f"truncated {tag!r} chunk")
+        body = bytes(buf[pos + 8 : end])
+        (crc,) = struct.unpack_from(">I", buf, end)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("duplicate IHDR")
+            if length != 13:
+                raise ValueError("IHDR length must be 13")
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            if length % 3 or length > 768:
+                raise ValueError("PLTE length must be a multiple of 3 <= 768")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            seen_iend = True
+            break
+        elif not (tag[0] & 0x20):
+            raise ValueError(f"unknown critical chunk {tag!r}")
+        # ancillary chunks: CRC-checked above, content ignored
+        pos = end + 4
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    if not idat:
+        raise ValueError("missing IDAT")
+    if not seen_iend:
+        raise ValueError("missing IEND")
+    width, height, depth, ctype, comp, filt, inter = ihdr
+    if width <= 0 or height <= 0:
+        raise ValueError("illegal dimensions")
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported compression/filter method")
+    if inter not in (0, 1):
+        raise ValueError(f"unsupported interlace method {inter}")
+    if ctype not in _CHANNELS or depth not in _LEGAL_DEPTHS[ctype]:
+        raise ValueError(
+            f"illegal depth/color combination ({depth}, {ctype})"
+        )
+    channels = _CHANNELS[ctype]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"IDAT inflate failed: {e}") from e
+    dt = np.uint16 if depth == 16 else np.uint8
+    mv = memoryview(raw)
+    if inter == 0:
+        rows, used = _defilter_image(mv, width, height, channels, depth)
+        if used != len(raw):
+            raise ValueError("IDAT stream has trailing bytes")
+        samples = rows.reshape(height, width, channels)
+    else:
+        samples = np.zeros((height, width, channels), dtype=dt)
+        off = 0
+        for p in range(7):
+            x0, y0, dx, dy = _ADAM7[p]
+            w, h = _pass_dims(width, height, p)
+            if w == 0 or h == 0:
+                continue
+            rows, used = _defilter_image(mv[off:], w, h, channels, depth)
+            samples[y0::dy, x0::dx] = rows.reshape(h, w, channels)
+            off += used
+        if off != len(raw):
+            raise ValueError("IDAT stream has trailing bytes")
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("color type 3 without PLTE")
+        idx = samples[..., 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        samples = plte[idx]
+        channels = 3
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": depth,
+        "color_type": ctype,
+        "channels": channels,
+        "pixels": samples,
+    }
+
+
+def luma_sum_int(pixels: np.ndarray, bit_depth: int) -> tuple[int, int]:
+    """Exact-integer luma accumulator for gate oracles: returns
+    (sum over pixels of 299*R + 587*G + 114*B, n_pixels) with 16-bit
+    samples reduced to their high byte first. Gray maps R=G=B; alpha
+    is ignored. Integer throughout — no float ties anywhere."""
+    px = pixels.astype(np.int64)
+    if bit_depth == 16:
+        px = px >> 8
+    c = px.shape[-1]
+    if c == 1 or c == 2:  # gray / gray+alpha
+        y = px[..., 0] * (299 + 587 + 114)
+    else:  # rgb / rgba
+        y = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+    return int(y.sum()), int(y.size)
+
+
+PNG_REAL_SCHEMA = (
+    "id long, width long, height long, bit_depth long, color_type long, "
+    "luma_sum long, n_px long, err string"
+)
+
+
+def decode_png_real(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    on_error: str = "fail",
+) -> DataFrame:
+    """Real PNG decode via mapInPandas — the decode_image_real batch
+    shape with the codec above as the parser. luma_sum/n_px are exact
+    integers (see luma_sum_int) so downstream aggregates are tie-free
+    across engines."""
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be fail|quarantine: {on_error}")
+    cols = [id_col, payload_col]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = []
+            for b in pdf[payload_col]:
+                try:
+                    d = decode_png(bytes(b))
+                    s, n = luma_sum_int(d["pixels"], d["bit_depth"])
+                    parsed.append(
+                        (
+                            d["width"], d["height"], d["bit_depth"],
+                            d["color_type"], s, n, None,
+                        )
+                    )
+                except Exception as e:  # noqa: BLE001 — quarantine is
+                    # the catch-everything path by contract (corrupt
+                    # payloads raise struct.error / zlib.error /
+                    # TypeError just as readily as ValueError)
+                    if on_error == "fail":
+                        raise
+                    parsed.append((None,) * 6 + (str(e),))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "width": [p[0] for p in parsed],
+                    "height": [p[1] for p in parsed],
+                    "bit_depth": [p[2] for p in parsed],
+                    "color_type": [p[3] for p in parsed],
+                    "luma_sum": [p[4] for p in parsed],
+                    "n_px": [p[5] for p in parsed],
+                    "err": [p[6] for p in parsed],
+                }
+            )
+
+    return df.select(*cols).mapInPandas(batches, PNG_REAL_SCHEMA)

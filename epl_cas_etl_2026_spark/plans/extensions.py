@@ -8351,3 +8351,813 @@ def docs_jpeg_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL-PNG ROUND-TRIP under the hard gate (round-8; operators/png.py):
+# deterministic RGB gradient images — pixel (r, c) of doc d has
+# s = (d*7 + r*3 + c*5) % 256, channels (s, s+85, s+170 mod 256),
+# dims (5 + d%12) × (5 + d%11) — are encoded in-plan with ADAPTIVE
+# per-row filter selection (gradients force Sub/Up/Paeth rows, so the
+# gate exercises real filter reconstruction, not just filter 0) and
+# Adam7 interlace on every doc_id % 3 == 0 (all seven passes
+# reassembled in-gate). PNG is lossless, so the oracle is the
+# generation arithmetic itself: DuckDB recomputes the per-pixel luma
+# accumulator Σ(299R + 587G + 114B) over generate_series — EXACT
+# integers end to end, no rounding anywhere, hence no tie-safety
+# argument needed at all (the strongest oracle form a codec gate can
+# have; the JPEG gate needs a quantization model, this needs none).
+# doc_id < 512 bounds fixture GENERATION only — the decode itself is
+# scan-stage parallel at any corpus size.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_png_roundtrip_stats",
+    """
+    WITH d AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(5 + doc_id % 12 AS BIGINT) AS w,
+             CAST(5 + doc_id % 11 AS BIGINT) AS h
+      FROM documents WHERE doc_id < 512
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+             (d.doc_id * 7 + r.r * 3 + c.c * 5) % 256 AS s
+      FROM d
+      JOIN generate_series(0, 14) AS r(r) ON r.r < d.h
+      JOIN generate_series(0, 15) AS c(c) ON c.c < d.w
+    ),
+    per_doc AS (
+      SELECT doc_id, w, h,
+             SUM(299 * s + 587 * ((s + 85) % 256)
+                 + 114 * ((s + 170) % 256)) AS luma_sum,
+             COUNT(*) AS n_px
+      FROM px GROUP BY doc_id, w, h
+    )
+    SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(h) AS BIGINT) AS sum_height,
+           CAST(SUM(luma_sum) AS BIGINT) AS sum_luma,
+           CAST(SUM(n_px) AS BIGINT) AS sum_px
+    FROM per_doc GROUP BY 1 ORDER BY 1
+    """,
+)
+def docs_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.png import (
+        decode_png_real,
+        encode_png,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < 512)
+    )
+
+    def enc(it):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 5 + d % 12, 5 + d % 11
+                rr, cc = _np.mgrid[0:h, 0:w]
+                s = (d * 7 + rr * 3 + cc * 5) % 256
+                img = _np.stack(
+                    [s, (s + 85) % 256, (s + 170) % 256], axis=-1
+                ).astype(_np.uint8)
+                payloads.append(
+                    encode_png(
+                        w, h, pixels=img, interlace=(d % 3 == 0),
+                        filter_mode="adaptive",
+                    )
+                )
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    enc_df = docs.mapInPandas(enc, "doc_id long, payload binary")
+    dec = decode_png_real(enc_df, id_col="doc_id", on_error="fail")
+    return (
+        dec.groupBy((F.col("id") % 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"),
+            F.sum("luma_sum").cast("long").alias("sum_luma"),
+            F.sum("n_px").cast("long").alias("sum_px"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DISTRIBUTED BPE TOKENIZER TRAINING (round-8). docs_bpe_merge_step
+# gates ONE merge over the word stream; this is the real trainer
+# shape: classic character-level BPE (Sennrich et al. 2016) over the
+# DISTINCT-WORD frame, N full merge rounds, emitting the learned merge
+# table plus the corpus token count after every round (the compression
+# curve a tokenizer team actually reads).
+#
+# Scale design — why this is the canonical 100 TB tokenizer-training
+# plan: the corpus is touched ONCE (word count); every training round
+# then runs on the distinct-word frame, which is vocabulary-bounded
+# (Heaps' law: ~millions of types regardless of corpus bytes), with
+# pair counting as one map-side-combined groupBy per round and ONLY
+# the argmax pair (plus one token-count scalar) reaching the driver —
+# O(rounds) driver state, exactly the logreg-Newton iteration
+# discipline. The segmentation fold (greedy_pair_merge) is the same
+# JVM higher-order fold the merge-step query already gates.
+#
+# Determinism: pair argmax ties break (count DESC, lhs, rhs) — byte
+# collation in both engines; token counts are exact integers. The
+# oracle replays all N rounds as generated CTE chains sharing the
+# list_reduce merge shape with docs_bpe_merge_step's oracle.
+# ---------------------------------------------------------------------------
+_BPE_TRAIN_ROUNDS = 8
+
+
+def _bpe_train_oracle(rounds: int) -> str:
+    parts = [
+        """
+    WITH w0 AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY word
+    ),
+    s0 AS (
+      SELECT freq, regexp_extract_all(word, '(?s).') AS seg FROM w0
+    ),
+    m0 AS (SELECT CAST(SUM(freq * len(seg)) AS BIGINT) AS tokens_after
+           FROM s0)"""
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f""",
+    p{k} AS (
+      SELECT pr[1] AS w1, pr[2] AS w2, CAST(SUM(freq) AS BIGINT) AS c
+      FROM (SELECT freq,
+                   unnest(list_zip(seg[1:len(seg) - 1], seg[2:len(seg)]))
+                     AS pr
+            FROM s{p})
+      GROUP BY 1, 2
+    ),
+    t{k} AS (SELECT w1, w2, c FROM p{k} ORDER BY c DESC, w1, w2 LIMIT 1),
+    s{k} AS (
+      SELECT freq,
+             CASE WHEN len(seg) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE list_reduce(list_transform(seg, x -> [x]),
+                    (acc, x) -> CASE WHEN len(acc) > 0
+                                      AND acc[len(acc)] = t{k}.w1
+                                      AND x[1] = t{k}.w2
+                                THEN acc[1:len(acc) - 1]
+                                     || [t{k}.w1 || t{k}.w2]
+                                ELSE acc || x END)
+             END AS seg
+      FROM s{p} CROSS JOIN t{k}
+    ),
+    m{k} AS (SELECT CAST(SUM(freq * len(seg)) AS BIGINT) AS tokens_after
+             FROM s{k})"""
+        )
+    rows = [
+        """
+    SELECT CAST(0 AS BIGINT) AS merge_rank, '' AS lhs, '' AS rhs,
+           CAST(0 AS BIGINT) AS pair_freq, m0.tokens_after
+    FROM m0"""
+    ]
+    for k in range(1, rounds + 1):
+        rows.append(
+            f"""
+    SELECT CAST({k} AS BIGINT), t{k}.w1, t{k}.w2, t{k}.c,
+           m{k}.tokens_after
+    FROM t{k}, m{k}"""
+        )
+    return (
+        "".join(parts)
+        + "\n    UNION ALL".join(rows)
+        + "\n    ORDER BY merge_rank"
+    )
+
+
+@_register("docs_bpe_train_merges", _bpe_train_oracle(_BPE_TRAIN_ROUNDS))
+def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    # localCheckpoint (eager), NOT persist: a cached plan pins its
+    # 200-partition shuffle output (AQE may not re-partition cached
+    # plans under the default canChangeCachedPlanOutputPartitioning),
+    # turning every one of the ~2·rounds tiny vocab jobs into a
+    # 200-task reduce stage — measured 40.6 s → 7 s at sf0.01 from
+    # this one change. Checkpointing materializes the frame AND keeps
+    # every later round AQE-eligible, so the per-round shuffles
+    # coalesce to a handful of tasks.
+    segs = vocab.select(
+        "freq",
+        F.expr("regexp_extract_all(word, '(?s).', 0)").alias("seg"),
+    ).localCheckpoint()
+
+    def token_count_of(frame: DataFrame):
+        row = frame.agg(
+            F.sum(F.col("freq") * F.size("seg")).cast("long").alias("t")
+        ).collect()[0]
+        return row["t"]
+
+    def top_pair(frame: DataFrame):
+        pairs = frame.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.expr(
+                        "slice(seg, 1, greatest(size(seg) - 1, 0))"
+                    ).alias("a"),
+                    F.expr(
+                        "slice(seg, 2, greatest(size(seg) - 1, 0))"
+                    ).alias("b"),
+                )
+            ).alias("p"),
+        ).select(
+            F.col("p.a").alias("w1"), F.col("p.b").alias("w2"), "freq"
+        )
+        rows = (
+            pairs.groupBy("w1", "w2")
+            .agg(F.sum("freq").cast("long").alias("c"))
+            .orderBy(F.desc("c"), "w1", "w2")
+            .limit(1)
+            .collect()
+        )
+        return rows[0] if rows else None
+
+    out = [(0, "", "", 0, token_count_of(segs))]
+    cur = segs
+    for k in range(1, _BPE_TRAIN_ROUNDS + 1):
+        best = top_pair(cur)
+        if best is None:
+            break
+        merged = best["w1"] + best["w2"]
+        cur = cur.select(
+            "freq",
+            greedy_pair_merge(
+                F.col("seg"),
+                F.lit(best["w1"]),
+                F.lit(best["w2"]),
+                F.lit(merged),
+            ).alias("seg"),
+        ).localCheckpoint()
+        out.append((k, best["w1"], best["w2"], best["c"], token_count_of(cur)))
+    return spark.createDataFrame(
+        out,
+        "merge_rank long, lhs string, rhs string, pair_freq long, "
+        "tokens_after long",
+    ).orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# round-8): score every document by how much more likely its hashed
+# unigram features are under a TARGET domain (here: the 'en' slice)
+# than under the RAW corpus, then keep the top-K. This is the
+# canonical pretraining-data selection operator the benchmark-
+# decontamination / quality-resample family was still missing: those
+# filter docs independently; DSIR ranks them against a target
+# DISTRIBUTION. The published method resamples with Gumbel noise; the
+# gate pins the deterministic core (exact importance weights +
+# deterministic top-K) — seeded resampling over these weights is the
+# docs_quality_resample_stats shape.
+#
+# Determinism: per-BUCKET log-ratio terms (only B=256 ln evaluations,
+# one per bucket, NOT one per gram) are quantized to integer
+# micro-units via FLOOR(1e6·x + 0.5); per-doc weights are then exact
+# integer sums of bucket terms over gram OCCURRENCES, so ranking and
+# hashing are tie-free by construction (ties broken by doc_id). The
+# four-separate-ln formulation (ln(t+1) − ln(T+B) − ln(r+1) + ln(R+B))
+# is mirrored verbatim in both engines and never forms an integer
+# product above 2^53 at any scale.
+#
+# 100 TB: one corpus pass builds the gram→bucket stream; bucket count
+# tables are B-bounded (256 rows) and broadcast; per-doc weights are
+# one map-side-combined groupBy(doc_id); selection is
+# TakeOrderedAndProject (no global sort materialization).
+# ---------------------------------------------------------------------------
+_DSIR_BUCKETS = 256
+_DSIR_K = 64
+
+
+@_register(
+    "docs_dsir_topk_select",
+    f"""
+    WITH grams AS (
+      SELECT doc_id, lang, source,
+             CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT)
+               % {_DSIR_BUCKETS} AS bucket
+      FROM (SELECT doc_id, lang, source,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS word
+            FROM documents)
+    ),
+    raw_b AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r_b
+      FROM grams GROUP BY bucket
+    ),
+    tgt_b AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS t_b
+      FROM grams WHERE lang = 'en' GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS r_tot,
+             CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS t_tot
+      FROM grams
+    ),
+    terms AS (
+      SELECT raw_b.bucket,
+             CAST(FLOOR(1e6 * (ln(CAST(COALESCE(t_b, 0) + 1 AS DOUBLE))
+                               - ln(CAST(t_tot + {_DSIR_BUCKETS} AS DOUBLE))
+                               - ln(CAST(r_b + 1 AS DOUBLE))
+                               + ln(CAST(r_tot + {_DSIR_BUCKETS} AS DOUBLE)))
+                        + 0.5) AS BIGINT) AS term_micro
+      FROM raw_b LEFT JOIN tgt_b ON raw_b.bucket = tgt_b.bucket
+      CROSS JOIN tot
+    ),
+    doc_w AS (
+      SELECT g.doc_id,
+             MIN(g.lang) AS lang,
+             MIN(g.source) AS source,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(term_micro) AS BIGINT) AS weight_micro
+      FROM grams g JOIN terms ON g.bucket = terms.bucket
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, lang, source, n_grams, weight_micro
+    FROM doc_w
+    ORDER BY weight_micro DESC, doc_id
+    LIMIT {_DSIR_K}
+    """,
+)
+def docs_dsir_topk_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("word"),
+    )
+    grams = words.select(
+        "doc_id",
+        "lang",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    raw_b = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("r_b")
+    )
+    tgt_b = (
+        grams.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("t_b"))
+    )
+    tot = grams.agg(
+        F.count(F.lit(1)).cast("long").alias("r_tot"),
+        F.count(F.when(F.col("lang") == "en", 1))
+        .cast("long")
+        .alias("t_tot"),
+    )
+    b = F.lit(float(_DSIR_BUCKETS))
+    terms = (
+        raw_b.join(tgt_b, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(
+                F.lit(1e6)
+                * (
+                    F.log(
+                        (F.coalesce(F.col("t_b"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                    )
+                    - F.log(F.col("t_tot").cast("double") + b)
+                    - F.log((F.col("r_b") + 1).cast("double"))
+                    + F.log(F.col("r_tot").cast("double") + b)
+                )
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("term_micro"),
+        )
+    )
+    doc_w = (
+        grams.join(F.broadcast(terms), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.min("source").alias("source"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("term_micro").cast("long").alias("weight_micro"),
+        )
+    )
+    return doc_w.select(
+        "doc_id", "lang", "source", "n_grams", "weight_micro"
+    ).orderBy(F.desc("weight_micro"), "doc_id").limit(_DSIR_K)
+
+
+# ---------------------------------------------------------------------------
+# REAL-ADPCM ROUND-TRIP under the hard gate (round-8;
+# operators/adpcm.py): deterministic IMA-ADPCM WAV payloads are built
+# in-plan DIRECTLY from nibble streams (nib_i = (d + 7i) % 16, i<64,
+# predictor seed d*331 % 4096 − 2048, step-index seed d % 89 — every
+# one of the 89 step-table rows is seeded by some doc), decoded by the
+# REAL decoder (container parse → block header → nibble unpack →
+# integer state machine), and compared against an oracle that REPLAYS
+# THE STATE MACHINE ITSELF: the IMA recurrence is pure integer
+# shifts/adds/clamps, so DuckDB runs it exactly as a list_reduce fold
+# with the public step/index tables as literals. No rounding model,
+# no float anywhere — the oracle is a genuine third implementation of
+# the decoder, stronger than the JPEG gate's closed-form model. The
+# ENCODER (sample→nibble quantizer) is validated in
+# tests/test_adpcm_real.py via round-trip SNR + an independent
+# reference implementation; the fixture-from-nibbles path keeps the
+# GATE exact. doc_id < 512 bounds fixture generation only.
+# ---------------------------------------------------------------------------
+def _adpcm_oracle() -> str:
+    from epl_cas_etl_2026_spark.operators.adpcm import (
+        INDEX_TABLE,
+        STEP_TABLE,
+    )
+
+    stv = "[" + ", ".join(str(v) for v in STEP_TABLE) + "]"
+    itv = "[" + ", ".join(str(v) for v in INDEX_TABLE) + "]"
+    # State rides a flat BIGINT list [idx, p0, p1, ..., pk] — NOT a
+    # struct: DuckDB v1.0.0 misbinds struct-field accumulator
+    # references inside list_reduce (each field expression sees a
+    # different accumulator snapshot — probed, reproducible), while
+    # flat-list accumulators fold correctly.
+    step = "st.stv[acc[1] + 1]"
+    diff = (
+        f"({step} // 8"
+        f" + CASE WHEN (x[1] & 4) <> 0 THEN {step} ELSE 0 END"
+        f" + CASE WHEN (x[1] & 2) <> 0 THEN {step} // 2 ELSE 0 END"
+        f" + CASE WHEN (x[1] & 1) <> 0 THEN {step} // 4 ELSE 0 END)"
+    )
+    p2 = (
+        "LEAST(GREATEST(CASE WHEN (x[1] & 8) <> 0"
+        f" THEN acc[len(acc)] - {diff}"
+        f" ELSE acc[len(acc)] + {diff} END,"
+        " -32768), 32767)"
+    )
+    i2 = "LEAST(GREATEST(acc[1] + st.itv[x[1] + 1], 0), 88)"
+    return f"""
+    WITH st AS (
+      SELECT CAST({stv} AS BIGINT[]) AS stv,
+             CAST({itv} AS BIGINT[]) AS itv
+    ),
+    d AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(doc_id * 331 % 4096 - 2048 AS BIGINT) AS pred0,
+             CAST(doc_id % 89 AS BIGINT) AS idx0
+      FROM documents WHERE doc_id < 512
+    ),
+    dec AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend([idx0, pred0],
+                 list_transform(range(64),
+                   i -> [(doc_id + 7 * i) % 16])),
+               (acc, x) -> [{i2}] || acc[2:] || [{p2}]
+             )[2:] AS seq
+      FROM d CROSS JOIN st
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             len(seq) AS n_samples,
+             CAST(list_aggregate(seq, 'sum') AS BIGINT) AS sum_pred,
+             CAST(list_aggregate(list_transform(seq, s -> abs(s)),
+                                 'sum') AS BIGINT) AS sum_abs,
+             CAST(list_aggregate(list_transform(seq, s -> s * s),
+                                 'sum') AS BIGINT) AS energy
+      FROM dec
+    )
+    SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_samples) AS BIGINT) AS sum_samples,
+           CAST(SUM(sum_pred) AS BIGINT) AS sum_pred,
+           CAST(SUM(sum_abs) AS BIGINT) AS sum_abs,
+           CAST(SUM(energy) AS BIGINT) AS energy
+    FROM per_doc GROUP BY 1 ORDER BY 1
+    """
+
+
+@_register("docs_adpcm_roundtrip_stats", _adpcm_oracle())
+def docs_adpcm_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.adpcm import (
+        adpcm_payload_from_nibbles,
+        decode_adpcm_real,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < 512)
+    )
+
+    def enc(it):
+        import pandas as _pd
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payloads.append(
+                    adpcm_payload_from_nibbles(
+                        [(d + 7 * i) % 16 for i in range(64)],
+                        pred0=d * 331 % 4096 - 2048,
+                        idx0=d % 89,
+                    )
+                )
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    enc_df = docs.mapInPandas(enc, "doc_id long, payload binary")
+    dec = decode_adpcm_real(enc_df, id_col="doc_id", on_error="fail")
+    return (
+        dec.groupBy((F.col("id") % 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_samples").cast("long").alias("sum_samples"),
+            F.sum("sum_pred").cast("long").alias("sum_pred"),
+            F.sum("sum_abs").cast("long").alias("sum_abs"),
+            F.sum("energy").cast("long").alias("energy"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII SCRUBBING (round-8 continuation): the redaction pass every
+# pretraining pipeline runs before anything else — emails, phone
+# numbers, IPv4 addresses replaced by typed tokens, with a per-source
+# audit (match counts by type, chars removed) and an order-independent
+# BIT_XOR checksum of the scrubbed corpus proving the REWRITE itself
+# (not just the counts) is identical across engines.
+#
+# Deterministic fixtures: each doc gets a synthetic contact sentence
+# appended in-plan (user<id>@example.com, a +1 (555) NNN-NNNN phone,
+# a 192.168.x.y address — RFC-reserved/example values only), so every
+# doc exercises all three patterns ON TOP of whatever digit runs the
+# natural text contributes (both engines see the same text, so organic
+# matches agree too).
+#
+# Cross-engine regex discipline: patterns restricted to the syntax
+# subset where Java regex (Spark) and RE2 (DuckDB) agree — character
+# classes, bounded/unbounded counted repetition, non-capturing groups,
+# \b word boundaries; no lookaround, no backreferences. DuckDB's
+# regexp_replace needs the explicit 'g' flag (it replaces FIRST match
+# by default; Spark replaces all). Scrub order (email → phone → IP)
+# is part of the spec and identical on both sides.
+#
+# 100 TB: pure scan-stage string work (whole-stage codegen, zero
+# Python), one map-side-combined groupBy(source). The checksum uses
+# BIT_XOR of md5-derived 60-bit values — order-independent and
+# overflow-free at any row count (the SUM-of-hashes alternative
+# overflows int64 at ~1e10 rows).
+# ---------------------------------------------------------------------------
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+_PII_IP = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+
+@_register(
+    "docs_pii_scrub_stats",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, source,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1 (555) '
+                  || CAST(100 + doc_id % 900 AS VARCHAR) || '-'
+                  || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                  || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST(doc_id % 250 AS VARCHAR) || '.'
+               AS t
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id, source, t,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                 '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_IP}', '[IP]', 'g') AS s,
+             len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+             len(regexp_extract_all(
+                 regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                 '{_PII_PHONE}')) AS n_phone,
+             len(regexp_extract_all(
+                 regexp_replace(
+                   regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                   '{_PII_PHONE}', '[PHONE]', 'g'),
+                 '{_PII_IP}')) AS n_ip
+      FROM aug
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS emails,
+           CAST(SUM(n_phone) AS BIGINT) AS phones,
+           CAST(SUM(n_ip) AS BIGINT) AS ips,
+           CAST(SUM(length(t) - length(s)) AS BIGINT) AS chars_removed,
+           CAST(BIT_XOR(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))
+                AS BIGINT) AS scrub_xor
+    FROM scrubbed GROUP BY source ORDER BY source
+    """,
+)
+def docs_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) "),
+        (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+        F.lit("-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" from 192.168."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit("."),
+    )
+    aug = docs.select("doc_id", "source", t.alias("t"))
+    no_email = F.regexp_replace(F.col("t"), _PII_EMAIL, "[EMAIL]")
+    no_phone = F.regexp_replace(no_email, _PII_PHONE, "[PHONE]")
+    s = F.regexp_replace(no_phone, _PII_IP, "[IP]")
+    scrubbed = aug.select(
+        "source",
+        "t",
+        s.alias("s"),
+        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count(no_email, F.lit(_PII_PHONE)).alias("n_phone"),
+        F.regexp_count(no_phone, F.lit(_PII_IP)).alias("n_ip"),
+    )
+    h60 = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_email").cast("long").alias("emails"),
+            F.sum("n_phone").cast("long").alias("phones"),
+            F.sum("n_ip").cast("long").alias("ips"),
+            F.sum(F.length("t") - F.length("s"))
+            .cast("long")
+            .alias("chars_removed"),
+            F.bit_xor(h60).alias("scrub_xor"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# WARC INGESTION (round-8 continuation; sources/warc.py): pretraining
+# corpora arrive as WARC (ISO 28500 / CommonCrawl) — this gates the
+# REAL record parser end-to-end. Each doc becomes one in-plan WARC
+# file holding a warcinfo + response + metadata record triplet
+# (response body = the doc text's UTF-8 bytes, example.com target
+# URIs, fixed WARC-Date), parsed back by the strict parser (version
+# line, mandatory headers, byte-exact Content-Length framing, record
+# separators — every byte of framing must be right or the gate
+# fails). The oracle recomputes every per-type aggregate from the
+# generation arithmetic: Content-Length sums via strlen (BYTES — the
+# multi-byte zh/de text makes length() wrong here, a deliberate trap
+# this oracle pins), and an order-independent BIT_XOR over
+# md5-derived 60-bit body hashes proving the parser returned the
+# exact body bytes (warcinfo's constant body folds to h·(n mod 2)).
+# 100 TB: scan-stage parallel per WARC split, the CommonCrawl shape.
+# ---------------------------------------------------------------------------
+_WARCINFO_BODY = "software: epl-cas-etl-2026-spark\n"
+
+
+@_register(
+    "docs_warc_ingest_stats",
+    f"""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5('{_WARCINFO_BODY[:-1]}' || chr(10)),
+                   1, 15)) AS BIGINT) AS info_h,
+             strlen('{_WARCINFO_BODY[:-1]}' || chr(10)) AS info_len
+      ),
+    base AS (SELECT doc_id, text, lang FROM documents)
+    SELECT 'metadata' AS rec_type,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(strlen('lang=' || lang)) AS BIGINT) AS sum_len,
+           CAST(BIT_XOR(CAST(('0x' || substr(md5('lang=' || lang), 1, 15))
+                             AS BIGINT)) AS BIGINT) AS body_xor
+    FROM base
+    UNION ALL
+    SELECT 'response',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(strlen(text)) AS BIGINT),
+           CAST(BIT_XOR(CAST(('0x' || substr(md5(text), 1, 15))
+                             AS BIGINT)) AS BIGINT)
+    FROM base
+    UNION ALL
+    SELECT 'warcinfo',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) * (SELECT info_len FROM h) AS BIGINT),
+           CAST(CASE WHEN COUNT(*) % 2 = 1
+                     THEN (SELECT info_h FROM h) ELSE 0 END AS BIGINT)
+    FROM base
+    ORDER BY rec_type
+    """,
+)
+def docs_warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.sources.warc import (
+        build_warc_record,
+        warc_records,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+
+    def enc(it):
+        import pandas as _pd
+
+        for pdf in it:
+            payloads = []
+            for d, text, lang in zip(
+                pdf["doc_id"], pdf["text"], pdf["lang"]
+            ):
+                d = int(d)
+                common = {
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                }
+                recs = [
+                    build_warc_record(
+                        {
+                            "WARC-Type": "warcinfo",
+                            "WARC-Record-ID": f"<urn:uuid:{3 * d:032x}>",
+                            **common,
+                        },
+                        _WARCINFO_BODY.encode(),
+                    ),
+                    build_warc_record(
+                        {
+                            "WARC-Type": "response",
+                            "WARC-Record-ID": f"<urn:uuid:{3 * d + 1:032x}>",
+                            "WARC-Target-URI": (
+                                f"http://example.com/doc/{d}"
+                            ),
+                            **common,
+                        },
+                        str(text).encode("utf-8"),
+                    ),
+                    build_warc_record(
+                        {
+                            "WARC-Type": "metadata",
+                            "WARC-Record-ID": f"<urn:uuid:{3 * d + 2:032x}>",
+                            **common,
+                        },
+                        f"lang={lang}".encode(),
+                    ),
+                ]
+                payloads.append(b"".join(recs))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    files = docs.mapInPandas(enc, "doc_id long, payload binary")
+    recs = warc_records(files, id_col="doc_id", on_error="fail")
+    return (
+        recs.groupBy("rec_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum("content_length").cast("long").alias("sum_len"),
+            F.bit_xor("body_h60").alias("body_xor"),
+        )
+        .orderBy("rec_type")
+    )
