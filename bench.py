@@ -229,6 +229,14 @@ HEADLINE = [
     # correctness instead.
     "embedding_pq_index_serve",
     "docs_exact_substring_dedup",
+    # round-8 continuation (appended): the distributed BPE trainer
+    # (8 vocab-bounded merge rounds) and DSIR importance selection —
+    # both engine-throughput queries that scale with sf. The PNG and
+    # ADPCM round-trip gates stay out for the JPEG reason: fixed
+    # 512-doc codec fixtures, sf-invariant, driver-gated for
+    # correctness instead.
+    "docs_bpe_train_merges",
+    "docs_dsir_topk_select",
 ]
 
 
@@ -347,6 +355,7 @@ def report(timings: dict[str, float]) -> None:
     r5_subset = round(sum(timings[n] for n in HEADLINE[:65] if n in timings), 3)
     r6_subset = round(sum(timings[n] for n in HEADLINE[:73] if n in timings), 3)
     r7_subset = round(sum(timings[n] for n in HEADLINE[:98] if n in timings), 3)
+    r8_subset = round(sum(timings[n] for n in HEADLINE[:124] if n in timings), 3)
     # round-6 scale rehearsal artifacts (committed JSON, produced by
     # tools/rehearse_sf1.py and tools/bench_skew.py on this host):
     # ride along in the bench record so BENCH_r06 carries the
@@ -382,6 +391,7 @@ def report(timings: dict[str, float]) -> None:
         "r5_queries_noop_sec": r5_subset,
         "r6_queries_noop_sec": r6_subset,
         "r7_queries_noop_sec": r7_subset,
+        "r8_queries_noop_sec": r8_subset,
         "budget_check": budget_check,
         **extras,
         "cpu_calib_sec": calib,
