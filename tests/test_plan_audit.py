@@ -402,3 +402,68 @@ def test_jpeg_roundtrip_scan_pruned_and_two_arrow_stages(spark, sf_oracle):
     assert plan.count("MapInPandas") == 2, plan.count("MapInPandas")
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan, re.findall(r"\w*Join\w*", plan)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["docs_png_roundtrip_stats", "docs_gif_roundtrip_stats"],
+)
+def test_lossless_codec_gates_scan_pruned_two_arrow_stages(
+    spark, sf_oracle, name
+):
+    """The PNG/GIF gates share the JPEG gate's plan contract: fixture
+    cap pushed to the scan, doc_id-only read schema, exactly two
+    Arrow stages (encode, decode), no joins."""
+    plan = _plan(spark, sf_oracle, name)
+    assert "LessThan(doc_id,512)" in _pushed(plan), _pushed(plan)
+    m = re.search(r"ReadSchema: [^\n]*", plan)
+    assert m and "struct<doc_id:bigint>" in m.group(0), m and m.group(0)
+    assert plan.count("MapInPandas") == 2, plan.count("MapInPandas")
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan, re.findall(r"\w*Join\w*", plan)
+
+
+def test_adpcm_roundtrip_plan_contract(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "docs_adpcm_roundtrip_stats")
+    assert "LessThan(doc_id,512)" in _pushed(plan), _pushed(plan)
+    assert plan.count("MapInPandas") == 2, plan.count("MapInPandas")
+    assert "Join" not in plan
+
+
+def test_dsir_broadcasts_terms_and_takes_ordered(spark, sf_oracle):
+    """DSIR's term table (B=256 rows) must broadcast — never shuffle
+    the gram stream by bucket for the weight join — and the top-K
+    must be TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, sf_oracle, "docs_dsir_topk_select")
+    assert "TakeOrderedAndProject" in plan
+    # the corpus-side weight join must broadcast the 256-row term
+    # table (a sort-merge join here would shuffle the whole gram
+    # stream by bucket a second time); the bucket-count aggregations
+    # themselves may exchange — they are map-side combined to <=B
+    # rows per partition before any shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, re.findall(r"\w*Join\w*", plan)
+    # the one nested-loop join is the broadcast 1-row totals frame
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_pii_scrub_is_pure_scan_stage(spark, sf_oracle):
+    """The scrub must be whole-stage-codegen string work over the
+    scan — no Python eval, no joins, and only the final per-source
+    aggregation exchange."""
+    plan = _plan(spark, sf_oracle, "docs_pii_scrub_stats")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Join" not in plan
+    exchanges = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert exchanges <= {"source"}, exchanges
+    m = re.search(r"ReadSchema: [^\n]*", plan)
+    assert m and "lang" not in m.group(0), m and m.group(0)
+
+
+def test_warc_ingest_single_arrow_pair_one_exchange(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "docs_warc_ingest_stats")
+    assert plan.count("MapInPandas") == 2  # build files, parse records
+    assert "Join" not in plan
+    exchanges = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert exchanges <= {"rec_type"}, exchanges

@@ -37,6 +37,10 @@ EXPECTED_VALUEERRORS = {
     # round-7 batch serving forms: same pq_fit / query-row init guards
     "embedding_pq_batch_topk",
     "embedding_graph_batch_topk",
+    # round-8 continuation: the persisted NSW pair's serve query has
+    # the same vec_id-0..15 query-row guard as graph_batch (the build
+    # side survives empty input — an empty adjacency commits fine)
+    "embedding_nsw_index_serve",
 }
 
 
