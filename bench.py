@@ -231,10 +231,13 @@ HEADLINE = [
     "docs_exact_substring_dedup",
     # round-8 continuation (appended): the distributed BPE trainer
     # (8 vocab-bounded merge rounds) and DSIR importance selection —
-    # both engine-throughput queries that scale with sf. The PNG and
-    # ADPCM round-trip gates stay out for the JPEG reason: fixed
-    # 512-doc codec fixtures, sf-invariant, driver-gated for
-    # correctness instead.
+    # both engine-throughput queries that scale with sf. The PNG,
+    # GIF and ADPCM round-trip gates stay out for the JPEG reason:
+    # fixed 512-doc codec fixtures, sf-invariant, driver-gated for
+    # correctness instead. docs_bpe_encode_stats stays out because
+    # its wall is ~85% the trainer already benched below (encode
+    # itself is one vocab-bounded join, measured by its own gate);
+    # benching it would double-count training.
     "docs_bpe_train_merges",
     "docs_dsir_topk_select",
 ]

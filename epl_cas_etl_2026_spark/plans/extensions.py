@@ -8482,7 +8482,7 @@ def docs_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TRAIN_ROUNDS = 8
 
 
-def _bpe_train_oracle(rounds: int) -> str:
+def _bpe_cte_prefix(rounds: int) -> str:
     parts = [
         """
     WITH w0 AS (
@@ -8493,7 +8493,8 @@ def _bpe_train_oracle(rounds: int) -> str:
       GROUP BY word
     ),
     s0 AS (
-      SELECT freq, regexp_extract_all(word, '(?s).') AS seg FROM w0
+      SELECT word, freq, regexp_extract_all(word, '(?s).') AS seg
+      FROM w0
     ),
     m0 AS (SELECT CAST(SUM(freq * len(seg)) AS BIGINT) AS tokens_after
            FROM s0)"""
@@ -8512,7 +8513,7 @@ def _bpe_train_oracle(rounds: int) -> str:
     ),
     t{k} AS (SELECT w1, w2, c FROM p{k} ORDER BY c DESC, w1, w2 LIMIT 1),
     s{k} AS (
-      SELECT freq,
+      SELECT word, freq,
              CASE WHEN len(seg) = 0 THEN CAST([] AS VARCHAR[])
                   ELSE list_reduce(list_transform(seg, x -> [x]),
                     (acc, x) -> CASE WHEN len(acc) > 0
@@ -8527,6 +8528,10 @@ def _bpe_train_oracle(rounds: int) -> str:
     m{k} AS (SELECT CAST(SUM(freq * len(seg)) AS BIGINT) AS tokens_after
              FROM s{k})"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_oracle(rounds: int) -> str:
     rows = [
         """
     SELECT CAST(0 AS BIGINT) AS merge_rank, '' AS lhs, '' AS rhs,
@@ -8541,14 +8546,42 @@ def _bpe_train_oracle(rounds: int) -> str:
     FROM t{k}, m{k}"""
         )
     return (
-        "".join(parts)
+        _bpe_cte_prefix(rounds)
         + "\n    UNION ALL".join(rows)
         + "\n    ORDER BY merge_rank"
     )
 
 
-@_register("docs_bpe_train_merges", _bpe_train_oracle(_BPE_TRAIN_ROUNDS))
-def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_encode_oracle(rounds: int) -> str:
+    return (
+        _bpe_cte_prefix(rounds)
+        + f""",
+    doc_words AS (
+      SELECT lang,
+             unnest(list_filter(string_split(text, ' '),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    enc AS (
+      SELECT dw.lang, dw.word, len(s{rounds}.seg) AS n_tok
+      FROM doc_words dw JOIN s{rounds} ON dw.word = s{rounds}.word
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+           CAST((SUM(n_tok) * 1000 + SUM(length(word)) // 2)
+                // SUM(length(word)) AS BIGINT) AS tokens_per_kchar
+    FROM enc GROUP BY lang ORDER BY lang
+    """
+    )
+
+
+def _bpe_train_segs(spark: SparkSession, sf_dir: str):
+    """Run the full training loop; returns (merge-table rows, final
+    per-word segmentation frame with columns word/freq/seg). Shared
+    by the trainer gate (emits the merge table) and the encode gate
+    (joins the final segmentation back onto the corpus)."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(
@@ -8568,6 +8601,7 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every later round AQE-eligible, so the per-round shuffles
     # coalesce to a handful of tasks.
     segs = vocab.select(
+        "word",
         "freq",
         F.expr("regexp_extract_all(word, '(?s).', 0)").alias("seg"),
     ).localCheckpoint()
@@ -8611,6 +8645,7 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         merged = best["w1"] + best["w2"]
         cur = cur.select(
+            "word",
             "freq",
             greedy_pair_merge(
                 F.col("seg"),
@@ -8620,11 +8655,65 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seg"),
         ).localCheckpoint()
         out.append((k, best["w1"], best["w2"], best["c"], token_count_of(cur)))
+    return out, cur
+
+
+@_register("docs_bpe_train_merges", _bpe_train_oracle(_BPE_TRAIN_ROUNDS))
+def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, _segs = _bpe_train_segs(spark, sf_dir)
     return spark.createDataFrame(
         out,
         "merge_rank long, lhs string, rhs string, pair_freq long, "
         "tokens_after long",
     ).orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE (round-8 continuation): the serving half of the trainer
+# pair — apply the learned segmentation to the WHOLE corpus and
+# report the per-language compression curve endpoint (tokens, chars,
+# tokens-per-kchar). Because BPE segments per WORD, "apply" is a join
+# of the corpus word stream against the trained distinct-word
+# segmentation frame — no per-document fold at all, which is exactly
+# why word-level BPE serves cheaply at 100 TB: the encode pass is one
+# corpus scan + one join against a vocab-bounded frame (broadcast
+# when it fits, shuffle-on-word when it does not), never a Python
+# tokenizer loop. Integer ratio via the half-up (a*1000 + b div 2)
+# div b idiom. The oracle replays training via the shared CTE prefix
+# and encodes with the same join.
+# ---------------------------------------------------------------------------
+@_register("docs_bpe_encode_stats", _bpe_encode_oracle(_BPE_TRAIN_ROUNDS))
+def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _out, segs = _bpe_train_segs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("word"),
+    )
+    enc = dw.join(
+        segs.select("word", F.size("seg").alias("n_tok")), "word"
+    )
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr(
+                "(n_tokens * CAST(1000 AS BIGINT) + n_chars div 2)"
+                " div n_chars"
+            ).alias("tokens_per_kchar"),
+        )
+        .orderBy("lang")
+    )
 
 
 # ---------------------------------------------------------------------------
