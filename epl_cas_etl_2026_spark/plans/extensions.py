@@ -9615,3 +9615,89 @@ def docs_gif_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# ZIP INGESTION (round-8 continuation; sources/archive.py): the other
+# container corpora arrive in, next to WARC — and unlike WARC the
+# members are REALLY compressed (stdlib DEFLATE) and CRC-verified on
+# read, so the gate proves decompression + integrity checking, not
+# just framing. Each doc becomes an in-plan two-member archive
+# (doc/<id>.txt = the text's UTF-8 bytes, meta/<id>.json = a lang
+# record); the parser explodes members; aggregates group by the
+# top-level directory. The oracle recomputes everything from
+# generation arithmetic: byte sizes via strlen, plus the
+# order-independent BIT_XOR over md5-derived 60-bit body hashes that
+# pins the exact decompressed bytes. 100 TB: one archive per row,
+# scan-stage parallel — the labeling-vendor-delivery shape.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_zip_ingest_stats",
+    """
+    SELECT 'doc' AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes,
+           CAST(BIT_XOR(CAST(('0x' || substr(md5(text), 1, 15))
+                             AS BIGINT)) AS BIGINT) AS body_xor
+    FROM documents
+    UNION ALL
+    SELECT 'meta',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(strlen('{"lang":"' || lang || '"}')) AS BIGINT),
+           CAST(BIT_XOR(CAST(('0x' || substr(
+                 md5('{"lang":"' || lang || '"}'), 1, 15))
+                             AS BIGINT)) AS BIGINT)
+    FROM documents
+    ORDER BY kind
+    """,
+)
+def docs_zip_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.sources.archive import (
+        build_zip,
+        zip_members,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+
+    def enc(it):
+        import pandas as _pd
+
+        for pdf in it:
+            payloads = []
+            for d, text, lang in zip(
+                pdf["doc_id"], pdf["text"], pdf["lang"]
+            ):
+                d = int(d)
+                payloads.append(
+                    build_zip(
+                        [
+                            (f"doc/{d}.txt", str(text).encode("utf-8")),
+                            (
+                                f"meta/{d}.json",
+                                ('{"lang":"' + str(lang) + '"}').encode(),
+                            ),
+                        ]
+                    )
+                )
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    files = docs.mapInPandas(enc, "doc_id long, payload binary")
+    members = zip_members(files, id_col="doc_id", on_error="fail")
+    return (
+        members.groupBy(
+            F.split(F.col("name"), "/").getItem(0).alias("kind")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("size").cast("long").alias("sum_bytes"),
+            F.bit_xor("body_h60").alias("body_xor"),
+        )
+        .orderBy("kind")
+    )
