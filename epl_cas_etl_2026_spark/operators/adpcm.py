@@ -162,11 +162,23 @@ def decode_adpcm_ima(buf: bytes) -> dict:
     step index out of range."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
+    # the RIFF size field bounds the chunk walk: riff_end is the first
+    # byte past the container, and anything beyond it is rejected
+    (riff_size,) = struct.unpack_from("<I", buf, 4)
+    riff_end = 8 + riff_size
+    if riff_end > len(buf):
+        raise ValueError("RIFF size exceeds payload")
+    if riff_end < len(buf):
+        raise ValueError(
+            f"{len(buf) - riff_end} trailing bytes beyond RIFF container"
+        )
     pos = 12
     fmt = None
     fact_samples = None
     data = None
-    while pos + 8 <= len(buf):
+    while pos < riff_end:
+        if pos + 8 > riff_end:
+            raise ValueError("truncated chunk header inside RIFF container")
         cid, clen = struct.unpack_from("<4sI", buf, pos)
         body = buf[pos + 8 : pos + 8 + clen]
         if len(body) < clen:

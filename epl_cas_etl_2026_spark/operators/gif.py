@@ -298,7 +298,33 @@ def decode_gif(buf: bytes) -> dict:
         if int(arr.max(initial=0)) >= len(palette):
             raise ValueError("palette index out of range")
         px = palette[arr]
-        # require the trailer to be reachable (first frame only)
+        # require the trailer to be reachable: walk (without decoding)
+        # any remaining frames/extensions to the 0x3B trailer so a GIF
+        # truncated right after this frame's data is rejected loudly
+        scan = pos
+        while True:
+            if scan >= len(buf):
+                raise ValueError("GIF missing trailer")
+            marker = buf[scan]
+            scan += 1
+            if marker == 0x3B:
+                break
+            if marker == 0x21:  # extension: label byte + sub-blocks
+                if scan >= len(buf):
+                    raise ValueError("truncated GIF extension")
+                scan = skip_sub_blocks(scan + 1)
+                continue
+            if marker != 0x2C:
+                raise ValueError(f"unknown GIF block 0x{marker:02x}")
+            if scan + 9 > len(buf):
+                raise ValueError("truncated GIF image descriptor")
+            lflags = buf[scan + 8]
+            scan += 9
+            if lflags & 0x80:
+                scan += (2 << (lflags & 0x07)) * 3
+            if scan >= len(buf):
+                raise ValueError("truncated GIF image data")
+            scan = skip_sub_blocks(scan + 1)  # lzw min size + sub-blocks
         return {
             "width": w,
             "height": h,

@@ -218,7 +218,7 @@ def _filter_image(
 
 def _defilter_image(
     stream: memoryview, width: int, height: int, channels: int, depth: int
-) -> np.ndarray:
+) -> tuple[np.ndarray, int]:
     """Inverse of _filter_image → (h, width*channels) sample array.
     Consumes exactly height * (1 + stride) bytes from the stream."""
     fu = max(1, channels * depth // 8)

@@ -1,69 +1,117 @@
-"""Versioned parquet table: the lakehouse commit primitive (snapshot
-directories + an atomically swapped pointer) built on plain parquet —
-snapshot isolation, time travel, and TRANSACTIONAL MERGE without a
+"""Versioned parquet table: the lakehouse commit primitive (immutable
+snapshot directories + put-if-absent commit markers) built on plain
+parquet — snapshot isolation, time travel, TRANSACTIONAL MERGE, and
+(round 9) OPTIMISTIC WRITER-VS-WRITER CONCURRENCY without a
 Delta/Iceberg runtime in the environment.
 
 Layout:
 
     table_root/
-      v=0/ ... v=N/     immutable snapshot directories (parquet)
-      _latest           one-line pointer file: the committed version
+      v=N_<nonce>/      immutable snapshot data (parquet), one dir per
+                        commit ATTEMPT — the nonce makes concurrent
+                        attempts at the same version collision-free
+      _commits/N        commit marker for version N; its CONTENT is the
+                        nonce of the winning data dir. Created with
+                        O_CREAT|O_EXCL — put-if-absent, the atomic
+                        commit point (the same primitive Delta's
+                        _delta_log/N.json append and Iceberg's
+                        metadata CAS provide).
 
-Commit protocol (the same shape Delta's _delta_log append and
-Iceberg's metadata swap provide, coarser-grained):
+Commit protocol:
 
-1. the new snapshot is fully written to ``v=N+1/`` — readers keep
-   resolving ``_latest`` → ``v=N`` and never see partial files;
-2. the pointer is swapped via write-temp + ``os.replace`` (atomic on
-   POSIX): a crash before the swap leaves an orphan directory (cleaned
-   by ``vacuum``), never a torn table;
-3. old snapshots stay readable (``version=``) until vacuumed — time
+1. the new snapshot is fully written to ``v=N_<nonce>/`` — readers
+   resolve markers and never see a partial dir;
+2. the writer atomically creates ``_commits/N`` (O_EXCL). EXACTLY ONE
+   of any number of concurrent writers targeting version N wins; the
+   losers get ``CommitConflictError`` and their orphan dirs are
+   cleaned immediately (and by ``vacuum`` after a crash);
+3. ``commit(df, expected_version=...)`` is full compare-and-swap: the
+   commit fails cleanly if the table's latest version moved past the
+   base the writer read — the Delta ConcurrentModificationException
+   contract. ``merge_commit`` pins its base snapshot automatically, so
+   a MERGE computed against a stale snapshot can never clobber a
+   concurrent commit (no lost updates).
+4. old snapshots stay readable (``version=``) until vacuumed — time
    travel and long-running readers get a consistent snapshot for free.
+
+A crash between data-dir write and marker creation leaves an orphan
+directory (never served, removed by ``vacuum``), never a torn table;
+there is NO lock file anywhere, so a dead writer cannot wedge the
+table.
 
 MERGE (``merge_commit``) = etl.pipeline.merge_upsert's full-outer
 join (the exact join Delta MERGE executes) + a snapshot commit, so
 the reference's ON CONFLICT upsert (etl_sync.py:250-254) becomes an
 atomic table-version transition instead of an in-place overwrite.
 
+Tables written by the pre-round-9 layout (plain ``v=N`` dirs + a
+``_latest`` pointer file) remain readable: marker-less roots fall back
+to the legacy pointer.
+
 At 100 TB: per-version full rewrite is the plain-parquet cost model
 (documented in SCALE.md); the COMMIT primitive is unchanged — on
-Delta/Iceberg only steps 1-2 shrink to file-group/metadata scope.
-Reading resolves one tiny pointer file driver-side; everything else
-is a normal pruned parquet scan.
+Delta/Iceberg only step 1 shrinks to file-group/metadata scope, and
+put-if-absent maps to the object store's conditional PUT. Reading
+resolves one tiny marker file driver-side; everything else is a
+normal pruned parquet scan.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from epl_cas_etl_2026_spark.etl.pipeline import merge_upsert
 
 
+class CommitConflictError(RuntimeError):
+    """Raised when a compare-and-swap commit loses: the table's latest
+    version is not the ``expected_version`` the writer based its work
+    on, or another writer won the put-if-absent race for the same
+    target version. The table is untouched; re-read and retry."""
+
+
 class VersionedTable:
     def __init__(self, root: str):
         self.root = root
 
-    # -- pointer ------------------------------------------------------------
-    def _pointer_path(self) -> str:
+    # -- commit markers -------------------------------------------------------
+    def _commits_dir(self) -> str:
+        return os.path.join(self.root, "_commits")
+
+    def _marker_path(self, version: int) -> str:
+        return os.path.join(self._commits_dir(), str(version))
+
+    def _legacy_pointer_path(self) -> str:
         return os.path.join(self.root, "_latest")
 
     def latest_version(self) -> int | None:
         try:
-            with open(self._pointer_path()) as f:
+            names = os.listdir(self._commits_dir())
+        except OSError:
+            names = []
+        versions = [int(n) for n in names if n.isdigit()]
+        if versions:
+            return max(versions)
+        # legacy (pre-marker) table: single pointer file
+        try:
+            with open(self._legacy_pointer_path()) as f:
                 return int(f.read().strip())
         except (OSError, ValueError):
             return None
 
-    def _swap_pointer(self, version: int) -> None:
-        tmp = self._pointer_path() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, self._pointer_path())  # atomic on POSIX
-
     def _version_dir(self, version: int) -> str:
-        return os.path.join(self.root, f"v={version}")
+        try:
+            with open(self._marker_path(version)) as f:
+                nonce = f.read().strip()
+            if nonce:
+                return os.path.join(self.root, f"v={version}_{nonce}")
+        except OSError:
+            pass
+        return os.path.join(self.root, f"v={version}")  # legacy layout
 
     # -- read ---------------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -77,46 +125,109 @@ class VersionedTable:
         return spark.read.parquet(self._version_dir(v))
 
     # -- write --------------------------------------------------------------
-    def commit(self, df: DataFrame) -> int:
-        """Write ``df`` as the next snapshot, then swap the pointer.
-        Readers resolve the pointer BEFORE the swap or AFTER — never a
-        half-written directory."""
-        current = self.latest_version()
-        new = 0 if current is None else current + 1
-        os.makedirs(self.root, exist_ok=True)
-        df.write.mode("overwrite").parquet(self._version_dir(new))
-        self._swap_pointer(new)
-        return new
+    def commit(self, df: DataFrame, expected_version: int | None = None) -> int:
+        """Write ``df`` as the next snapshot, then publish it with a
+        put-if-absent commit marker. Readers resolve markers BEFORE or
+        AFTER the publish — never a half-written directory.
+
+        ``expected_version`` turns the commit into a compare-and-swap:
+        the caller asserts the latest version it based this snapshot
+        on (``None`` base for a first commit via ``expected_version``
+        left at its default, or pass -1 to assert the table is empty).
+        If the table moved, ``CommitConflictError`` is raised and
+        nothing is published. With the default (no expectation), the
+        commit retargets past concurrent winners instead of failing —
+        blind-append semantics."""
+        os.makedirs(self._commits_dir(), exist_ok=True)
+        if expected_version is not None:
+            base = None if expected_version < 0 else expected_version
+            current = self.latest_version()
+            if current != base:
+                raise CommitConflictError(
+                    f"{self.root}: expected base version {base}, "
+                    f"table is at {current}"
+                )
+            # target is pinned from the EXPECTATION, never re-read:
+            # a concurrent winner of this slot is caught by O_EXCL below
+            new = 0 if base is None else base + 1
+        else:
+            current = self.latest_version()
+            new = 0 if current is None else current + 1
+        nonce = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.root, f"v={new}_{nonce}")
+        df.write.mode("overwrite").parquet(data_dir)
+        while True:
+            final = os.path.join(self.root, f"v={new}_{nonce}")
+            if final != data_dir:
+                # blind-append retarget: data dir takes its final name
+                # BEFORE the marker publish, so readers never resolve a
+                # marker to a dir that is still mid-rename
+                os.replace(data_dir, final)
+                data_dir = final
+            # put-if-absent WITH content: hard-link a fully-written temp
+            # file into place — EEXIST loses the race atomically, and a
+            # reader can never observe a marker without its nonce
+            tmp = os.path.join(self._commits_dir(), f".tmp_{nonce}_{new}")
+            with open(tmp, "w") as f:
+                f.write(nonce)
+            try:
+                os.link(tmp, self._marker_path(new))
+            except FileExistsError:
+                # another writer published this version first
+                if expected_version is not None:
+                    shutil.rmtree(data_dir, ignore_errors=True)
+                    raise CommitConflictError(
+                        f"{self.root}: version {new} was committed "
+                        "concurrently (base moved)"
+                    )
+                # blind append: retarget the SAME data dir at the next slot
+                new += 1
+                continue
+            finally:
+                os.unlink(tmp)
+            return new
 
     def merge_commit(self, updates: DataFrame, key: str, spark: SparkSession) -> int:
         """Transactional MERGE: full-outer upsert against the latest
-        snapshot, committed as a NEW version. Concurrent readers of the
-        old pointer keep their snapshot (isolation); a failure before
-        the pointer swap leaves the table at the old version."""
+        snapshot, committed as a NEW version via compare-and-swap on
+        the base version — a MERGE computed against a snapshot that a
+        concurrent writer has since superseded fails with
+        ``CommitConflictError`` instead of silently dropping that
+        writer's rows (Delta's ConcurrentModificationException
+        contract). Concurrent readers of the old version keep their
+        snapshot (isolation); a failure before the marker publish
+        leaves the table at the old version."""
         current = self.latest_version()
         if current is None:
-            return self.commit(updates)
-        merged = merge_upsert(self.read(spark), updates, key)
+            return self.commit(updates, expected_version=-1)
+        merged = merge_upsert(self.read(spark, version=current), updates, key)
         # materialize the join BEFORE the write job starts overwriting
         # anything — read-your-own-writes safety, same reason
         # etl.pipeline.sync_job pins batches via localCheckpoint
-        return self.commit(merged.localCheckpoint())
+        return self.commit(merged.localCheckpoint(), expected_version=current)
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
-        """Drop snapshots older than the newest ``keep_last`` (plus any
-        orphan directories beyond the pointer from failed commits).
-        Returns removed versions."""
-        import shutil
-
+        """Drop snapshots older than the newest ``keep_last``, plus any
+        orphan data directory that no commit marker points to (failed
+        or lost-race commit attempts). Returns removed versions (orphans
+        report their parsed version number)."""
         committed = self.latest_version()
         if committed is None:
             return []
+        keep_dirs = set()
+        for v in range(max(0, committed - keep_last + 1), committed + 1):
+            keep_dirs.add(os.path.basename(self._version_dir(v)))
         removed = []
         for name in sorted(os.listdir(self.root)):
-            if not name.startswith("v="):
+            if not name.startswith("v=") or name in keep_dirs:
                 continue
-            v = int(name[2:])
-            if v <= committed - keep_last or v > committed:
-                shutil.rmtree(os.path.join(self.root, name))
+            v = int(name[2:].split("_")[0])
+            shutil.rmtree(os.path.join(self.root, name))
+            if v not in removed:
                 removed.append(v)
+        for name in sorted(os.listdir(self._commits_dir())) if os.path.isdir(
+            self._commits_dir()
+        ) else []:
+            if name.isdigit() and int(name) <= committed - keep_last:
+                os.remove(os.path.join(self._commits_dir(), name))
         return sorted(removed)

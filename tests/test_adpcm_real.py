@@ -121,15 +121,23 @@ def test_rejects_pcm_fmt_tag():
 
 def test_rejects_partial_block_and_bad_align():
     buf = bytearray(encode_adpcm_ima(_sine(65)))
-    with pytest.raises(ValueError, match="truncated"):
+    # truncation without fixing the RIFF size → container-level reject
+    with pytest.raises(ValueError, match="RIFF size exceeds payload"):
         decode_adpcm_ima(bytes(buf)[:-8])
+    # truncation WITH a consistent RIFF size → chunk-level reject
+    short = bytearray(buf)[:-8]
+    struct.pack_into("<I", short, 4, len(short) - 8)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_adpcm_ima(bytes(short))
     # a self-consistent data chunk that is not a whole block count
-    # (data is the final chunk: grow its clen and append 8 junk bytes)
+    # (data is the final chunk: grow its clen + the RIFF size and
+    # append 8 junk bytes)
     odd = bytearray(buf)
     at_data = bytes(buf).index(b"data") + 4
     (dlen,) = struct.unpack_from("<I", odd, at_data)
     struct.pack_into("<I", odd, at_data, dlen + 8)
     odd += b"\x00" * 8
+    struct.pack_into("<I", odd, 4, len(odd) - 8)
     with pytest.raises(ValueError, match="whole number of blocks"):
         decode_adpcm_ima(bytes(odd))
     # corrupt block align to an illegal value (3 < 4*channels+1)
@@ -137,6 +145,14 @@ def test_rejects_partial_block_and_bad_align():
     struct.pack_into("<H", buf, at, 3)
     with pytest.raises(ValueError, match="illegal block align"):
         decode_adpcm_ima(bytes(buf))
+
+
+def test_rejects_trailing_bytes_beyond_riff():
+    # the ADVICE r8 case: bytes after the RIFF container (size field
+    # untouched) must be rejected, not silently tolerated
+    buf = encode_adpcm_ima(_sine(65))
+    with pytest.raises(ValueError, match="trailing bytes"):
+        decode_adpcm_ima(buf + b"\x00" * 7)
 
 
 def test_rejects_step_index_out_of_range():

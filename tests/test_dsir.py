@@ -20,6 +20,26 @@ def _bucket(word: str) -> int:
     return int(hashlib.md5(word.encode()).hexdigest()[:8], 16) % ext._DSIR_BUCKETS
 
 
+def _lnfp(x: int) -> int:
+    """Third implementation of the Q30 fixed-point ln (the r9 exact
+    replacement for the float micro-unit terms) in pure Python ints."""
+    ONE = ext._LNFP_ONE
+    e = x.bit_length() - 1
+    z = x // (1 << (e - 30)) if e > 30 else x * (1 << (30 - e)) if e < 30 else x
+    u = ((z - ONE) * ONE) // (z + ONE)
+    u2 = (u * u) // ONE
+    u3 = (u2 * u) // ONE
+    u5 = (u3 * u2) // ONE
+    u7 = (u5 * u2) // ONE
+    u9 = (u7 * u2) // ONE
+    u11 = (u9 * u2) // ONE
+    fp = e * ext._LNFP_LN2 + 2 * (
+        u + u3 // 3 + u5 // 5 + u7 // 7 + u9 // 9 + u11 // 11
+    )
+    assert abs(fp / ONE - math.log(x)) < 2e-7  # series fidelity pin
+    return fp
+
+
 def dsir_ref(docs: list[tuple[int, str, str, str]], k: int):
     """docs: (doc_id, text, lang, source). Target = lang == 'en'."""
     B = ext._DSIR_BUCKETS
@@ -33,15 +53,11 @@ def dsir_ref(docs: list[tuple[int, str, str, str]], k: int):
     t_b = Counter(b for _, lang, _, b in grams if lang == "en")
     r_tot, t_tot = len(grams), sum(1 for _, lang, *_ in grams if lang == "en")
     term = {
-        b: math.floor(
-            1e6
-            * (
-                math.log(t_b.get(b, 0) + 1)
-                - math.log(t_tot + B)
-                - math.log(rb + 1)
-                + math.log(r_tot + B)
-            )
-            + 0.5
+        b: (
+            _lnfp(t_b.get(b, 0) + 1)
+            - _lnfp(t_tot + B)
+            - _lnfp(rb + 1)
+            + _lnfp(r_tot + B)
         )
         for b, rb in r_b.items()
     }

@@ -134,6 +134,26 @@ def test_rejects_truncations():
             decode_gif(buf[:cut])
 
 
+def test_rejects_missing_trailer_after_frame():
+    # the ADVICE r8 case: a GIF truncated right after the image data
+    # (trailer byte dropped) must be rejected, not decoded silently
+    buf = _valid()
+    assert buf[-1] == 0x3B
+    with pytest.raises(ValueError, match="missing trailer"):
+        decode_gif(buf[:-1])
+
+
+def test_post_frame_blocks_walked_to_trailer():
+    # trailing comment extension between the frame and the trailer is
+    # traversed; truncating inside it is rejected
+    buf = _valid()
+    ext = b"\x21\xfe\x05hello\x00"
+    ok = buf[:-1] + ext + b"\x3b"
+    assert decode_gif(ok)["pixels"].shape == decode_gif(buf)["pixels"].shape
+    with pytest.raises(ValueError):
+        decode_gif(buf[:-1] + ext[:-1])
+
+
 def test_rejects_no_image():
     # header + trailer only
     buf = _valid()

@@ -65,3 +65,148 @@ def test_vacuum_keeps_recent_versions(spark, tmp_path):
     assert t.vacuum(keep_last=2) == [0, 1]
     assert sorted(map(tuple, t.read(spark, version=2).collect())) == [(2, "x")]
     assert t.latest_version() == 3
+
+
+# -- round-9: optimistic concurrency (compare-and-swap commits) -----------
+
+
+def test_cas_stale_commit_rejected(spark, tmp_path):
+    from epl_cas_etl_2026_spark.sources.versioned import CommitConflictError
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]), expected_version=-1)
+    t.commit(_df(spark, [(1, "b")]), expected_version=0)
+    # writer based on version 0 after the table moved to 1: clean reject
+    with pytest.raises(CommitConflictError):
+        t.commit(_df(spark, [(1, "stale")]), expected_version=0)
+    assert t.latest_version() == 1
+    assert sorted(map(tuple, t.read(spark).collect())) == [(1, "b")]
+    # an empty-table expectation on a non-empty table also rejects
+    with pytest.raises(CommitConflictError):
+        t.commit(_df(spark, [(9, "x")]), expected_version=-1)
+
+
+def test_cas_conflict_publishes_nothing(spark, tmp_path):
+    from epl_cas_etl_2026_spark.sources.versioned import CommitConflictError
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+    t.commit(_df(spark, [(2, "b")]))
+    with pytest.raises(CommitConflictError):
+        t.commit(_df(spark, [(3, "c")]), expected_version=0)
+    # no new version, no orphan served, and vacuum finds nothing extra
+    assert t.latest_version() == 1
+    assert t.vacuum(keep_last=2) == []
+
+
+def test_merge_commit_cas_rejects_concurrent_base_move(spark, tmp_path):
+    from epl_cas_etl_2026_spark.sources import versioned as vmod
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+
+    # interleave: another writer lands a commit AFTER merge_commit read
+    # its base snapshot but BEFORE it publishes — simulated by hooking
+    # the merge join. The stale MERGE must NOT clobber the interloper.
+    real_merge = vmod.merge_upsert
+    fired = {"done": False}
+
+    def hooked(sink, updates, key):
+        out = real_merge(sink, updates, key)
+        if not fired["done"]:
+            fired["done"] = True
+            t.commit(_df(spark, [(7, "interloper")]))
+        return out
+
+    vmod.merge_upsert = hooked
+    try:
+        with pytest.raises(vmod.CommitConflictError):
+            t.merge_commit(_df(spark, [(2, "b")]), "k", spark)
+    finally:
+        vmod.merge_upsert = real_merge
+    assert sorted(map(tuple, t.read(spark).collect())) == [(7, "interloper")]
+    # a retry against the moved base succeeds and keeps the interloper
+    v = t.merge_commit(_df(spark, [(2, "b")]), "k", spark)
+    assert v == 2
+    assert sorted(map(tuple, t.read(spark).collect())) == [
+        (2, "b"),
+        (7, "interloper"),
+    ]
+
+
+def test_cas_racing_writers_exactly_one_wins(spark, tmp_path):
+    import threading
+
+    from epl_cas_etl_2026_spark.sources.versioned import CommitConflictError
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(0, "base")]))
+    barrier = threading.Barrier(2)
+    results: dict[str, object] = {}
+
+    def writer(tag):
+        df = _df(spark, [(1, tag)])
+        barrier.wait()
+        try:
+            results[tag] = t.commit(df, expected_version=0)
+        except CommitConflictError:
+            results[tag] = "conflict"
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in ("A", "B")]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    outcomes = sorted(str(v) for v in results.values())
+    assert outcomes == ["1", "conflict"], outcomes
+    winner = next(k for k, v in results.items() if v == 1)
+    assert sorted(map(tuple, t.read(spark).collect())) == [(1, winner)]
+    # the loser's orphan attempt dir (if its write finished) is vacuumable
+    t.vacuum(keep_last=2)
+    assert t.latest_version() == 1
+
+
+def test_blind_append_racing_writers_both_land(spark, tmp_path):
+    import threading
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(0, "base")]))
+    barrier = threading.Barrier(2)
+    results: dict[str, int] = {}
+
+    def writer(tag):
+        df = _df(spark, [(1, tag)])
+        barrier.wait()
+        results[tag] = t.commit(df)  # no expectation: blind append
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in ("A", "B")]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    # both commits land, at distinct versions, nothing lost
+    assert sorted(results.values()) == [1, 2]
+    assert t.latest_version() == 2
+    for tag, v in results.items():
+        assert sorted(map(tuple, t.read(spark, version=v).collect())) == [
+            (1, tag)
+        ]
+
+
+def test_legacy_pointer_layout_still_readable(spark, tmp_path):
+    # a table written by the pre-round-9 layout: plain v=N dirs + a
+    # _latest pointer file, no _commits markers
+    root = tmp_path / "legacy"
+    os.makedirs(root)
+    _df(spark, [(1, "a")]).write.parquet(str(root / "v=0"))
+    _df(spark, [(1, "b")]).write.parquet(str(root / "v=1"))
+    with open(root / "_latest", "w") as f:
+        f.write("1")
+    t = VersionedTable(str(root))
+    assert t.latest_version() == 1
+    assert sorted(map(tuple, t.read(spark).collect())) == [(1, "b")]
+    assert sorted(map(tuple, t.read(spark, version=0).collect())) == [(1, "a")]
+    # new commits on top of a legacy table use the marker protocol
+    v = t.commit(_df(spark, [(1, "c")]), expected_version=1)
+    assert v == 2
+    assert sorted(map(tuple, t.read(spark).collect())) == [(1, "c")]

@@ -72,6 +72,11 @@ def main() -> int:
     t0 = time.time()
     failures = []
     for name in names:
+        # query-boundary marker on stderr: the JVM's own warnings (e.g.
+        # "WindowExec: No Partition Defined") land on stderr too, so a
+        # sweep log attributes every warning to the query that emitted
+        # it — grep -B1 for the warning to find the marker above it
+        print(f"### QUERY {name}", file=sys.stderr, flush=True)
         try:
             sdf = qs[name](spark, args.sf)
             if name in osql:
