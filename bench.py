@@ -29,6 +29,16 @@ from epl_cas_etl_2026_spark.plans import QUERIES
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: the scan/agg/join/window/dedup/similarity workhorses.
+#
+# FROZEN at 126 entries as of round 9 (verdict item 6). The list below
+# must not grow, shrink, or reorder: every r{N}_queries_noop_sec
+# subtotal is a POSITIONAL prefix of it, and cross-round comparability
+# dies the moment a prefix member moves. New engine-scale queries from
+# r9 onward enter via the ROTATING tail (below the frozen list):
+# capped at 4 slots, newest-in/oldest-out, never touching the frozen
+# 126. The headline `value` covers frozen + rotating (n_queries stays
+# ~126-130 and the driver-visible summary line stays parseable);
+# `frozen126_noop_sec` is the permanent cross-round comparison basis.
 HEADLINE = [
     "pricing_summary",
     "rank_nations_by_custbal",
@@ -242,6 +252,20 @@ HEADLINE = [
     "docs_dsir_topk_select",
 ]
 
+# Rotating tail (round-9 rotation rule — see the freeze note above):
+# at most 4 entries, newest addition evicts the oldest once full; the
+# frozen 126 are never evicted. docs_dedup_index_serve is the r9
+# engine-scale addition (persisted-signature probe of the daily batch;
+# min-of-3 amortizes the first-touch index build exactly like the
+# embedding_pq_index_serve precedent). orders_versioned_cas_stats and
+# docs_dedup_index_build stay out: their wall is commit I/O on
+# entity-grained frames — artifact certification, not engine
+# throughput — so they stay driver-gated for correctness instead.
+ROTATING = [
+    "docs_dedup_index_serve",
+]
+BENCHED = HEADLINE + ROTATING
+
 
 def sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
@@ -289,14 +313,14 @@ def main() -> None:
     # compilation inside the first few timed queries (observed as 8-11 s
     # "cold" outliers on sub-second plans).
     QUERIES["segment_counts"](spark, SF_DIR).collect()
-    for name in HEADLINE:
+    for name in BENCHED:
         run_once(spark, QUERIES[name], "/root/testdata/sf0.01")
     spark.catalog.clearCache()
     gc.collect()
 
     timings: dict[str, float] = {}
     t_measure = time.perf_counter()
-    for name in HEADLINE:
+    for name in BENCHED:
         fn = QUERIES[name]
         # UNIFORM run policy (round-4 advice: a speed-dependent retry
         # count biases reported times downward for slow queries): every
@@ -388,6 +412,9 @@ def report(timings: dict[str, float]) -> None:
     r6_subset = round(sum(timings[n] for n in HEADLINE[:73] if n in timings), 3)
     r7_subset = round(sum(timings[n] for n in HEADLINE[:98] if n in timings), 3)
     r8_subset = round(sum(timings[n] for n in HEADLINE[:124] if n in timings), 3)
+    # the permanent cross-round basis from r9 on: the full frozen 126
+    # (ROTATING entries are intentionally excluded — they come and go)
+    frozen126 = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     # round-6 scale rehearsal artifacts (committed JSON, produced by
     # tools/rehearse_sf1.py and tools/bench_skew.py on this host):
     # ride along in the bench record so BENCH_r06 carries the
@@ -424,6 +451,7 @@ def report(timings: dict[str, float]) -> None:
         "r6_queries_noop_sec": r6_subset,
         "r7_queries_noop_sec": r7_subset,
         "r8_queries_noop_sec": r8_subset,
+        "frozen126_noop_sec": frozen126,
         "budget_check": budget_check,
         **extras,
         "cpu_calib_sec": calib,
@@ -446,7 +474,7 @@ def report(timings: dict[str, float]) -> None:
         "subtotals_noop_sec": {
             "r1": r1_subset, "r2": r2_subset, "r3": r3_subset,
             "r4": r4_subset, "r5": r5_subset, "r6": r6_subset,
-            "r7": r7_subset,
+            "r7": r7_subset, "r8": r8_subset, "f126": frozen126,
         },
         "budget_violations": budget_check.get("violations", None),
         "full": "BENCH_FULL.json",

@@ -27,3 +27,32 @@ def sf_smoke() -> str:
 @pytest.fixture(scope="session")
 def sf_oracle() -> str:
     return SF_ORACLE
+
+
+# -- two-tier test loop (round-9 verdict item 5) ---------------------------
+# `pytest -m gate` = the fast half of the documented sub-5-minute
+# certification loop (COVERAGE.md): semantic traps, plan audits,
+# reference-quirk pins, budget-model pins, and the cheap third-
+# implementation differentials — the tests that decide whether a CHANGE
+# broke a pinned behavior. Query-vs-oracle certification itself is NOT
+# re-run here: `tools/rehearse_gate.py --changed` covers exactly the
+# queries whose fingerprints moved, in 1-2 min, against the same
+# dtype-strict comparator (test_oracle_differential re-walks ALL
+# registered queries — 9+ min — and stays in the once-per-round full
+# suite with the codec/property/streaming tail). Marking is by module
+# (keeps the mark out of 700 test bodies); a new pin-style module
+# joins the loop by adding its basename. Measured at r9: ~200 s total.
+_GATE_MODULES = {
+    "test_semantic_traps",
+    "test_plan_audit",
+    "test_api_quirks",
+    "test_bench_budgets",
+    "test_dsir",
+    "test_cc_oracle",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in _GATE_MODULES:
+            item.add_marker(pytest.mark.gate)
