@@ -9973,3 +9973,127 @@ def docs_dedup_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=cfg["shingle_n"],
         use_md5=True,
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# REAL MPEG-1 LAYER I SUBBAND DECODE under the hard gate (round-9;
+# operators/mpeg1.py — the r8 codec-family pattern one format
+# further): deterministic single-channel Layer I streams are built
+# in-plan DIRECTLY from integer code streams (per doc d < 256, two
+# frames; subband sb allocated iff (d+sb)%3 != 0 with nb = 2+((d+sb)%14)
+# sample bits; scalefactor index 3*((d+7*sb+f)%11) — a multiple of 3,
+# so sf = 2^(1-idx/3) is an exact power of two and the whole gate
+# stays in integer arithmetic; codes (d*31+f*101+sb*12+j) % 2^nb),
+# then decoded by the REAL decoder (syncword walk → header → bit
+# allocation → scalefactors → nb-bit sample unpack → exact
+# requantization numerators). The oracle REPLAYS THE FIXTURE FORMULAS
+# AND THE REQUANTIZATION ARITHMETIC in SQL — every bit the decoder
+# unpacks must reproduce the generating formula for the hash to
+# match. sum_num_scaled = Σ sum_shift * 2^(13 - sfidx/3) is the
+# requantized subband energy numerator at the common 2^12 scale
+# (denominator 2^nb - 1 rides in the nb group key). PCM synthesis is
+# HONESTLY STUBBED (the ISO Table 3-B.3 window is a printed normative
+# table, unavailable here); decode is exact to the subband domain.
+# doc_id < 256 bounds fixture generation only (sf-invariant gate,
+# stays out of bench like the other codec fixtures).
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_mpeg1_subband_stats",
+    """
+    WITH d AS (
+      SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE doc_id < 256
+    ),
+    g AS (
+      SELECT d, f.range AS f, sb.range AS sb,
+             2 + ((d + sb.range) % 14) AS nb,
+             3 * ((d + 7 * sb.range + f.range) % 11) AS sfidx
+      FROM d, range(2) f, range(32) sb
+      WHERE (d + sb.range) % 3 <> 0
+    ),
+    c AS (
+      SELECT g.*,
+             ((d * 31 + f * 101 + sb * 12 + j.range)
+                % (CAST(1 AS BIGINT) << nb))
+               - (CAST(1 AS BIGINT) << (nb - 1)) + 1 AS shift
+      FROM g, range(12) j
+    ),
+    per AS (
+      SELECT nb, d, f, sb, sfidx, CAST(SUM(shift) AS BIGINT) AS sum_shift
+      FROM c GROUP BY nb, d, f, sb, sfidx
+    )
+    SELECT CAST(nb AS BIGINT) AS nb,
+           CAST(COUNT(*) AS BIGINT) AS n_subband_frames,
+           CAST(SUM(sum_shift) AS BIGINT) AS sum_shift_total,
+           CAST(SUM(sum_shift * (CAST(1 AS BIGINT) << (13 - sfidx // 3)))
+                AS BIGINT) AS sum_num_scaled
+    FROM per GROUP BY nb ORDER BY nb
+    """,
+)
+def docs_mpeg1_subband_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.mpeg1 import (
+        decode_mpeg1_subbands_real,
+        encode_mpeg1_l1,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < 256)
+    )
+
+    def enc(it):
+        import pandas as _pd
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = []
+                for f in range(2):
+                    alloc = [
+                        0 if (d + sb) % 3 == 0 else 2 + ((d + sb) % 14)
+                        for sb in range(32)
+                    ]
+                    sfidx = [
+                        3 * ((d + 7 * sb + f) % 11) for sb in range(32)
+                    ]
+                    codes = [
+                        [
+                            (d * 31 + f * 101 + sb * 12 + j)
+                            % (1 << alloc[sb])
+                            if alloc[sb]
+                            else 0
+                            for j in range(12)
+                        ]
+                        for sb in range(32)
+                    ]
+                    frames.append(
+                        {"alloc": alloc, "sfidx": sfidx, "codes": codes}
+                    )
+                payloads.append(encode_mpeg1_l1(frames))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    enc_df = docs.mapInPandas(enc, "doc_id long, payload binary")
+    dec = decode_mpeg1_subbands_real(enc_df, id_col="doc_id", on_error="fail")
+    return (
+        dec.groupBy("nb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_subband_frames"),
+            F.sum("sum_shift").cast("long").alias("sum_shift_total"),
+            F.sum(
+                F.col("sum_shift")
+                * F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(13 - (sfidx div 3) AS INT))"
+                )
+            )
+            .cast("long")
+            .alias("sum_num_scaled"),
+        )
+        .orderBy("nb")
+    )
