@@ -835,6 +835,10 @@ def customers_kaplan_meier_lifetime(
         F.sum(1 - F.col("e")).cast("long").alias("q"),
     )
     tot = km_in.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # single-partition windows are BOUNDED: the frame is post-groupBy
+    # on the lifetime value t, whose cardinality is the DATE-DOMAIN
+    # span (a few thousand distinct durations at any corpus scale),
+    # never the customer count — the KM curve itself is that small
     w_prev = (
         Window.orderBy("t")
         .rowsBetween(Window.unboundedPreceding, -1)

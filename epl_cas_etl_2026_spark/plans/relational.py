@@ -139,6 +139,9 @@ def rank_nations_by_custbal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("c_custkey").alias("n_customers"),
         )
     )
+    # global rank over a post-agg per-nation frame (25 rows at any
+    # scale) — competition_rank's MAX_GLOBAL_WINDOW_ROWS guard would
+    # route a fact-grained frame to the two-phase path instead
     return competition_rank(
         agg, "promedio", rank_col="posicion", tiebreak=[F.asc("n_name")]
     )
@@ -647,6 +650,9 @@ def segment_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # single-partition window is BOUNDED: post-agg frame has one row
+    # per market segment (5 at any scale) — WindowExec's warning is
+    # expected and harmless here
     w = Window.partitionBy()
     return counts.withColumn(
         "pct", F.round(F.col("n") * 100.0 / F.sum("n").over(w), 1)

@@ -691,6 +691,8 @@ def docs_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id", "chunk_index")
         .limit(_RAG_SHORTLIST)
     )
+    # post-limit frame: ≤ _RAG_SHORTLIST rows ever reach this window —
+    # WindowExec's single-partition warning is expected and bounded
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"), F.asc("chunk_index"))
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
