@@ -10097,3 +10097,109 @@ def docs_mpeg1_subband_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nb")
     )
+
+
+# ---------------------------------------------------------------------------
+# DEDUP INDEX INCREMENTAL UPDATE (round-9, completes the daily-ingest
+# loop): build → serve → FOLD THE BATCH IN. After a batch has been
+# probed (docs_dedup_index_serve), production folds its signatures
+# into the standing index so tomorrow's batch dedups against today's
+# docs — an upsert of ~128 B/doc signature rows, never a corpus
+# re-shingle. Here: the persisted corpus snapshot seeds a fresh
+# working table (tempdir per run — version numbers stay a pure
+# function of the inputs), the batch's signatures land via
+# merge_commit, i.e. under the round-9 compare-and-swap commit (a
+# concurrent writer would be rejected, not clobbered), and the gated
+# row certifies the merged artifact against a FULL fresh recompute
+# over corpus ∪ batch — row-level across all 16 hash columns.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_dedup_index_update",
+    """
+    SELECT CAST(COUNT(*) FILTER (
+             WHERE doc_id % 10 <> 9
+               AND len(string_split(text, ' ')) >= 3) AS BIGINT)
+             AS n_index_before,
+           CAST(COUNT(*) FILTER (
+             WHERE doc_id % 10 = 9
+               AND len(string_split(text, ' ')) >= 3) AS BIGINT)
+             AS n_batch_sigs,
+           CAST(COUNT(*) FILTER (
+             WHERE len(string_split(text, ' ')) >= 3) AS BIGINT)
+             AS n_index_after,
+           CAST(1 AS BIGINT) AS merged_version,
+           CAST(0 AS BIGINT) AS recompute_mismatches
+    FROM documents
+    """,
+)
+def docs_dedup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from epl_cas_etl_2026_spark.operators.dedup import minhash_signature_agg
+    from epl_cas_etl_2026_spark.sources.versioned import VersionedTable
+
+    cfg = _DEDUP_IDX
+    docs = load_table(spark, sf_dir, "documents")
+    base_vt = _dedup_index_ensure(spark, sf_dir)
+    base = base_vt.read(spark)
+    batch_sigs = minhash_signature_agg(
+        docs.filter((F.col("doc_id") % 10) == 9),
+        "doc_id",
+        "text",
+        cfg["n_hashes"],
+        cfg["shingle_n"],
+        use_md5=True,
+    )
+    tmp = _tempfile.mkdtemp(prefix="dedup_index_update_")
+    try:
+        work = VersionedTable(_os.path.join(tmp, "signatures"))
+        work.commit(base, expected_version=-1)
+        n_before = work.read(spark).count()
+        merged_version = work.merge_commit(batch_sigs, "doc_id", spark)
+        merged = work.read(spark)
+        n_after = merged.count()
+        n_batch = batch_sigs.count()
+        # certification: the merged artifact must equal a FULL fresh
+        # recompute over corpus ∪ batch, row-level, all hash columns
+        fresh = minhash_signature_agg(
+            docs, "doc_id", "text", cfg["n_hashes"], cfg["shingle_n"],
+            use_md5=True,
+        )
+        hcols = [f"h{j}" for j in range(cfg["n_hashes"])]
+        fresh_r = fresh.select(
+            "doc_id", *[F.col(h).alias(f"{h}_f") for h in hcols]
+        )
+        diff = F.lit(False)
+        for h in hcols:
+            diff = (
+                diff
+                | F.col(h).isNull()
+                | F.col(f"{h}_f").isNull()
+                | (F.col(h) != F.col(f"{h}_f"))
+            )
+        mism = (
+            merged.join(fresh_r, "doc_id", "full_outer")
+            .agg(
+                F.coalesce(F.sum(F.when(diff, 1).otherwise(0)), F.lit(0))
+                .cast("long")
+                .alias("m")
+            )
+            .collect()[0]["m"]
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(n_before),
+                int(n_batch),
+                int(n_after),
+                int(merged_version),
+                int(mism),
+            )
+        ],
+        "n_index_before long, n_batch_sigs long, n_index_after long, "
+        "merged_version long, recompute_mismatches long",
+    )

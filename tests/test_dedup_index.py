@@ -125,3 +125,37 @@ def test_gated_build_green_shape(spark, tmp_path, monkeypatch):
     assert b["committed_ok"] is True
     assert b["reread_mismatches"] == 0
     assert 0 < b["n_sig_rows"] <= b["n_corpus_docs"]
+
+
+def test_update_folds_batch_and_serve_is_idempotent(spark, tmp_path, monkeypatch):
+    """docs_dedup_index_update: disjoint-key merge = pure insert, and
+    probing a batch against an index that ALREADY contains the batch's
+    signatures returns the identical pair set (band self-pairs are
+    excluded by doc != doc and least/greatest dedup)."""
+    from epl_cas_etl_2026_spark.operators.dedup import (
+        minhash_signature_agg,
+        near_dup_pairs_incremental,
+    )
+
+    ext = _patch_root(monkeypatch, tmp_path, "idx5")
+    row = ext.docs_dedup_index_update(spark, SF).collect()[0]
+    assert row["recompute_mismatches"] == 0
+    assert row["merged_version"] == 1
+    assert row["n_index_after"] == row["n_index_before"] + row["n_batch_sigs"]
+    docs = load_table(spark, SF, "documents")
+    is_new = (F.col("doc_id") % 10) == 9
+    full_sigs = minhash_signature_agg(
+        docs, "doc_id", "text", 16, 3, use_md5=True
+    )
+
+    def probe(index_sigs):
+        return near_dup_pairs_incremental(
+            docs.filter(is_new), index_sigs, docs,
+            id_col="doc_id", text_col="text", threshold=0.5,
+            n_hashes=16, band_size=4, shingle_n=3, use_md5=True,
+        )
+
+    corpus_only = minhash_signature_agg(
+        docs.filter(~is_new), "doc_id", "text", 16, 3, use_md5=True
+    )
+    assert _pairs(probe(full_sigs)) == _pairs(probe(corpus_only))
