@@ -1400,3 +1400,145 @@ def events_stream_update_late_gate(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# THIRTEENTH gate (round-9): STREAMING DEDUP-INDEX INGEST — the
+# daily-ingest dedup loop (docs_dedup_index_build/serve/update) run
+# as a stream. A 3-file document feed (doc_id % 3 membership, mtime-
+# ordered, maxFilesPerTrigger=1 → three sequential micro-batches)
+# lands in foreachBatch; each batch's MinHash signatures are folded
+# into a VersionedTable signature index via the round-9 COMPARE-AND-
+# SWAP merge (merge_commit pins its base version — a concurrent
+# writer would be rejected, not clobbered), one snapshot per batch.
+# Batch membership is doc_id-keyed, so the final index CONTENT is
+# batch-order independent (disjoint upserts commute) and the version
+# count equals the batch count. The gated row certifies the final
+# artifact against a full fresh recompute over the whole corpus,
+# row-level across all 16 hash columns — the hash gate covers the
+# chain: stream → per-batch signatures → CAS MERGE protocol →
+# snapshot isolation → read.
+#
+# 100 TB: each micro-batch hashes O(batch) text and shuffles
+# ~128 B/doc signature rows; the standing index is never re-shingled
+# (the full recompute here is gate certification, not the serving
+# path). This is the streaming twin of docs_dedup_index_update.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_stream_dedup_index_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (
+                  WHERE len(string_split(text, ' ')) >= 3) AS BIGINT)
+             AS n_sig_rows,
+           CAST(3 AS BIGINT) AS n_versions,
+           CAST(0 AS BIGINT) AS recompute_mismatches
+    FROM documents
+    """,
+)
+def docs_stream_dedup_index_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from epl_cas_etl_2026_spark.operators.dedup import minhash_signature_agg
+    from epl_cas_etl_2026_spark.sources.parquet import load_table
+    from epl_cas_etl_2026_spark.sources.versioned import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    pdf = docs.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame(
+            [],
+            "n_docs long, n_sig_rows long, n_versions long, "
+            "recompute_mismatches long",
+        )
+    pdf["batch"] = pdf["doc_id"] % 3
+
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_index_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for i in range(3):
+            part = pdf[pdf["batch"] == i]
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array(part["doc_id"], type=pa.int64()),
+                    pa.array(part["text"], type=pa.string()),
+                ],
+                names=["doc_id", "text"],
+            )
+            path = os.path.join(src, f"batch_{i:03d}.parquet")
+            pq.write_table(tbl, path)
+            os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+
+        table = VersionedTable(os.path.join(tmp, "vt"))
+
+        def apply_batch(batch_df, _batch_id):
+            sigs = minhash_signature_agg(
+                batch_df, "doc_id", "text", 16, 3, use_md5=True
+            )
+            sess = batch_df.sparkSession
+            base = table.latest_version()
+            if base is None:
+                table.commit(
+                    sigs.localCheckpoint(), expected_version=-1
+                )
+            else:
+                # CAS merge: the commit pins the base version read here
+                table.merge_commit(sigs.localCheckpoint(), "doc_id", sess)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        merged = table.read(spark)
+        n_versions = (table.latest_version() or 0) + 1
+        fresh = minhash_signature_agg(
+            docs, "doc_id", "text", 16, 3, use_md5=True
+        )
+        hcols = [f"h{j}" for j in range(16)]
+        fresh_r = fresh.select(
+            "doc_id", *[F.col(h).alias(f"{h}_f") for h in hcols]
+        )
+        diff = F.lit(False)
+        for h in hcols:
+            diff = (
+                diff
+                | F.col(h).isNull()
+                | F.col(f"{h}_f").isNull()
+                | (F.col(h) != F.col(f"{h}_f"))
+            )
+        mism = (
+            merged.join(fresh_r, "doc_id", "full_outer")
+            .agg(
+                F.coalesce(F.sum(F.when(diff, 1).otherwise(0)), F.lit(0))
+                .cast("long")
+                .alias("m")
+            )
+            .collect()[0]["m"]
+        )
+        n_docs = int(docs.count())
+        n_sig = int(merged.count())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_docs, n_sig, int(n_versions), int(mism))],
+        "n_docs long, n_sig_rows long, n_versions long, "
+        "recompute_mismatches long",
+    )
