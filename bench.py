@@ -263,6 +263,7 @@ HEADLINE = [
 # throughput — so they stay driver-gated for correctness instead.
 ROTATING = [
     "docs_dedup_index_serve",
+    "docs_gopher_repetition_stats",
 ]
 BENCHED = HEADLINE + ROTATING
 

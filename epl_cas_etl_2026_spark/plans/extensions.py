@@ -10203,3 +10203,228 @@ def docs_dedup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_index_before long, n_batch_sigs long, n_index_after long, "
         "merged_version long, recompute_mismatches long",
     )
+
+
+# ---------------------------------------------------------------------------
+# GOPHER REPETITION FILTERS (round-9; Rae et al. 2021 "Scaling
+# Language Models: ... Gopher", Table A1 — the published
+# repetition-removal rules every large pretraining pipeline applies
+# before training; public method). The corpus text is a single-line
+# word stream, so the two n-gram rules apply (the line/paragraph
+# variants are degenerate here): a document is flagged when
+#
+#   * top-2-gram coverage  — characters attributable to the MOST
+#     FREQUENT word 2-gram, count * (len(w1)+len(w2)+1), as a
+#     fraction of total word characters+joins — exceeds 0.20, or
+#   * duplicate-5-gram coverage — characters of word positions lying
+#     inside ANY 5-gram that occurs >= 2 times in the document
+#     (position-union semantics, each character counted once) —
+#     exceeds 0.15.
+#
+# Both coverages are exact integer millis ((1000*x) div chars), so
+# the gate is float-free. Distributed shape: one explode to
+# (doc, pos, word); 2-/5-grams via lead() over the doc-partitioned
+# position window; gram counts via doc+gram-keyed groupBys; coverage
+# union via sequence-explode + distinct — every shuffle is doc- or
+# (doc,gram)-keyed, nothing all-pairs, nothing driver-side. The
+# DuckDB oracle replays the identical definitions with list slicing
+# + range joins.
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_gopher_repetition_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, lang, w, len(w) AS nw,
+             CAST(COALESCE(list_aggregate(
+                    list_transform(w, x -> len(x)), 'sum'), 0) AS BIGINT)
+               AS total_chars
+      FROM toks
+    ),
+    g2 AS (
+      SELECT doc_id, u.gram AS gram, u.glen AS glen FROM (
+        SELECT doc_id,
+               unnest([{'gram': w[i] || ' ' || w[i + 1],
+                        'glen': len(w[i]) + len(w[i + 1]) + 1}
+                       FOR i IN range(1, greatest(nw, 1))]) AS u
+        FROM base)
+    ),
+    g2top AS (
+      SELECT doc_id, cnt, glen FROM (
+        SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(MIN(glen) AS BIGINT) AS glen,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram ASC
+               ) AS rn
+        FROM g2 GROUP BY doc_id, gram
+      ) WHERE rn = 1
+    ),
+    g5 AS (
+      SELECT doc_id, u.p AS p, u.gram AS gram FROM (
+        SELECT doc_id,
+               unnest([{'p': i,
+                        'gram': array_to_string(w[i : i + 4], ' ')}
+                       FOR i IN range(1, greatest(nw - 3, 1))]) AS u
+        FROM base)
+    ),
+    g5dup AS (
+      SELECT doc_id, gram FROM g5
+      GROUP BY doc_id, gram HAVING COUNT(*) >= 2
+    ),
+    cover AS (
+      SELECT DISTINCT g5.doc_id, g5.p + o.range AS i
+      FROM g5
+      JOIN g5dup ON g5.doc_id = g5dup.doc_id AND g5.gram = g5dup.gram,
+           range(5) o
+    ),
+    cov5 AS (
+      SELECT b.doc_id,
+             CAST(COALESCE(SUM(len(b.w[c.i])), 0) AS BIGINT)
+               AS cov_chars
+      FROM base b LEFT JOIN cover c ON b.doc_id = c.doc_id
+      GROUP BY b.doc_id
+    ),
+    per_doc AS (
+      SELECT b.lang,
+             CASE WHEN t.doc_id IS NULL OR b.total_chars = 0 THEN 0
+                  ELSE (1000 * t.cnt * t.glen) // b.total_chars
+             END AS cov2_millis,
+             CASE WHEN b.total_chars = 0 THEN 0
+                  ELSE (1000 * c5.cov_chars) // b.total_chars
+             END AS cov5_millis
+      FROM base b
+      LEFT JOIN g2top t ON b.doc_id = t.doc_id
+      JOIN cov5 c5 ON b.doc_id = c5.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE cov2_millis > 200) AS BIGINT)
+             AS flagged_top2gram,
+           CAST(COUNT(*) FILTER (WHERE cov5_millis > 150) AS BIGINT)
+             AS flagged_dup5gram,
+           CAST(COUNT(*) FILTER (
+                  WHERE cov2_millis > 200 OR cov5_millis > 150) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(cov2_millis) AS BIGINT) AS sum_cov2_millis,
+           CAST(SUM(cov5_millis) AS BIGINT) AS sum_cov5_millis
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def docs_gopher_repetition_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("pos", "word"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = tok.select(
+        "doc_id",
+        "pos",
+        "word",
+        *[F.lead("word", k).over(w).alias(f"w{k}") for k in range(1, 5)],
+    )
+    totals = tok.groupBy("doc_id").agg(
+        F.sum(F.length("word")).cast("long").alias("total_chars")
+    )
+    g2 = leads.filter(F.col("w1").isNotNull()).select(
+        "doc_id",
+        F.concat_ws(" ", "word", "w1").alias("gram"),
+        (F.length("word") + F.length("w1") + 1).alias("glen"),
+    )
+    g2top = (
+        g2.groupBy("doc_id", "gram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min("glen").cast("long").alias("glen"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc("cnt"), F.asc("gram")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cnt", "glen")
+    )
+    g5 = leads.filter(F.col("w4").isNotNull()).select(
+        "doc_id",
+        F.col("pos").alias("p"),
+        F.concat_ws(" ", "word", "w1", "w2", "w3", "w4").alias("gram"),
+    )
+    g5dup = (
+        g5.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "gram")
+    )
+    cover = (
+        g5.join(g5dup, ["doc_id", "gram"])
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + 4)).alias("i"),
+        )
+        .distinct()
+    )
+    cov5 = (
+        cover.join(
+            tok.select("doc_id", F.col("pos").alias("i"), "word"),
+            ["doc_id", "i"],
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.length("word")).cast("long").alias("cov_chars"))
+    )
+    per_doc = (
+        docs.select("doc_id", "lang")
+        .join(totals, "doc_id", "left")
+        .join(g2top, "doc_id", "left")
+        .join(cov5, "doc_id", "left")
+        .select(
+            "lang",
+            F.expr(
+                "CASE WHEN cnt IS NULL OR total_chars IS NULL"
+                " OR total_chars = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE (1000 * cnt * glen) div total_chars END"
+            ).alias("cov2_millis"),
+            F.expr(
+                "CASE WHEN total_chars IS NULL OR total_chars = 0"
+                " THEN CAST(0 AS BIGINT)"
+                " ELSE (1000 * COALESCE(cov_chars, 0)) div total_chars END"
+            ).alias("cov5_millis"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("cov2_millis") > 200, 1).otherwise(0))
+            .cast("long")
+            .alias("flagged_top2gram"),
+            F.sum(F.when(F.col("cov5_millis") > 150, 1).otherwise(0))
+            .cast("long")
+            .alias("flagged_dup5gram"),
+            F.sum(
+                F.when(
+                    (F.col("cov2_millis") > 200)
+                    | (F.col("cov5_millis") > 150),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_removed"),
+            F.sum("cov2_millis").cast("long").alias("sum_cov2_millis"),
+            F.sum("cov5_millis").cast("long").alias("sum_cov5_millis"),
+        )
+        .orderBy("lang")
+    )

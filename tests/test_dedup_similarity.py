@@ -411,3 +411,95 @@ def test_leakage_safe_split_cluster_consistent(spark):
     n_docs = load_table(spark, sf, "documents").count()
     assert sum(r["n_docs"] for r in out) == n_docs
     assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+
+def test_gopher_repetition_third_implementation(spark, tmp_path):
+    """docs_gopher_repetition_stats vs a pure-Python evaluation of the
+    published rules (Rae et al. 2021 Table A1, n-gram variants) on a
+    hand-built corpus with known flags."""
+    import os
+    from collections import Counter
+
+    import pandas as pd
+
+    docs = [
+        # top-2gram spam: "buy now" repeated -> cov2 way over 0.20
+        (0, "buy now buy now buy now buy now buy now", "en", "a"),
+        # clean: all words distinct
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "a"),
+        # duplicate 5-gram: a 5-word phrase occurring twice
+        (2, "one two three four five x y z one two three four five", "en", "b"),
+        # too short for any 5-gram, single 2-gram
+        (3, "tiny doc", "es", "a"),
+        (4, "", "es", "a"),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [d for d, *_ in docs],
+            "text": [t for _, t, *_ in docs],
+            "lang": [l for *_, l, _ in docs],
+            "source": [s for *_, s in docs],
+            "n_chars": [len(t) for _, t, *_ in docs],
+        }
+    ).to_parquet(os.path.join(sf, "documents.parquet"))
+
+    def ref(text):
+        w = [x for x in text.split(" ") if x]
+        total = sum(len(x) for x in w)
+        if total == 0:
+            return 0, 0
+        g2 = Counter(
+            (w[i], w[i + 1]) for i in range(len(w) - 1)
+        )
+        if g2:
+            top = sorted(
+                g2.items(), key=lambda kv: (-kv[1], " ".join(kv[0]))
+            )[0]
+            cov2 = 1000 * top[1] * (len(top[0][0]) + len(top[0][1]) + 1) // total
+        else:
+            cov2 = 0
+        g5pos = {}
+        for i in range(len(w) - 4):
+            g5pos.setdefault(tuple(w[i : i + 5]), []).append(i)
+        covered = set()
+        for g, ps in g5pos.items():
+            if len(ps) >= 2:
+                for p in ps:
+                    covered.update(range(p, p + 5))
+        cov5 = 1000 * sum(len(w[i]) for i in covered) // total
+        return cov2, cov5
+
+    exp = {}
+    for d, t, lang, _src in docs:
+        cov2, cov5 = ref(t)
+        e = exp.setdefault(
+            lang, {"n": 0, "f2": 0, "f5": 0, "rm": 0, "s2": 0, "s5": 0}
+        )
+        e["n"] += 1
+        e["f2"] += cov2 > 200
+        e["f5"] += cov5 > 150
+        e["rm"] += (cov2 > 200) or (cov5 > 150)
+        e["s2"] += cov2
+        e["s5"] += cov5
+
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        docs_gopher_repetition_stats,
+    )
+
+    got = {
+        r["lang"]: r.asDict()
+        for r in docs_gopher_repetition_stats(spark, sf).collect()
+    }
+    assert set(got) == set(exp)
+    for lang, e in exp.items():
+        g = got[lang]
+        assert g["n_docs"] == e["n"]
+        assert g["flagged_top2gram"] == e["f2"], (lang, g)
+        assert g["flagged_dup5gram"] == e["f5"], (lang, g)
+        assert g["n_removed"] == e["rm"]
+        assert g["sum_cov2_millis"] == e["s2"]
+        assert g["sum_cov5_millis"] == e["s5"]
+    # the engineered docs actually exercised both rules
+    assert exp["en"]["f2"] >= 1 and exp["en"]["f5"] >= 1
