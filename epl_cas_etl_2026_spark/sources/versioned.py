@@ -230,4 +230,7 @@ class VersionedTable:
         ) else []:
             if name.isdigit() and int(name) <= committed - keep_last:
                 os.remove(os.path.join(self._commits_dir(), name))
+            elif name.startswith(".tmp_"):
+                # marker staging file from a hard-crashed writer
+                os.remove(os.path.join(self._commits_dir(), name))
         return sorted(removed)

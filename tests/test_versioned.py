@@ -210,3 +210,15 @@ def test_legacy_pointer_layout_still_readable(spark, tmp_path):
     v = t.commit(_df(spark, [(1, "c")]), expected_version=1)
     assert v == 2
     assert sorted(map(tuple, t.read(spark).collect())) == [(1, "c")]
+
+
+def test_vacuum_sweeps_crashed_marker_staging(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+    # a hard-crashed writer left its marker staging file behind
+    stale = os.path.join(t.root, "_commits", ".tmp_deadbeef_7")
+    with open(stale, "w") as f:
+        f.write("deadbeef")
+    t.vacuum(keep_last=1)
+    assert not os.path.exists(stale)
+    assert t.latest_version() == 0
