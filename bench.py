@@ -264,6 +264,7 @@ HEADLINE = [
 ROTATING = [
     "docs_dedup_index_serve",
     "docs_gopher_repetition_stats",
+    "docs_ccnet_perplexity_buckets",
 ]
 BENCHED = HEADLINE + ROTATING
 

@@ -10428,3 +10428,161 @@ def docs_gopher_repetition_stats(
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNET PERPLEXITY BUCKETS (round-9; Wenzek et al. 2020 "CCNet:
+# Extracting High Quality Monolingual Datasets from Web Crawl Data" —
+# public method): per language, rank documents by LM perplexity and
+# split into head / middle / tail terciles; pretraining pipelines keep
+# head+middle or reweight by bucket. The LM is the repo's
+# Jelinek-Mercer bigram (docs_bigram_lm_perplexity's scoring,
+# identical formula and millibit quantization); bucket assignment is
+# EXACT: per-lang row_number over (q, doc_id) — computed with
+# operators/ranking.two_phase_grouped_row_number, NOT a per-lang
+# window (few langs ⇒ a plain Window.partitionBy(lang) hands whole-
+# corpus sorts to single reducers at 100 TB) — then
+# bucket = (3·(rn−1)) div n, so terciles are integer-deterministic
+# with doc_id tie-breaks. The oracle replays the LM and the ranking
+# with window functions (DuckDB's engine can afford the plain window).
+# ---------------------------------------------------------------------------
+@_register(
+    "docs_ccnet_perplexity_buckets",
+    f"""
+    WITH docs2 AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, lang, u.p[1] AS w1, u.p[2] AS w2
+      FROM (SELECT doc_id, lang,
+                   unnest(list_zip(ws[1:len(ws) - 1], ws[2:len(ws)])) AS p
+            FROM docs2) u
+      WHERE u.p[1] IS NOT NULL AND u.p[2] IS NOT NULL
+    ), uni AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(ws) AS word FROM docs2) GROUP BY word
+    ), tot AS (
+      SELECT SUM(c) AS n_uni FROM uni
+    ), pair AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY w1, w2
+    ), head AS (
+      SELECT w1, SUM(c12) AS ch FROM pair GROUP BY w1
+    ), perdoc AS (
+      SELECT doc_id, lang,
+             CAST(FLOOR((-SUM(log2(
+                 {_JM_LAMBDA} * (CAST(c12 AS DOUBLE) / CAST(ch AS DOUBLE))
+                 + {1 - _JM_LAMBDA}
+                   * (CAST(u2.c AS DOUBLE) / CAST(n_uni AS DOUBLE))))
+               / COUNT(*)) * 1000 + 0.5) AS BIGINT) AS q
+      FROM bg
+      JOIN pair USING (w1, w2)
+      JOIN head USING (w1)
+      JOIN uni u2 ON bg.w2 = u2.word
+      CROSS JOIN tot
+      GROUP BY doc_id, lang
+    ), ranked AS (
+      SELECT lang, q,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM perdoc
+    )
+    SELECT lang,
+           CASE (3 * (rn - 1)) // n WHEN 0 THEN 'head'
+                WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(q) AS BIGINT) AS sum_millibits,
+           CAST(MIN(q) AS BIGINT) AS min_millibits,
+           CAST(MAX(q) AS BIGINT) AS max_millibits
+    FROM ranked GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+)
+def docs_ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from epl_cas_etl_2026_spark.operators.ranking import (
+        two_phase_grouped_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.filter(F.split(F.col("text"), " "), lambda w: w != "").alias(
+            "ws"
+        ),
+    )
+    docs = docs.localCheckpoint(eager=False)  # unigram + bigram consumers
+    uni = (
+        docs.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(ws, 1, greatest(size(ws) - 1, 0))"),
+                    F.expr("slice(ws, 2, greatest(size(ws) - 1, 0))"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("p.0").alias("w1"),
+            F.col("p.1").alias("w2"),
+        )
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+    )
+    bg = bg.localCheckpoint(eager=False)  # LM fit + scoring consumers
+    pair = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    pair = pair.localCheckpoint(eager=False)  # head counts + scoring
+    head_t = pair.groupBy("w1").agg(F.sum("c12").alias("ch"))
+    tot = uni.agg(F.sum("c").alias("n_uni"))
+    p = F.lit(_JM_LAMBDA) * (
+        F.col("c12").cast("double") / F.col("ch").cast("double")
+    ) + F.lit(1 - _JM_LAMBDA) * (
+        F.col("c").cast("double") / F.col("n_uni").cast("double")
+    )
+    perdoc = (
+        bg.join(pair, ["w1", "w2"])
+        .join(head_t, "w1")
+        .join(uni.withColumnRenamed("word", "w2"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.floor((-F.sum(F.log2(p)) / F.count(F.lit(1))) * 1000 + 0.5)
+            .cast("long")
+            .alias("q")
+        )
+    )
+    # two consumers (ranker + per-lang counts): pin the scored frame so
+    # the LM fit+score pipeline runs once, not twice
+    perdoc = perdoc.localCheckpoint(eager=False)
+    ranked = two_phase_grouped_row_number(
+        perdoc, "lang", [F.col("q"), F.col("doc_id")], rn_col="rn"
+    )
+    n_per_lang = perdoc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        ranked.join(F.broadcast(n_per_lang), "lang")
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CASE (3 * (rn - 1)) div n WHEN 0 THEN 'head'"
+                " WHEN 1 THEN 'middle' ELSE 'tail' END"
+            ),
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("q").cast("long").alias("sum_millibits"),
+            F.min("q").cast("long").alias("min_millibits"),
+            F.max("q").cast("long").alias("max_millibits"),
+        )
+        .orderBy("lang", "bucket")
+    )

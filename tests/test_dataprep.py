@@ -897,3 +897,32 @@ def test_quantile_normalize_matches_pandas(spark):
             % _QN_P,
         )
     assert got == want
+
+
+def test_ccnet_buckets_tercile_invariants(spark):
+    """docs_ccnet_perplexity_buckets: per lang the three buckets
+    partition the scored docs with sizes differing by <= 1, and the
+    bucket boundaries respect perplexity order
+    (max(head) <= min(middle) <= ... modulo the shared-boundary value
+    when ties straddle a cut — compare via <=)."""
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        docs_ccnet_perplexity_buckets,
+    )
+
+    rows = docs_ccnet_perplexity_buckets(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}, (lang, set(b))
+        sizes = [b[k]["n_docs"] for k in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert b["head"]["max_millibits"] <= b["middle"]["min_millibits"] or (
+            b["head"]["max_millibits"] == b["middle"]["min_millibits"]
+        )
+        assert b["head"]["max_millibits"] <= b["middle"]["max_millibits"]
+        assert b["middle"]["max_millibits"] <= b["tail"]["max_millibits"]
+        assert b["head"]["min_millibits"] <= b["middle"]["min_millibits"]
+        assert b["middle"]["min_millibits"] <= b["tail"]["min_millibits"]
