@@ -268,6 +268,19 @@ ROTATING = [
 ]
 BENCHED = HEADLINE + ROTATING
 
+# Freeze invariants, ENFORCED (round-9 ADVICE): an accidental append,
+# removal, or reorder of the frozen list silently corrupts every
+# positional r{N} prefix subtotal and frozen126_noop_sec — fail at
+# import instead. The sentinels pin the r1 prefix boundary (index 13),
+# the r8 prefix boundary (index 123), and the frozen tail.
+assert len(HEADLINE) == 126, f"HEADLINE frozen at 126, got {len(HEADLINE)}"
+assert len(ROTATING) <= 4, f"ROTATING capped at 4, got {len(ROTATING)}"
+assert len(set(BENCHED)) == len(BENCHED), "duplicate benched query"
+assert HEADLINE[0] == "pricing_summary"
+assert HEADLINE[13] == "region_nation_rollup"
+assert HEADLINE[123] == "docs_exact_substring_dedup"
+assert HEADLINE[125] == "docs_dsir_topk_select"
+
 
 def sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
@@ -481,7 +494,11 @@ def report(timings: dict[str, float]) -> None:
         "budget_violations": budget_check.get("violations", None),
         "full": "BENCH_FULL.json",
     }
-    for name in slowest:
+    # top-25 by wall only (round-9 verdict item 6): the map exists to
+    # show where the time goes, not to enumerate 130 queries; keeping
+    # it small guarantees the summary keys above survive the driver's
+    # 2000-char tail capture with margin
+    for name in slowest[:25]:
         summary["queries"][name] = timings[name]
         if len(json.dumps(summary)) > 1750:
             del summary["queries"][name]

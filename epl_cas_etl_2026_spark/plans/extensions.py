@@ -7784,24 +7784,48 @@ def events_interarrival_rate(
 _PQ_IDX = {"dim": 64, "m": 8, "k": 16, "iters": 2}
 
 
-def _pq_index_root(spark: SparkSession, sf_dir: str) -> str:
+def _index_scratch_root(
+    spark: SparkSession,
+    sf_dir: str,
+    source_table: str,
+    prefix: str,
+    cfg: dict,
+    fallback: str,
+) -> str:
+    """Content-keyed scratch root for a persisted index family. The
+    fingerprint covers the source parquet's path + size + mtime_ns AND
+    the index config values, so BOTH a data regeneration (even to the
+    same byte size) and an index-parameter change land at a NEW root —
+    a stale or parameter-mismatched persisted artifact can never be
+    silently served."""
     import glob as _glob
     import hashlib as _hashlib
+    import json as _json
     import os as _os
     import tempfile as _tempfile
 
     h = _hashlib.sha256()
-    for p in sorted(_glob.glob(_os.path.join(sf_dir, "embeddings.parquet"))):
+    for p in sorted(_glob.glob(_os.path.join(sf_dir, source_table + ".parquet"))):
+        st = _os.stat(p)
         h.update(p.encode())
-        h.update(str(_os.path.getsize(p)).encode())
+        h.update(str(st.st_size).encode())
+        h.update(str(st.st_mtime_ns).encode())
+    h.update(_json.dumps(cfg, sort_keys=True).encode())
     scratch = spark.conf.get("spark.epl.scratch.dir", None)
     base = (
         scratch.rstrip("/")
         if scratch
-        else _os.path.join(_tempfile.gettempdir(), "epl_pq_index")
+        else _os.path.join(_tempfile.gettempdir(), fallback)
     )
     return _os.path.join(
-        base, f"pq_{_os.path.basename(sf_dir.rstrip('/'))}_{h.hexdigest()[:12]}"
+        base,
+        f"{prefix}_{_os.path.basename(sf_dir.rstrip('/'))}_{h.hexdigest()[:12]}",
+    )
+
+
+def _pq_index_root(spark: SparkSession, sf_dir: str) -> str:
+    return _index_scratch_root(
+        spark, sf_dir, "embeddings", "pq", _PQ_IDX, "epl_pq_index"
     )
 
 
@@ -9354,26 +9378,12 @@ _NSW_IDX = {"dim": 64, "m_neighbors": 8}
 
 
 def _nsw_index_table(spark: SparkSession, sf_dir: str):
-    import glob as _glob
-    import hashlib as _hashlib
     import os as _os
-    import tempfile as _tempfile
 
     from epl_cas_etl_2026_spark.sources.versioned import VersionedTable
 
-    h = _hashlib.sha256()
-    for p in sorted(_glob.glob(_os.path.join(sf_dir, "embeddings.parquet"))):
-        h.update(p.encode())
-        h.update(str(_os.path.getsize(p)).encode())
-    scratch = spark.conf.get("spark.epl.scratch.dir", None)
-    base = (
-        scratch.rstrip("/")
-        if scratch
-        else _os.path.join(_tempfile.gettempdir(), "epl_pq_index")
-    )
-    root = _os.path.join(
-        base,
-        f"nsw_{_os.path.basename(sf_dir.rstrip('/'))}_{h.hexdigest()[:12]}",
+    root = _index_scratch_root(
+        spark, sf_dir, "embeddings", "nsw", _NSW_IDX, "epl_pq_index"
     )
     return VersionedTable(_os.path.join(root, "adjacency"))
 
@@ -9821,24 +9831,8 @@ _DEDUP_IDX = {"n_hashes": 16, "band_size": 4, "shingle_n": 3, "threshold": 0.5}
 
 
 def _dedup_index_root(spark: SparkSession, sf_dir: str) -> str:
-    import glob as _glob
-    import hashlib as _hashlib
-    import os as _os
-    import tempfile as _tempfile
-
-    h = _hashlib.sha256()
-    for p in sorted(_glob.glob(_os.path.join(sf_dir, "documents.parquet"))):
-        h.update(p.encode())
-        h.update(str(_os.path.getsize(p)).encode())
-    scratch = spark.conf.get("spark.epl.scratch.dir", None)
-    base = (
-        scratch.rstrip("/")
-        if scratch
-        else _os.path.join(_tempfile.gettempdir(), "epl_dedup_index")
-    )
-    return _os.path.join(
-        base,
-        f"minhash_{_os.path.basename(sf_dir.rstrip('/'))}_{h.hexdigest()[:12]}",
+    return _index_scratch_root(
+        spark, sf_dir, "documents", "minhash", _DEDUP_IDX, "epl_dedup_index"
     )
 
 

@@ -84,6 +84,61 @@ def testdata_fingerprint(sf_dir: str = "/root/testdata/sf0.01") -> str:
     return h.hexdigest()
 
 
+def current_module_hashes(pkg_root: str | None = None) -> dict[str, str]:
+    """Content hash per engine module OUTSIDE plans/ (plans are covered
+    by per-query fingerprints). The ledger records these at refresh
+    time; a mismatch later means an engine module changed without a
+    ledger run — i.e. without a decision about which queries must
+    re-gate (``--assume-changed``)."""
+    if pkg_root is None:
+        pkg_root = os.path.dirname(_HERE)
+    hashes: dict[str, str] = {}
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        for fname in sorted(files):
+            if not fname.endswith(".py"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, fname), pkg_root)
+            if rel.startswith("plans"):
+                continue
+            with open(os.path.join(dirpath, fname), "rb") as f:
+                hashes[rel] = hashlib.sha256(f.read()).hexdigest()
+    return hashes
+
+
+def ledger_staleness(
+    ledger: dict | None = None,
+    module_hashes: dict[str, str] | None = None,
+    rounds: dict[int, dict] | None = None,
+) -> list[str]:
+    """Findings that mean the ledger no longer describes HEAD and
+    ``tools/update_gate_ledger.py`` must run (with ``--assume-changed``
+    for any semantically-moved queries). Empty list = fresh. Pinned by
+    tests/test_plan_audit.py so a forgotten refresh fails a `gate`
+    test instead of silently leaving changed queries vouched by old
+    fingerprints."""
+    ledger = load_ledger() if ledger is None else ledger
+    if not ledger:
+        return ["gate_ledger.json missing or unreadable"]
+    findings: list[str] = []
+    recorded = ledger.get("module_hashes", {})
+    current = current_module_hashes() if module_hashes is None else module_hashes
+    for rel in sorted(set(recorded) | set(current)):
+        if recorded.get(rel) != current.get(rel):
+            findings.append(f"engine module changed since ledger: {rel}")
+    rounds = load_correctness_rounds() if rounds is None else rounds
+    if rounds:
+        latest = max(rounds)
+        if str(latest) not in ledger.get("data_gen_by_round", {}):
+            findings.append(
+                f"CORRECTNESS round r{latest} not mapped to a data "
+                "generation in the ledger"
+            )
+    fp = testdata_fingerprint()
+    if fp != "unavailable" and ledger.get("testdata_fingerprint") != fp:
+        findings.append("testdata fingerprint differs from ledger")
+    return findings
+
+
 def load_ledger(path: str = LEDGER_PATH) -> dict:
     try:
         with open(path) as f:

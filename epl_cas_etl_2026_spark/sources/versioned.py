@@ -34,10 +34,30 @@ Commit protocol:
 4. old snapshots stay readable (``version=``) until vacuumed — time
    travel and long-running readers get a consistent snapshot for free.
 
-A crash between data-dir write and marker creation leaves an orphan
-directory (never served, removed by ``vacuum``), never a torn table;
-there is NO lock file anywhere, so a dead writer cannot wedge the
-table.
+Failure matrix (every writer/vacuum interleaving and what it leaves):
+
+- crash BEFORE ``df.write`` finishes: partial ``v=N_<nonce>`` dir, no
+  marker — never served; ``vacuum`` removes it once it is older than
+  the grace window.
+- crash AFTER the data write, BEFORE the marker link: fully-written
+  orphan dir — same as above (never served, aged out by ``vacuum``).
+  A stale ``.tmp_`` marker staging file may also remain in
+  ``_commits/`` — swept by ``vacuum`` under the same grace window.
+- lost put-if-absent race (CAS mode): the loser removes its own dir
+  and raises ``CommitConflictError``; nothing for ``vacuum`` to do.
+- concurrent ``vacuum`` vs an in-flight writer: an unpublished attempt
+  dir younger than ``grace_seconds`` is SKIPPED (Delta-style
+  retention) — age is the only thing separating a live attempt from a
+  crash orphan. As a second line of defense, ``commit`` re-checks the
+  data dir immediately after the marker link and, if a graceless
+  vacuum deleted it in the window, unpublishes the marker and raises
+  instead of leaving a marker that points at nothing.
+- crash AFTER the marker link: the commit is durable and complete
+  (the marker content carries the nonce); the ``.tmp_`` staging file
+  is swept by ``vacuum``.
+
+There is NO lock file anywhere, so a dead writer cannot wedge the
+table, and no interleaving leaves a served-but-missing snapshot.
 
 MERGE (``merge_commit``) = etl.pipeline.merge_upsert's full-outer
 join (the exact join Delta MERGE executes) + a snapshot commit, so
@@ -60,6 +80,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -185,6 +206,21 @@ class VersionedTable:
                 continue
             finally:
                 os.unlink(tmp)
+            # post-publish verification: a concurrent graceless vacuum
+            # may have classified this attempt dir as an orphan between
+            # the data write and the marker link. Unpublish the marker
+            # and fail loudly rather than leave a marker pointing at a
+            # deleted directory (a torn table).
+            if not os.path.isdir(data_dir):
+                try:
+                    os.unlink(self._marker_path(new))
+                except OSError:
+                    pass
+                raise CommitConflictError(
+                    f"{self.root}: version {new} data dir was vacuumed "
+                    "between write and publish; commit rolled back — "
+                    "re-read and retry (run vacuum with a grace window)"
+                )
             return new
 
     def merge_commit(self, updates: DataFrame, key: str, spark: SparkSession) -> int:
@@ -206,14 +242,30 @@ class VersionedTable:
         # etl.pipeline.sync_job pins batches via localCheckpoint
         return self.commit(merged.localCheckpoint(), expected_version=current)
 
-    def vacuum(self, keep_last: int = 1) -> list[int]:
+    def vacuum(
+        self, keep_last: int = 1, grace_seconds: float = 3600.0
+    ) -> list[int]:
         """Drop snapshots older than the newest ``keep_last``, plus any
         orphan data directory that no commit marker points to (failed
         or lost-race commit attempts). Returns removed versions (orphans
-        report their parsed version number)."""
+        report their parsed version number).
+
+        RETIRED PUBLISHED snapshots (a marker resolves to the dir, it
+        just fell out of ``keep_last``) are removed regardless of age —
+        no writer can be mid-flight on an already-committed version.
+        UNPUBLISHED dirs are removed only when older than
+        ``grace_seconds`` (Delta-style retention): a concurrent
+        writer's fully-written but not-yet-published attempt looks
+        identical to a crash orphan, and only age separates them.
+        ``.tmp_`` marker staging files get the same grace. Pass
+        ``grace_seconds=0`` only when no writer can be in flight
+        (single-process tests / shutdown cleanup). Entries under the
+        root whose name does not parse as ``v=<int>...`` are not this
+        protocol's and are skipped, never deleted."""
         committed = self.latest_version()
         if committed is None:
             return []
+        now = time.time()
         keep_dirs = set()
         for v in range(max(0, committed - keep_last + 1), committed + 1):
             keep_dirs.add(os.path.basename(self._version_dir(v)))
@@ -221,16 +273,37 @@ class VersionedTable:
         for name in sorted(os.listdir(self.root)):
             if not name.startswith("v=") or name in keep_dirs:
                 continue
-            v = int(name[2:].split("_")[0])
-            shutil.rmtree(os.path.join(self.root, name))
+            try:
+                v = int(name[2:].split("_")[0])
+            except ValueError:
+                continue  # stray non-protocol entry: not ours to delete
+            path = os.path.join(self.root, name)
+            published = (
+                v <= committed and os.path.basename(self._version_dir(v)) == name
+            )
+            if not published:
+                try:
+                    age = now - os.path.getmtime(path)
+                except OSError:
+                    continue  # raced with its own writer/cleanup
+                if age < grace_seconds:
+                    continue  # possibly a live attempt — let it age
+            shutil.rmtree(path, ignore_errors=True)
             if v not in removed:
                 removed.append(v)
         for name in sorted(os.listdir(self._commits_dir())) if os.path.isdir(
             self._commits_dir()
         ) else []:
+            full = os.path.join(self._commits_dir(), name)
             if name.isdigit() and int(name) <= committed - keep_last:
-                os.remove(os.path.join(self._commits_dir(), name))
+                os.remove(full)
             elif name.startswith(".tmp_"):
-                # marker staging file from a hard-crashed writer
-                os.remove(os.path.join(self._commits_dir(), name))
+                # marker staging file from a hard-crashed writer — but a
+                # LIVE writer's staging file exists between write and
+                # link, so the same grace window applies
+                try:
+                    if now - os.path.getmtime(full) >= grace_seconds:
+                        os.remove(full)
+                except OSError:
+                    pass  # the live writer unlinked it first
         return sorted(removed)

@@ -185,6 +185,59 @@ def test_gate_ledger_matches_current_testdata():
     )
 
 
+def test_gate_ledger_fresh_against_head():
+    """Round-9 verdict item 5: the ledger refresh is run-by-hand, so a
+    forgotten run after an engine-module edit must fail HERE — changed
+    helper semantics would otherwise stay vouched by fingerprints taken
+    before the change. Fix: rerun tools/update_gate_ledger.py, passing
+    --assume-changed for every query whose semantics the edit moved."""
+    from epl_cas_etl_2026_spark.plans.gate_policy import ledger_staleness
+
+    findings = ledger_staleness()
+    assert findings == [], "stale gate ledger:\n  " + "\n  ".join(findings)
+
+
+def test_ledger_staleness_detects_doctored_ledger():
+    """The staleness checker itself: a ledger whose module hashes,
+    round map, or testdata fingerprint lag HEAD is flagged with one
+    finding per divergence (deliberately-stale unit fixture)."""
+    from epl_cas_etl_2026_spark.plans.gate_policy import (
+        current_module_hashes,
+        ledger_staleness,
+        load_ledger,
+        testdata_fingerprint,
+    )
+
+    real = load_ledger()
+    assert real, "gate_ledger.json missing"
+    mods = current_module_hashes()
+    rounds = {7: {}, 9: {}}
+
+    fresh = {
+        "module_hashes": mods,
+        "data_gen_by_round": {"7": "g1", "9": "g2"},
+        "testdata_fingerprint": testdata_fingerprint(),
+    }
+    assert ledger_staleness(fresh, mods, rounds) == []
+
+    # one edited module, one missing round mapping, wrong testdata pin
+    stale = dict(fresh)
+    stale["module_hashes"] = {
+        **mods, "sources/versioned.py": "0" * 64, "sources/new_mod.py": "1" * 64
+    }
+    stale["data_gen_by_round"] = {"7": "g1"}
+    stale["testdata_fingerprint"] = "not-the-real-one"
+    findings = ledger_staleness(stale, mods, rounds)
+    assert any("sources/versioned.py" in f for f in findings)
+    assert any("sources/new_mod.py" in f for f in findings)
+    assert any("r9" in f for f in findings)
+    assert any("testdata fingerprint" in f for f in findings)
+    # the empty ledger degrades to a single loud finding
+    assert ledger_staleness({}, mods, rounds) == [
+        "gate_ledger.json missing or unreadable"
+    ]
+
+
 # ---- round-4 additions: plan-shape pins for the new operators ----
 
 

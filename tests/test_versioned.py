@@ -54,7 +54,13 @@ def test_failed_commit_leaves_pointer_untouched(spark, tmp_path):
     _df(spark, [(9, "x")]).write.parquet(os.path.join(t.root, "v=1"))
     assert t.latest_version() == 0
     assert sorted(map(tuple, t.read(spark).collect())) == [(1, "a")]
-    assert t.vacuum(keep_last=1) == [1]
+    # default grace window: a just-written orphan could be a LIVE
+    # writer mid-commit, so vacuum must leave it alone...
+    assert t.vacuum(keep_last=1) == []
+    assert os.path.exists(os.path.join(t.root, "v=1"))
+    # ...and with the grace waived (no writer can be in flight) the
+    # orphan is reported and removed
+    assert t.vacuum(keep_last=1, grace_seconds=0) == [1]
     assert not os.path.exists(os.path.join(t.root, "v=1"))
 
 
@@ -219,6 +225,95 @@ def test_vacuum_sweeps_crashed_marker_staging(spark, tmp_path):
     stale = os.path.join(t.root, "_commits", ".tmp_deadbeef_7")
     with open(stale, "w") as f:
         f.write("deadbeef")
+    # a fresh staging file might belong to a live writer between its
+    # data write and marker link — the grace window protects it
     t.vacuum(keep_last=1)
+    assert os.path.exists(stale)
+    t.vacuum(keep_last=1, grace_seconds=0)
     assert not os.path.exists(stale)
     assert t.latest_version() == 0
+
+
+# -- round-10: writer-crash recovery + vacuum/writer race hardening -------
+
+
+def test_writer_crash_after_write_before_marker(spark, tmp_path):
+    """A writer that dies AFTER df.write and BEFORE the marker link
+    leaves a fully-written nonce dir and (possibly) a marker staging
+    file. Readers must never see either; vacuum reports the dir as an
+    orphan once the grace window passes."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+    # simulate the crash: nonce data dir written, marker never linked
+    crashed = os.path.join(t.root, "v=1_deadbeefcafe")
+    _df(spark, [(9, "ghost")]).write.parquet(crashed)
+    staging = os.path.join(t.root, "_commits", ".tmp_deadbeefcafe_1")
+    with open(staging, "w") as f:
+        f.write("deadbeefcafe")
+    # readers never see the crashed attempt
+    assert t.latest_version() == 0
+    assert sorted(map(tuple, t.read(spark).collect())) == [(1, "a")]
+    with pytest.raises(ValueError):
+        t.read(spark, version=1)
+    # within the grace window the attempt is indistinguishable from a
+    # live writer: vacuum must not touch it
+    assert t.vacuum(keep_last=1) == []
+    assert os.path.isdir(crashed) and os.path.exists(staging)
+    # past the grace window (simulated by aging the mtimes) it is an
+    # orphan: reported by version number and fully swept
+    old = (os.path.getmtime(crashed) - 7200,) * 2
+    os.utime(crashed, old)
+    os.utime(staging, old)
+    assert t.vacuum(keep_last=1) == [1]
+    assert not os.path.isdir(crashed) and not os.path.exists(staging)
+    # the table is exactly as before the crash, and new commits proceed
+    assert t.commit(_df(spark, [(2, "b")]), expected_version=0) == 1
+    assert sorted(map(tuple, t.read(spark).collect())) == [(2, "b")]
+
+
+def test_commit_detects_vacuumed_data_dir(spark, tmp_path, monkeypatch):
+    """A graceless concurrent vacuum that removes an in-flight attempt
+    dir between the data write and the marker link must NOT produce a
+    marker pointing at nothing: commit unpublishes and raises."""
+    import epl_cas_etl_2026_spark.sources.versioned as vmod
+    from epl_cas_etl_2026_spark.sources.versioned import CommitConflictError
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+
+    real_link = os.link
+
+    def link_then_vacuum(src, dst, **kw):
+        real_link(src, dst, **kw)
+        # simulate the racing graceless vacuum landing right after the
+        # marker publish: the attempt dir vanishes under the writer
+        for name in os.listdir(t.root):
+            if name.startswith("v=1_"):
+                import shutil
+
+                shutil.rmtree(os.path.join(t.root, name))
+
+    monkeypatch.setattr(vmod.os, "link", link_then_vacuum)
+    with pytest.raises(CommitConflictError):
+        t.commit(_df(spark, [(2, "b")]), expected_version=0)
+    monkeypatch.undo()
+    # the marker was unpublished: readers still see version 0 and a
+    # retry lands cleanly at version 1
+    assert t.latest_version() == 0
+    assert sorted(map(tuple, t.read(spark).collect())) == [(1, "a")]
+    assert t.commit(_df(spark, [(2, "b")]), expected_version=0) == 1
+    assert sorted(map(tuple, t.read(spark).collect())) == [(2, "b")]
+
+
+def test_vacuum_skips_unparseable_entries(spark, tmp_path):
+    """Stray v=-prefixed non-protocol entries (hand-made dirs, legacy
+    droppings) must neither abort the sweep nor be deleted."""
+    t = VersionedTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.commit(_df(spark, [(i, "x")]))
+    stray = os.path.join(t.root, "v=SUCCESS-era")
+    os.makedirs(stray)
+    # the sweep completes past the stray entry and still retires v=0
+    assert t.vacuum(keep_last=2) == [0]
+    assert os.path.isdir(stray)
+    assert t.latest_version() == 2

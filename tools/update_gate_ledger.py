@@ -74,26 +74,17 @@ def main() -> None:
 
     # Helper-change detection: query fingerprints cover the query fn +
     # oracle only, so a semantic change inside a shared operator module
-    # is invisible to them. Record a content hash per engine module;
-    # when one changed since the last ledger, list the queries whose
-    # SOURCE references that module so the operator can re-run with
-    # --assume-changed on the affected names.
-    import hashlib
+    # is invisible to them. Record a content hash per engine module
+    # (shared with gate_policy.ledger_staleness, which a `gate` test
+    # runs — a forgotten refresh fails pytest); when one changed since
+    # the last ledger, list the queries whose SOURCE references that
+    # module so the operator can re-run with --assume-changed on the
+    # affected names.
     import inspect
 
-    pkg_root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "epl_cas_etl_2026_spark",
-    )
-    module_hashes = {}
-    for dirpath, _dirs, files in os.walk(pkg_root):
-        for fname in sorted(files):
-            if fname.endswith(".py"):
-                rel = os.path.relpath(os.path.join(dirpath, fname), pkg_root)
-                if rel.startswith("plans"):
-                    continue  # plans are covered by query fingerprints
-                with open(os.path.join(dirpath, fname), "rb") as f:
-                    module_hashes[rel] = hashlib.sha256(f.read()).hexdigest()
+    from epl_cas_etl_2026_spark.plans.gate_policy import current_module_hashes
+
+    module_hashes = current_module_hashes()
     prev_hashes = ledger.get("module_hashes", {})
     changed_mods = sorted(
         rel
