@@ -265,6 +265,9 @@ ROTATING = [
     "docs_dedup_index_serve",
     "docs_gopher_repetition_stats",
     "docs_ccnet_perplexity_buckets",
+    # r10: estimator-calibration audit (banded candidates + per-pair
+    # array verify — engine throughput, benchable)
+    "docs_minhash_estimate_error",
 ]
 BENCHED = HEADLINE + ROTATING
 

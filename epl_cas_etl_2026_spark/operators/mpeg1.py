@@ -34,6 +34,19 @@ from-memory approximation would not be the standard's decoder.
 to the subband domain is real and exact. (Same posture as the r8
 MP3/H.264 stubs, one layer deeper into the format.)
 
+LAYER II, CHECKED AND DECLINED (round-10; the r9 verdict asked
+whether Layer II needs tables beyond the Layer I path): the grouped
+3-sample granules and the Table 3-B.4 requantization constants ARE
+formula-derivable (C = 2^k/(2^k-1), D = 2^(1-k) for 2^k-1 steps;
+C = 2^k/nsteps, D = 1/2 for the grouped 3/5/9-step classes), but the
+BIT-ALLOCATION tables (ISO 11172-3 Tables 3-B.2a-d — which allocation
+index selects which quantization class, per subband, per
+bitrate/sampling-rate regime) are quality-tuned arbitrary printed
+tables with no generating formula and no copy in this environment.
+A from-memory reconstruction would silently diverge from the
+standard, which is worse than a stub — so Layer II stays out, with
+this citation as the boundary.
+
 Reference parity note: the reference pipeline treats media payloads
 as opaque binaries (SURVEY.md §2.10); this module is part of the
 beyond-reference multimodal extension surface.

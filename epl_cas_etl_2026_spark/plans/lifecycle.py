@@ -528,3 +528,161 @@ def orders_versioned_cas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["orders_versioned_cas_stats"] = orders_versioned_cas_stats
+
+
+# ---------------------------------------------------------------------------
+# VACUUM / WRITER-RACE AUDIT under the hard gate (round-10): drives
+# the retention semantics the round-9 ADVICE hardened
+# (sources/versioned.py vacuum grace window). The fixture builds a
+# two-version table, then plants the full failure-mode zoo a shared
+# multi-writer root can hold: a FRESH unpublished attempt dir + its
+# marker staging file (a writer that could still be alive), an AGED
+# orphan at the same version slot (a writer that crashed long ago),
+# and a stray non-protocol directory. One vacuum under the default
+# grace window must retire exactly {old published snapshot, aged
+# orphan} while PROTECTING the fresh attempt and the stray; a second
+# graceless vacuum (single-process, no writer can be in flight) must
+# sweep the fresh attempt + staging file and still skip the stray;
+# and a CAS commit afterwards must land cleanly — proving the sweeps
+# never touched live protocol state. Every snapshot stat is
+# recomputed by the DuckDB oracle from `orders` alone; the protocol
+# outcomes are spec constants.
+# ---------------------------------------------------------------------------
+ORACLES["orders_versioned_vacuum_audit"] = f"""
+    WITH cents AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM orders
+    ), v1 AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s
+      FROM cents GROUP BY o_custkey
+    ), v2 AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s
+      FROM cents WHERE o_orderdate >= TIMESTAMP '{_CAS_CUT2}'
+      GROUP BY o_custkey
+    )
+    SELECT metric, value FROM (
+      SELECT 'aged_orphan_removed' AS metric, 1 AS value
+      UNION ALL SELECT 'final_latest_version', 2
+      UNION ALL SELECT 'first_vacuum_removed_n', 2
+      UNION ALL SELECT 'first_vacuum_removed_sum', 2
+      UNION ALL SELECT 'fresh_attempt_survived_grace', 1
+      UNION ALL SELECT 'second_vacuum_removed_n', 1
+      UNION ALL SELECT 'staging_survived_grace', 1
+      UNION ALL SELECT 'staging_swept_graceless', 1
+      UNION ALL SELECT 'stray_dir_survived', 1
+      UNION ALL SELECT 'v0_marker_retired', 1
+      UNION ALL SELECT 'v1_customers', (SELECT COUNT(*) FROM v1)
+      UNION ALL SELECT 'v1_orders',
+        (SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) FROM v1)
+      UNION ALL SELECT 'v1_sum_cents',
+        (SELECT COALESCE(CAST(SUM(s) AS BIGINT), 0) FROM v1)
+      UNION ALL SELECT 'v2_customers', (SELECT COUNT(*) FROM v2)
+      UNION ALL SELECT 'v2_orders',
+        (SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) FROM v2)
+      UNION ALL SELECT 'v2_sum_cents',
+        (SELECT COALESCE(CAST(SUM(s) AS BIGINT), 0) FROM v2)
+    ) ORDER BY metric
+    """
+
+
+def orders_versioned_vacuum_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from epl_cas_etl_2026_spark.sources.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    with_cents = orders.select("o_custkey", "o_orderdate", cents.alias("c"))
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("s"),
+        )
+
+    def stats(version: int) -> tuple[int, int, int]:
+        row = (
+            t.read(spark, version=version)
+            .agg(
+                F.count(F.lit(1)).alias("cust"),
+                F.coalesce(F.sum("n"), F.lit(0)).alias("orders"),
+                F.coalesce(F.sum("s"), F.lit(0)).alias("cents"),
+            )
+            .collect()[0]
+        )
+        return int(row["cust"]), int(row["orders"]), int(row["cents"])
+
+    tmp = tempfile.mkdtemp(prefix="versioned_vacuum_")
+    try:
+        t = VersionedTable(os.path.join(tmp, "rollup"))
+        t.commit(
+            rollup(with_cents.filter(F.col("o_orderdate") < _CAS_CUT1)),
+            expected_version=-1,
+        )
+        t.commit(rollup(with_cents), expected_version=0)
+
+        # the failure-mode zoo, all targeting the NEXT version slot:
+        fresh = os.path.join(t.root, "v=2_feedfacefeed")
+        rollup(with_cents).limit(1).write.parquet(fresh)
+        staging = os.path.join(t.root, "_commits", ".tmp_feedfacefeed_2")
+        with open(staging, "w") as f:
+            f.write("feedfacefeed")
+        aged = os.path.join(t.root, "v=2_0ddba110ddba")
+        rollup(with_cents).limit(1).write.parquet(aged)
+        old = (os.path.getmtime(aged) - 7200,) * 2
+        os.utime(aged, old)
+        stray = os.path.join(t.root, "v=SUCCESS-era")
+        os.makedirs(stray)
+
+        removed1 = t.vacuum(keep_last=1)  # default grace window
+        fresh_survived = int(os.path.isdir(fresh))
+        staging_survived = int(os.path.exists(staging))
+        aged_removed = int(not os.path.isdir(aged))
+        marker0_retired = int(
+            not os.path.exists(os.path.join(t.root, "_commits", "0"))
+        )
+        v1c, v1n, v1s = stats(1)  # latest snapshot untouched by sweep
+
+        removed2 = t.vacuum(keep_last=1, grace_seconds=0)
+        staging_swept = int(not os.path.exists(staging))
+        stray_survived = int(os.path.isdir(stray))
+
+        # the protocol is intact after both sweeps: a CAS commit lands
+        # at the slot the orphans fought over
+        final_v = t.commit(
+            rollup(with_cents.filter(F.col("o_orderdate") >= _CAS_CUT2)),
+            expected_version=1,
+        )
+        v2c, v2n, v2s = stats(2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    rows = [
+        ("aged_orphan_removed", aged_removed),
+        ("final_latest_version", int(final_v)),
+        ("first_vacuum_removed_n", len(removed1)),
+        ("first_vacuum_removed_sum", sum(removed1)),
+        ("fresh_attempt_survived_grace", fresh_survived),
+        ("second_vacuum_removed_n", len(removed2)),
+        ("staging_survived_grace", staging_survived),
+        ("staging_swept_graceless", staging_swept),
+        ("stray_dir_survived", stray_survived),
+        ("v0_marker_retired", marker0_retired),
+        ("v1_customers", v1c),
+        ("v1_orders", v1n),
+        ("v1_sum_cents", v1s),
+        ("v2_customers", v2c),
+        ("v2_orders", v2n),
+        ("v2_sum_cents", v2s),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long").orderBy(
+        "metric"
+    )
+
+
+QUERIES["orders_versioned_vacuum_audit"] = orders_versioned_vacuum_audit

@@ -503,3 +503,81 @@ def test_gopher_repetition_third_implementation(spark, tmp_path):
         assert g["sum_cov5_millis"] == e["s5"]
     # the engineered docs actually exercised both rules
     assert exp["en"]["f2"] >= 1 and exp["en"]["f5"] >= 1
+
+
+def test_minhash_estimate_error_third_impl(spark, tmp_path):
+    """docs_minhash_estimate_error: pure-Python MinHash + exact-Jaccard
+    recompute on a tiny planted corpus must reproduce the gate's
+    calibration rows exactly (third implementation, no Spark/DuckDB
+    machinery)."""
+    import hashlib
+
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        docs_minhash_estimate_error,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base + " extra", "en", "s", len(base) + 6),  # near-dup of 1
+        (3, base.replace("gamma", "mu"), "en", "s", len(base)),
+        (4, "totally different words here nothing shared at all x y",
+         "en", "s", 55),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    got = {
+        r["est_matches"]: r
+        for r in docs_minhash_estimate_error(spark, d).collect()
+    }
+
+    # pure-Python replay of the whole pipeline
+    P, H2M = 4294967291, 72057594037927936
+
+    def sig(text):
+        w = text.split(" ")
+        sh = [" ".join(w[i : i + 3]) for i in range(len(w) - 2)]
+        if not sh:
+            return None, set()
+        pairs = []
+        for s in sh:
+            m = hashlib.md5(s.encode()).hexdigest()
+            pairs.append((int(m[:15], 16), int(m[16:31], 16) % H2M))
+        return (
+            [min((h1 + j * h2) % P for h1, h2 in pairs) for j in range(16)],
+            set(sh),
+        )
+
+    sigs = {i: sig(t) for i, t, *_ in rows}
+    cands = set()
+    for a in sigs:
+        for b in sigs:
+            if a < b and any(
+                sigs[a][0][4 * k : 4 * k + 4] == sigs[b][0][4 * k : 4 * k + 4]
+                for k in range(4)
+            ):
+                cands.add((a, b))
+    expect: dict = {}
+    for a, b in cands:
+        est = sum(x == y for x, y in zip(sigs[a][0], sigs[b][0]))
+        sa, sb = sigs[a][1], sigs[b][1]
+        exact = 1000 * len(sa & sb) // max(len(sa | sb), 1)
+        e = expect.setdefault(est, [0, 0, 10**9, -1, 0])
+        e[0] += 1
+        e[1] += exact
+        e[2] = min(e[2], exact)
+        e[3] = max(e[3], exact)
+        e[4] += abs(1000 * est // 16 - exact)
+    assert cands, "fixture must produce at least one candidate pair"
+    assert set(got) == set(expect)
+    for est, (n, s, mn, mx, err) in expect.items():
+        r = got[est]
+        assert (
+            r["n_pairs"], r["sum_exact_milli"], r["min_exact_milli"],
+            r["max_exact_milli"], r["sum_abs_err_milli"],
+        ) == (n, s, mn, mx, err)
+        assert r["est_milli"] == 1000 * est // 16
