@@ -238,6 +238,41 @@ def test_ledger_staleness_detects_doctored_ledger():
     ]
 
 
+def test_assume_changed_is_sticky_until_next_round():
+    """The r6/r10 ledger trap, closed: names passed once via
+    --assume-changed persist in the ledger and keep applying on plain
+    re-runs — until a NEWER CORRECTNESS round lands, which gated the
+    changed code and obsoletes the exclusion."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "ugl",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "update_gate_ledger.py",
+        ),
+    )
+    ugl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ugl)
+
+    ledger = {
+        "assume_changed_pending": {"as_of_round": 9, "names": ["q_a", "q_b"]}
+    }
+    # same round still latest: pending names keep applying, CLI unions
+    assert ugl.effective_assume_changed(set(), ledger, 9) == {"q_a", "q_b"}
+    assert ugl.effective_assume_changed({"q_c"}, ledger, 9) == {
+        "q_a", "q_b", "q_c",
+    }
+    # a newer round landed: its rows gated the changed code — only the
+    # fresh CLI names apply
+    assert ugl.effective_assume_changed(set(), ledger, 10) == set()
+    assert ugl.effective_assume_changed({"q_c"}, ledger, 10) == {"q_c"}
+    # no pending block at all: plain CLI behavior
+    assert ugl.effective_assume_changed({"q_c"}, {}, 9) == {"q_c"}
+
+
 # ---- round-4 additions: plan-shape pins for the new operators ----
 
 

@@ -18,11 +18,13 @@ What it does:
 
 Usage: python tools/update_gate_ledger.py [--assume-changed a,b,c]
 
-NOTE: --assume-changed is not sticky across invocations — a LATER run
-of this tool re-records any dropped name that was green in the latest
-round (it cannot distinguish "dropped on purpose" from "missing").
-Pass the COMPLETE list of changed names in every run until the next
-CORRECTNESS round lands.
+--assume-changed is STICKY since round 10: names are persisted in the
+ledger (``assume_changed_pending``) and stay excluded from fingerprint
+re-recording on every later run, until a NEWER CORRECTNESS round lands
+(whose rows gated the changed code, so re-recording becomes correct
+and the pending set clears automatically). This closes the r6/r10
+"ledger trap" where a later plain run silently re-vouched an edited
+query that happened to be green in the latest round's window.
 """
 
 from __future__ import annotations
@@ -45,22 +47,38 @@ from epl_cas_etl_2026_spark.plans.gate_policy import (
 )
 
 
+def effective_assume_changed(
+    cli_names: set[str], ledger: dict, latest: int
+) -> set[str]:
+    """CLI names ∪ the ledger's pending set — unless a CORRECTNESS
+    round NEWER than the one the pending set was recorded against has
+    landed (its rows gated the changed code, so prior exclusions are
+    obsolete and only the fresh CLI names apply)."""
+    pend = ledger.get("assume_changed_pending", {})
+    if pend.get("as_of_round") == latest:
+        return cli_names | set(pend.get("names", []))
+    return cli_names
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--assume-changed",
         default="",
         help="comma-separated query names whose plans changed after "
-        "their last green row (fingerprints dropped → re-gate)",
+        "their last green row (fingerprints dropped → re-gate); "
+        "sticky via the ledger until the next CORRECTNESS round",
     )
     args = ap.parse_args()
-    assume_changed = {s for s in args.assume_changed.split(",") if s}
 
     ledger = load_ledger()
     rounds = load_correctness_rounds()
     if not rounds:
         raise SystemExit("no CORRECTNESS_r*.json found — nothing to record")
     latest = max(rounds)
+    assume_changed = effective_assume_changed(
+        {s for s in args.assume_changed.split(",") if s}, ledger, latest
+    )
 
     current_fp = testdata_fingerprint()
     current_gen = ledger.get("current_data_gen", "g2")
@@ -128,6 +146,10 @@ def main() -> None:
     fingerprints = {n: fp for n, fp in fingerprints.items() if n in QUERIES}
 
     out = {
+        "assume_changed_pending": {
+            "as_of_round": latest,
+            "names": sorted(assume_changed),
+        },
         "current_data_gen": current_gen,
         "data_gen_by_round": gen_by_round,
         "testdata_fingerprint": current_fp,
