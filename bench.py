@@ -279,6 +279,8 @@ BENCHED = HEADLINE + ROTATING
 assert len(HEADLINE) == 126, f"HEADLINE frozen at 126, got {len(HEADLINE)}"
 assert len(ROTATING) <= 4, f"ROTATING capped at 4, got {len(ROTATING)}"
 assert len(set(BENCHED)) == len(BENCHED), "duplicate benched query"
+_unknown = set(BENCHED) - set(QUERIES)
+assert not _unknown, f"benched but not registered: {sorted(_unknown)}"
 assert HEADLINE[0] == "pricing_summary"
 assert HEADLINE[13] == "region_nation_rollup"
 assert HEADLINE[123] == "docs_exact_substring_dedup"
