@@ -1006,3 +1006,93 @@ def test_kneser_ney_simplex_and_python_recompute(spark):
         want[source][0] += 1
         want[source][1] += q
     assert got == {s: tuple(v) for s, v in want.items()}
+
+
+# -- round-10: Q30 fixed-point ln — the documented accuracy bound ---------
+
+
+def test_lnfp_accuracy_bound_pure_python():
+    """plans/extensions._lnfp_steps documents |ln_fp(x)/2^30 - ln(x)|
+    < 1.2e-7 for BIGINT x. Replay the integer chain in pure Python
+    (truncating division == both engines' div on non-negative
+    operands) across the full magnitude range and verify the bound —
+    a third implementation of the primitive both JM-LM queries and
+    DSIR now score through."""
+    import math
+
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        _LNFP_LN2,
+        _LNFP_ONE,
+    )
+
+    def lnfp(x: int) -> int:
+        e = x.bit_length() - 1
+        if e > 30:
+            z = x // (1 << (e - 30))
+        elif e < 30:
+            z = x * (1 << (30 - e))
+        else:
+            z = x
+        u = ((z - _LNFP_ONE) * _LNFP_ONE) // (z + _LNFP_ONE)
+        u2 = (u * u) // _LNFP_ONE
+        u3 = (u2 * u) // _LNFP_ONE
+        u5 = (u3 * u2) // _LNFP_ONE
+        u7 = (u5 * u2) // _LNFP_ONE
+        u9 = (u7 * u2) // _LNFP_ONE
+        u11 = (u9 * u2) // _LNFP_ONE
+        return e * _LNFP_LN2 + 2 * (
+            u + u3 // 3 + u5 // 5 + u7 // 7 + u9 // 9 + u11 // 11
+        )
+
+    xs = [1, 2, 3, 5, 7, 10, 63, 64, 65, 1023, 1 << 20, (1 << 30) - 1,
+          1 << 30, (1 << 30) + 1, 10**12, (1 << 52) + 12345, 2**53]
+    # dense pseudo-random coverage, deterministic (no RNG)
+    xs += [(37 * k * k + 1009 * k + 7) % (2**53 - 1) + 1
+           for k in range(2000)]
+    worst = 0.0
+    for x in xs:
+        err = abs(lnfp(x) / _LNFP_ONE - math.log(x))
+        worst = max(worst, err)
+    assert worst < 1.2e-7, worst
+    # exactness anchors: powers of two hit e*LN2_FP exactly (u = 0)
+    for e in (0, 1, 10, 30, 40, 52):
+        assert lnfp(1 << e) == e * _LNFP_LN2
+
+
+def test_lnfp_python_replay_matches_spark_sql(spark):
+    """The pure-Python fold above IS the Spark expression chain: build
+    the _lnfp_steps SQL on a literal frame and compare bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from epl_cas_etl_2026_spark.plans.extensions import (
+        _LNFP_LN2,
+        _LNFP_ONE,
+        _lnfp_spark_div,
+        _lnfp_spark_shl,
+        _lnfp_steps,
+    )
+
+    def lnfp(x: int) -> int:
+        e = x.bit_length() - 1
+        z = (x // (1 << (e - 30))) if e > 30 else (
+            x * (1 << (30 - e)) if e < 30 else x
+        )
+        u = ((z - _LNFP_ONE) * _LNFP_ONE) // (z + _LNFP_ONE)
+        u2 = (u * u) // _LNFP_ONE
+        u3 = (u2 * u) // _LNFP_ONE
+        u5 = (u3 * u2) // _LNFP_ONE
+        u7 = (u5 * u2) // _LNFP_ONE
+        u9 = (u7 * u2) // _LNFP_ONE
+        u11 = (u9 * u2) // _LNFP_ONE
+        return e * _LNFP_LN2 + 2 * (
+            u + u3 // 3 + u5 // 5 + u7 // 7 + u9 // 9 + u11 // 11
+        )
+
+    xs = [1, 2, 3, 17, 1000, 65535, (1 << 30) - 1, 1 << 30,
+          (1 << 30) + 999, 10**15, 2**53]
+    df = spark.createDataFrame([(x,) for x in xs], "v long")
+    for name, sql in _lnfp_steps("t_", "v", _lnfp_spark_div,
+                                 _lnfp_spark_shl):
+        df = df.withColumn(name, F.expr(sql))
+    got = {r["v"]: r["t_ln"] for r in df.collect()}
+    assert got == {x: lnfp(x) for x in xs}

@@ -317,3 +317,69 @@ def test_vacuum_skips_unparseable_entries(spark, tmp_path):
     assert t.vacuum(keep_last=2) == [0]
     assert os.path.isdir(stray)
     assert t.latest_version() == 2
+
+
+def _race_commits(spark, t, grace_seconds: float, n: int = 8):
+    """Run ``n`` blind-append commits against a concurrent vacuum loop
+    at the given grace; return (landed, rolled_back). Asserts the
+    no-torn-table invariant at every observation point."""
+    import threading
+
+    stop = threading.Event()
+    vacuum_errors: list = []
+
+    def vacuum_loop():
+        while not stop.is_set():
+            try:
+                t.vacuum(keep_last=1, grace_seconds=grace_seconds)
+            except Exception as ex:  # noqa: BLE001 — any crash fails
+                vacuum_errors.append(ex)
+                return
+
+    vt = threading.Thread(target=vacuum_loop)
+    vt.start()
+    landed = rolled_back = 0
+    try:
+        for i in range(1, n + 1):
+            try:
+                v = t.commit(_df(spark, [(i, f"w{i}")]))
+            except Exception:
+                # rolled-back commit: the table must still be readable
+                assert t.read(spark).count() == 1
+                rolled_back += 1
+                continue
+            landed += 1
+            # the snapshot this commit returned is ALWAYS complete
+            rows = sorted(map(tuple, t.read(spark, version=v).collect()))
+            assert rows == [(i, f"w{i}")]
+    finally:
+        stop.set()
+        vt.join()
+    assert not vacuum_errors, vacuum_errors
+    # final state consistent either way
+    assert t.latest_version() is not None
+    assert t.read(spark).count() == 1
+    return landed, rolled_back
+
+
+def test_commit_vacuum_race_graceless_never_tears(spark, tmp_path):
+    """The harshest misuse: a GRACELESS vacuum spin-loop racing a
+    writer. Writers may starve (every attempt dir can be swept between
+    the data write and the marker link — this run typically rolls back
+    most commits, which is WHY vacuum defaults to a grace window), but
+    the table must never tear: every commit either lands complete or
+    raises cleanly, and reads stay consistent throughout."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(0, "base")]))
+    landed, rolled_back = _race_commits(spark, t, grace_seconds=0)
+    assert landed + rolled_back == 8
+
+
+def test_commit_vacuum_race_with_grace_makes_progress(spark, tmp_path):
+    """Under the DEFAULT grace window the same race is safe AND live:
+    in-flight attempt dirs are protected by age, so every commit
+    lands."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(0, "base")]))
+    landed, rolled_back = _race_commits(spark, t, grace_seconds=3600)
+    assert (landed, rolled_back) == (8, 0)
