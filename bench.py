@@ -262,12 +262,16 @@ HEADLINE = [
 # entity-grained frames — artifact certification, not engine
 # throughput — so they stay driver-gated for correctness instead.
 ROTATING = [
-    "docs_dedup_index_serve",
+    # r11 rotation: embedding_lsh_estimate_error in (the embedding
+    # estimator-calibration twin — banded candidates + Arrow pairwise
+    # verify, engine throughput), docs_dedup_index_serve out (oldest;
+    # its r9/r10 walls stay in the committed records).
     "docs_gopher_repetition_stats",
     "docs_ccnet_perplexity_buckets",
     # r10: estimator-calibration audit (banded candidates + per-pair
     # array verify — engine throughput, benchable)
     "docs_minhash_estimate_error",
+    "embedding_lsh_estimate_error",
 ]
 BENCHED = HEADLINE + ROTATING
 
@@ -371,16 +375,21 @@ def main() -> None:
             gc.collect()
         timings[name] = round(best, 3)
 
-    # Single-interference-window rescue (round-8 continuation): this
-    # host shows multi-second interference windows that can swallow an
-    # entire min-of-3 for ONE query — four consecutive clean-tree runs
-    # each flagged a DIFFERENT single query at 2.2-6.2x its pinned
-    # median, every one back under budget on the next run. A genuine
-    # regression survives a retry; a window does not. So any query
-    # whose best-of-N exceeds 2x its RAW pinned median (the
-    # calib-free violation precondition in check_budgets) gets exactly
-    # one more timed run before the verdict. Bounded cost: only
-    # would-be violators re-run.
+    # Interference-window rescue (round-8 continuation, widened per the
+    # round-10 verdict item 3): this host shows multi-second
+    # interference windows that can swallow an entire min-of-3 for ONE
+    # query — BENCH_r10 recorded docs_exact_substring_dedup at 8.05 s
+    # where a serialized re-run measured 4.72 s, and that one-off now
+    # pollutes every cross-round per-query comparison in the permanent
+    # record. A genuine regression survives a retry; a window does not.
+    # So: any query whose best-of-N exceeds 1.5x its budget-normalized
+    # expectation (the same overhead+calib model check_budgets uses)
+    # gets exactly one more timed run, keep the min. Bounded extra
+    # wall: at most 10 re-runs, worst offenders first. Every re-run is
+    # NAMED in the emitted `rescued` map (was/now), so the record shows
+    # which walls were re-measured rather than silently smoothing them.
+    calib = cpu_calibration()
+    rescued: dict[str, dict] = {}
     bpath = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "tools",
@@ -388,22 +397,39 @@ def main() -> None:
     )
     if os.path.exists(bpath):
         with open(bpath) as fh:
-            _pinned = json.load(fh)["budgets"]
-        for name, t in list(timings.items()):
-            b = _pinned.get(name)
-            if b and t > 2.0 * b:
-                t0 = time.perf_counter()
-                run_once(spark, QUERIES[name], SF_DIR)
-                dt = round(time.perf_counter() - t0, 3)
-                spark.catalog.clearCache()
-                gc.collect()
-                if dt < t:
-                    timings[name] = dt
+            _pin = json.load(fh)
+        budgets = _pin["budgets"]
+        base_calib = _pin.get("cpu_calib_sec") or calib
+        scale = max(calib / base_calib if base_calib else 1.0, 0.9)
+        overhead = _pin.get("overhead_sec")
+        if overhead is None:
+            overhead = min(budgets.values())
+        cands = []
+        for name, t in timings.items():
+            b = budgets.get(name)
+            if b is None:
+                continue
+            model = overhead + scale * max(0.0, b - overhead)
+            if t > 1.5 * model:
+                cands.append((t - model, name))
+        for _excess, name in sorted(cands, reverse=True)[:10]:
+            t0 = time.perf_counter()
+            run_once(spark, QUERIES[name], SF_DIR)
+            dt = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+            gc.collect()
+            rescued[name] = {"was": timings[name], "now": min(dt, timings[name])}
+            if dt < timings[name]:
+                timings[name] = dt
 
-    report(timings)
+    report(timings, calib=calib, rescued=rescued)
 
 
-def report(timings: dict[str, float]) -> None:
+def report(
+    timings: dict[str, float],
+    calib: float | None = None,
+    rescued: dict[str, dict] | None = None,
+) -> None:
     """Emit the results in two pieces (round-7 fix for the driver's
     2000-char stdout-tail capture, which truncated the HEAD of the
     round-4..6 single-line records and left BENCH_r0N.json
@@ -449,7 +475,8 @@ def report(timings: dict[str, float]) -> None:
         if os.path.exists(p):
             with open(p) as fh:
                 extras[key] = json.load(fh)
-    calib = cpu_calibration()
+    if calib is None:
+        calib = cpu_calibration()
     budget_check = check_budgets(timings, calib)
     full = {
         "metric": "headline_query_wall_time",
@@ -472,6 +499,7 @@ def report(timings: dict[str, float]) -> None:
         "r7_queries_noop_sec": r7_subset,
         "r8_queries_noop_sec": r8_subset,
         "frozen126_noop_sec": frozen126,
+        "rescued": rescued or {},
         "budget_check": budget_check,
         **extras,
         "cpu_calib_sec": calib,
@@ -497,6 +525,11 @@ def report(timings: dict[str, float]) -> None:
             "r7": r7_subset, "r8": r8_subset, "f126": frozen126,
         },
         "budget_violations": budget_check.get("violations", None),
+        # compact [was, now] pairs — full dicts live in BENCH_FULL.json;
+        # keeping this small preserves room for the queries map below
+        "rescued": {
+            n: [v["was"], v["now"]] for n, v in (rescued or {}).items()
+        },
         "full": "BENCH_FULL.json",
     }
     # top-25 by wall only (round-9 verdict item 6): the map exists to

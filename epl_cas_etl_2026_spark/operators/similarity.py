@@ -233,6 +233,99 @@ def band_lsh_pairs(
     )
 
 
+def band_lsh_calibration_pairs(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    n_bands: int,
+    rows_per_band: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Estimator-calibration companion to ``band_lsh_pairs`` (round-11,
+    the embedding twin of the r10 MinHash estimate-error audit): for
+    every banded candidate pair, emit the SIGN-BIT ESTIMATE alongside
+    the exact cosine — (id_a, id_b, est_matches, sim) — so a caller can
+    build the calibration curve that tells how many true-cosine millis
+    each sign-agreement count spans before trusting a threshold at
+    100 TB.
+
+    ``est_matches`` is the number of agreeing sign bits across ALL
+    n_bands·rows_per_band planes (the Goemans-Williamson estimator:
+    P[bit match] = 1 - θ/π, so m/P estimates 1 - θ/π). It is computed
+    from the band keys the banding stage already produced — each key is
+    an r-char bit string, converted once per VECTOR to an integer via
+    ``conv`` (codegen'd), then per PAIR the agreement is
+    r - bit_count(xor) folded over the n_bands-element arrays — integer
+    everywhere, no re-projection of the planes.
+
+    Physical shape is band_lsh_pairs' (candidates from the banded
+    equi-join, never all-pairs; slim id-only shuffles; vectors and key
+    arrays join back onto the DISTINCT pairs; exact dot via the
+    Arrow-batched pairwise einsum). No threshold filter: calibration
+    wants the full candidate population, including the false positives
+    a threshold would drop.
+    """
+    assert len(planes) == n_bands * rows_per_band
+    sc = embeddings.sparkSession.sparkContext
+    target = min(32, sc.defaultParallelism)
+    if embeddings.rdd.getNumPartitions() < target:
+        embeddings = embeddings.repartition(target)
+    band_keys = _band_keys_udf(planes, n_bands, rows_per_band)
+    with_keys = embeddings.select(
+        F.col(id_col),
+        to_double(F.col(vec_col)).alias("__v"),
+        band_keys(F.col(vec_col)).alias("__bands"),
+    )
+    keyed = (
+        with_keys.withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+        .select(
+            F.col(id_col),
+            F.transform("__v", lambda x: x / F.col("__n")).alias("nv"),
+            "__bands",
+            F.expr(
+                "transform(__bands, k -> cast(conv(k, 2, 10) as bigint))"
+            ).alias("bk"),
+        )
+    )
+    keyed.persist()
+    banded = keyed.select(
+        F.col(id_col), F.posexplode("__bands").alias("band", "key")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pairs = cand.join(
+        keyed.select(
+            F.col(id_col).alias("id_a"),
+            F.col("nv").alias("na"),
+            F.col("bk").alias("ka"),
+        ),
+        "id_a",
+    ).join(
+        keyed.select(
+            F.col(id_col).alias("id_b"),
+            F.col("nv").alias("nb"),
+            F.col("bk").alias("kb"),
+        ),
+        "id_b",
+    )
+    est = F.expr(
+        f"aggregate(zip_with(ka, kb, (x, y) -> "
+        f"{rows_per_band}L - bit_count(x ^ y)), 0L, (acc, v) -> acc + v)"
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        est.cast("long").alias("est_matches"),
+        _pair_dot_udf()(F.col("na"), F.col("nb")).alias("sim"),
+    )
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -125,14 +125,32 @@ def ledger_staleness(
     for rel in sorted(set(recorded) | set(current)):
         if recorded.get(rel) != current.get(rel):
             findings.append(f"engine module changed since ledger: {rel}")
+    module_hashes_diverge = bool(findings)
     rounds = load_correctness_rounds() if rounds is None else rounds
     if rounds:
         latest = max(rounds)
-        if str(latest) not in ledger.get("data_gen_by_round", {}):
-            findings.append(
-                f"CORRECTNESS round r{latest} not mapped to a data "
-                "generation in the ledger"
+        known = ledger.get("data_gen_by_round", {})
+        if str(latest) not in known:
+            # Round-boundary case (r10 verdict, finding #1): the driver
+            # drops CORRECTNESS_r{N}.json AFTER the builder's final
+            # commit, so at the next round's start the newest round is
+            # always unmapped. That is "pending refresh", not staleness
+            # — PROVIDED every engine-module hash still matches HEAD
+            # (nothing changed since the ledger vouched for the tree).
+            # A newer-but-unmapped round WITH diverged module hashes is
+            # indistinguishable from editing code against an unrefreshed
+            # ledger and stays a hard finding.
+            known_rounds = [int(k) for k in known if str(k).isdigit()]
+            pending_refresh = (
+                bool(known_rounds)
+                and latest > max(known_rounds)
+                and not module_hashes_diverge
             )
+            if not pending_refresh:
+                findings.append(
+                    f"CORRECTNESS round r{latest} not mapped to a data "
+                    "generation in the ledger"
+                )
     fp = testdata_fingerprint()
     if fp != "unavailable" and ledger.get("testdata_fingerprint") != fp:
         findings.append("testdata fingerprint differs from ledger")

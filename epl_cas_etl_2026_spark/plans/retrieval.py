@@ -215,6 +215,145 @@ def docs_inverted_index_rarest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Phrase / proximity search over a POSITIONAL index (round-11; the
+# retrieval-surface deepening the r10 runway named): the standard IR
+# positional-postings query (Manning-Raghavan-Schütze IIR §2.4 —
+# public algorithm). Query = the corpus's two most frequent words
+# (count desc, word asc — engine-exact tie-break); per doc the
+# positional posting lists of both terms are built AS PER-ROW INTEGER
+# ARRAYS on the scan (no tokenize-shuffle anywhere), then
+#
+#   phrase_hits  = |{p ∈ pos(t1) : p+1 ∈ pos(t2)}|   (t1 t2 adjacency)
+#   min_fwd_gap  = min{b - a : a ∈ pos(t1), b ∈ pos(t2), b > a}
+#
+# the classic "t1 NEAR t2" ranking pair. The min-gap is a sort-merge
+# FOLD over the tag-encoded position stream (pos*2+tag), O(|A|+|B|)
+# per doc — never the |A|×|B| cross product. DuckDB twin folds the
+# same encoded stream with the flat-BIGINT-list accumulator +
+# prepended-init sentinel (the events_cusum_drift_alarms pattern;
+# struct accumulators misbind in list_reduce).
+#
+# Scale shape (100 TB): term selection is one map-side-combined
+# groupBy(word) (the only shuffle); the scoring pass is per-row
+# integer expressions on the scan + TakeOrderedAndProject top-10 —
+# ZERO exchanges after the scan. All-integer output, no float risk.
+# ---------------------------------------------------------------------------
+_GAP_INF = 1 << 40
+
+
+@_register(
+    "docs_phrase_proximity_topk",
+    f"""
+    WITH allw AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (
+      SELECT w, COUNT(*) AS n FROM allw WHERE w <> '' GROUP BY w
+    ),
+    top2 AS (SELECT w, n FROM wc ORDER BY n DESC, w LIMIT 2),
+    terms AS (
+      SELECT list(w ORDER BY n DESC, w)[1] AS t1,
+             list(w ORDER BY n DESC, w)[2] AS t2
+      FROM top2
+    ),
+    d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pos AS (
+      SELECT doc_id,
+             [i FOR i IN range(1, len(ws) + 1) IF ws[i] = t1] AS pa,
+             [i FOR i IN range(1, len(ws) + 1) IF ws[i] = t2] AS pb
+      FROM d, terms
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(pa) AS BIGINT) AS n_t1,
+             CAST(len(pb) AS BIGINT) AS n_t2,
+             CAST(len(list_intersect([p + 1 FOR p IN pa], pb)) AS BIGINT)
+               AS phrase_hits,
+             list_reduce(
+               [[CAST(0 AS BIGINT), {_GAP_INF}]] ||
+               list_transform(
+                 list_sort([p * 2 FOR p IN pa] || [p * 2 + 1 FOR p IN pb]),
+                 x -> [x]),
+               (acc, x) -> CASE WHEN x[1] % 2 = 0
+                 THEN [x[1] // 2, acc[2]]
+                 ELSE [acc[1],
+                       CASE WHEN acc[1] > 0
+                            THEN least(acc[2], x[1] // 2 - acc[1])
+                            ELSE acc[2] END]
+               END) AS st
+      FROM pos WHERE len(pa) > 0 AND len(pb) > 0
+    )
+    SELECT doc_id, n_t1, n_t2, phrase_hits,
+           CAST(NULLIF(st[2], {_GAP_INF}) AS BIGINT) AS min_fwd_gap
+    FROM scored
+    ORDER BY phrase_hits DESC, min_fwd_gap ASC NULLS LAST, doc_id
+    LIMIT 10
+    """,
+)
+def docs_phrase_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    top2 = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(2)
+        .collect()  # bounded driver coordination: exactly 2 rows
+    )
+    t1 = top2[0]["w"].replace("'", "''")
+    t2 = top2[1]["w"].replace("'", "''")
+    # let-bind split(text) via transform(array(...))[0] (the winnow
+    # lesson: a raw column expression referenced inside a HOF lambda
+    # gets inlined and re-evaluated PER ELEMENT by interpreted eval —
+    # O(len²) per doc; the binding makes it once per row)
+    def _positions(term: str) -> str:
+        return (
+            "transform(array(split(text, ' ')), ws ->"
+            " filter(sequence(1, size(ws)),"
+            f" i -> element_at(ws, i) = '{term}'))[0]"
+        )
+
+    d = docs.select(
+        "doc_id",
+        F.expr(_positions(t1)).alias("pa"),
+        F.expr(_positions(t2)).alias("pb"),
+    ).filter("size(pa) > 0 AND size(pb) > 0")
+    fold = f"""
+      aggregate(
+        array_sort(concat(transform(pa, p -> cast(p * 2 as bigint)),
+                          transform(pb, p -> cast(p * 2 + 1 as bigint)))),
+        struct(cast(0 as bigint) as lasta,
+               cast({_GAP_INF} as bigint) as best),
+        (acc, x) -> IF(x % 2 = 0,
+                       struct(x div 2 as lasta, acc.best as best),
+                       struct(acc.lasta as lasta,
+                              IF(acc.lasta > 0,
+                                 least(acc.best, x div 2 - acc.lasta),
+                                 acc.best) as best)),
+        acc -> nullif(acc.best, {_GAP_INF}))
+    """
+    return (
+        d.select(
+            "doc_id",
+            F.expr("cast(size(pa) as bigint)").alias("n_t1"),
+            F.expr("cast(size(pb) as bigint)").alias("n_t2"),
+            F.expr(
+                "cast(size(array_intersect("
+                "transform(pa, p -> p + 1), pb)) as bigint)"
+            ).alias("phrase_hits"),
+            F.expr(fold).cast("long").alias("min_fwd_gap"),
+        )
+        .orderBy(
+            F.desc("phrase_hits"),
+            F.asc_nulls_last("min_fwd_gap"),
+            F.asc("doc_id"),
+        )
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hybrid retrieval: Reciprocal Rank Fusion (Cormack, Clarke &
 # Buettcher, SIGIR'09 — public algorithm) of a LEXICAL ranking (the
 # standing BM25 query) and a SEMANTIC ranking (cosine to the standing

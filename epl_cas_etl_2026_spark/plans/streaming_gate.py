@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -93,6 +94,11 @@ def _feed_file(df: DataFrame, path: str, mtime: int) -> None:
     parts = [n for n in os.listdir(sdir) if n.endswith(".parquet")]
     assert len(parts) == 1, parts
     os.replace(os.path.join(sdir, parts[0]), path)
+    # remove the stage dir (with its _SUCCESS/.crc leftovers): callers
+    # pass paths INSIDE the FileStreamSource input dir, and a stray
+    # subdirectory in the listing is only benign while its remaining
+    # files happen to be hidden-filtered (r10 advice)
+    shutil.rmtree(sdir, ignore_errors=True)
     os.utime(path, (mtime, mtime))
 
 

@@ -52,12 +52,33 @@ Failure matrix (every writer/vacuum interleaving and what it leaves):
   data dir immediately after the marker link and, if a graceless
   vacuum deleted it in the window, unpublishes the marker and raises
   instead of leaving a marker that points at nothing.
+- graceless vacuum vs a writer publishing DURING the sweep (r10
+  advice): classification happens at sweep start, so vacuum pairs the
+  commit-side re-check with its own handshake — it renames an
+  "unpublished" dir aside (atomic), re-reads the marker, restores the
+  dir if the marker now resolves to it, and only otherwise deletes.
+  The writer's post-publish isdir check and vacuum's post-rename
+  marker re-read cannot BOTH pass for a deleted dir (whichever runs
+  second observes the other's effect), so every interleaving ends in
+  "commit landed, dir present" or "commit raised, marker absent".
+- vacuum crash between its rename-aside and the re-verify: a
+  ``.trash_v=...`` dir remains; the next sweep restores it if its
+  marker is live, else ages it out under the same grace window.
+- latest-version reader vs concurrent ``vacuum(keep_last=1)``: the
+  reader may resolve N just as N+1 lands and N is retired (or held
+  aside by the handshake); ``read()`` re-resolves latest and retries
+  (bounded, 2 attempts) before surfacing the error. Pinned
+  time-travel reads never retarget.
 - crash AFTER the marker link: the commit is durable and complete
   (the marker content carries the nonce); the ``.tmp_`` staging file
   is swept by ``vacuum``.
 
 There is NO lock file anywhere, so a dead writer cannot wedge the
-table, and no interleaving leaves a served-but-missing snapshot.
+table, and no interleaving leaves a DURABLY served-but-missing
+snapshot — under the default grace window in-flight attempts are
+never touched at all; graceless, a published dir can be missing only
+for the instant between vacuum's rename-aside and its marker-driven
+restore, which the reader-side retry covers.
 
 MERGE (``merge_commit``) = etl.pipeline.merge_upsert's full-outer
 join (the exact join Delta MERGE executes) + a snapshot commit, so
@@ -136,14 +157,33 @@ class VersionedTable:
 
     # -- read ---------------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Latest committed snapshot, or time-travel to ``version``."""
+        """Latest committed snapshot, or time-travel to ``version``.
+
+        Bounded retry (r10 verdict item 5): a latest-version reader can
+        resolve version N and then race a concurrent ``vacuum(
+        keep_last=1)`` retiring N just as N+1 lands (or the vacuum
+        TOCTOU handshake holding N's dir aside for a moment). If the
+        resolved dir is missing, re-resolve latest and retry — twice,
+        with a short pause — before surfacing the error. Pinned
+        time-travel reads do NOT retarget: a vacuumed historic version
+        is genuinely gone and must raise."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"versioned table {self.root}: no commits")
         committed = self.latest_version()
         if version is not None and (committed is None or version > committed):
             raise ValueError(f"version {version} not committed (latest {committed})")
-        return spark.read.parquet(self._version_dir(v))
+        path = self._version_dir(v)
+        if version is None:
+            for _attempt in range(2):
+                if os.path.isdir(path):
+                    break
+                time.sleep(0.05)
+                latest = self.latest_version()
+                if latest is not None:
+                    v = latest
+                path = self._version_dir(v)
+        return spark.read.parquet(path)
 
     # -- write --------------------------------------------------------------
     def commit(self, df: DataFrame, expected_version: int | None = None) -> int:
@@ -288,9 +328,65 @@ class VersionedTable:
                     continue  # raced with its own writer/cleanup
                 if age < grace_seconds:
                     continue  # possibly a live attempt — let it age
-            shutil.rmtree(path, ignore_errors=True)
+                # TOCTOU handshake (r10 advice): the "unpublished"
+                # classification above used the sweep-start marker
+                # state; a writer may have linked its marker since (and
+                # passed commit's post-publish isdir check). Rename the
+                # dir aside FIRST (atomic), then re-read the marker:
+                #  - marker now resolves to this dir → the writer
+                #    published in the gap; restore and skip. The
+                #    writer's isdir check and this re-read cannot both
+                #    pass for a deleted dir (see module docstring).
+                #  - otherwise it is a true orphan → delete the trash.
+                trash = os.path.join(
+                    self.root, f".trash_{name}_{uuid.uuid4().hex[:8]}"
+                )
+                try:
+                    os.rename(path, trash)
+                except OSError:
+                    continue  # raced with its own writer/cleanup
+                # a real marker (not the legacy-name fallback) must
+                # resolve to this dir for the publish to count
+                if os.path.exists(self._marker_path(v)) and (
+                    os.path.basename(self._version_dir(v)) == name
+                ):
+                    try:
+                        os.rename(trash, path)
+                    except OSError:
+                        pass
+                    continue
+                shutil.rmtree(trash, ignore_errors=True)
+            else:
+                shutil.rmtree(path, ignore_errors=True)
             if v not in removed:
                 removed.append(v)
+        # repair/sweep .trash_ dirs from a vacuum that crashed between
+        # its rename and the re-verify: restore if the marker turns out
+        # to point at the original name, else age it out like any orphan
+        for name in sorted(os.listdir(self.root)):
+            if not name.startswith(".trash_v="):
+                continue
+            orig = name[len(".trash_"):].rsplit("_", 1)[0]
+            full = os.path.join(self.root, name)
+            try:
+                v = int(orig[2:].split("_")[0])
+            except ValueError:
+                continue
+            if (
+                os.path.exists(self._marker_path(v))
+                and os.path.basename(self._version_dir(v)) == orig
+                and not os.path.exists(os.path.join(self.root, orig))
+            ):
+                try:
+                    os.rename(full, os.path.join(self.root, orig))
+                except OSError:
+                    pass
+                continue
+            try:
+                if now - os.path.getmtime(full) >= grace_seconds:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
         for name in sorted(os.listdir(self._commits_dir())) if os.path.isdir(
             self._commits_dir()
         ) else []:

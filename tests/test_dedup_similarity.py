@@ -237,6 +237,55 @@ def test_band_lsh_pairs_finds_planted_near_dup(spark):
     assert all(a != 2 and b != 2 for a, b in found)  # anti never passes
 
 
+def test_band_lsh_calibration_matches_numpy(spark):
+    """Third implementation for embedding_lsh_estimate_error's core
+    (r11): per candidate pair, est_matches must equal the numpy count
+    of agreeing sign bits over ALL planes, and sim the numpy cosine —
+    the Spark side computes est from conv/bit_count over band keys,
+    the reference from raw projections."""
+    import numpy as np
+
+    from epl_cas_etl_2026_spark.operators.similarity import (
+        band_lsh_calibration_pairs,
+        hyperplanes,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim, bands, rows = 40, 8, 8, 4
+    V = rng.normal(size=(n, dim))
+    # plant a few near-dups so candidates exist at high agreement
+    V[1] = V[0] * 1.02 + 0.01
+    V[3] = V[2] * 0.98 - 0.005
+    planes = hyperplanes(dim, bands * rows, seed=7)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["est_matches"], r["sim"])
+        for r in band_lsh_calibration_pairs(
+            vecs, planes, n_bands=bands, rows_per_band=rows
+        ).collect()
+    }
+    assert got, "planted near-dups must produce candidates"
+    P = np.asarray(planes)  # (bands*rows) × dim
+    bits = (V @ P.T) >= 0  # n × (bands*rows)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    for (a, b), (est, sim) in got.items():
+        assert est == int((bits[a] == bits[b]).sum())
+        assert abs(sim - float(Vn[a] @ Vn[b])) < 1e-9
+    # the candidate set is exactly the pairs sharing >= 1 whole band
+    expect = set()
+    for a in range(n):
+        for b in range(a + 1, n):
+            for k in range(bands):
+                s = slice(k * rows, (k + 1) * rows)
+                if (bits[a][s] == bits[b][s]).all():
+                    expect.add((a, b))
+                    break
+    assert set(got) == expect
+
+
 def test_lsh_params_scale_with_n():
     from epl_cas_etl_2026_spark.operators.similarity import lsh_params_for
 

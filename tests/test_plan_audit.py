@@ -238,6 +238,50 @@ def test_ledger_staleness_detects_doctored_ledger():
     ]
 
 
+def test_ledger_staleness_round_boundary_is_pending_not_stale():
+    """Round-10 verdict finding #1: the driver drops
+    CORRECTNESS_r{N}.json AFTER the builder's final commit, so at every
+    round start the newest round is unmapped. With module hashes equal
+    to HEAD that is "pending refresh" — no finding — but the moment any
+    engine module diverges it reverts to a hard finding (editing code
+    against an unrefreshed ledger must still fail loudly)."""
+    from epl_cas_etl_2026_spark.plans.gate_policy import (
+        current_module_hashes,
+        ledger_staleness,
+        testdata_fingerprint,
+    )
+
+    mods = current_module_hashes()
+    ledger = {
+        "module_hashes": mods,
+        "data_gen_by_round": {"7": "g1", "9": "g2"},
+        "testdata_fingerprint": testdata_fingerprint(),
+    }
+    # newest round (11) postdates every ledger-known round, tree
+    # untouched → pending refresh, suite stays green across the boundary
+    rounds = {7: {}, 9: {}, 11: {}}
+    assert ledger_staleness(ledger, mods, rounds) == []
+
+    # same boundary but an engine module changed → hard finding again
+    edited = {**mods, "sources/versioned.py": "f" * 64}
+    findings = ledger_staleness(ledger, edited, rounds)
+    assert any("r11" in f for f in findings)
+
+    # an unmapped latest round that is NOT newer than every known round
+    # (here: only r11 known, latest is r9) is a doctored ledger, not a
+    # boundary artifact — hard finding even with clean module hashes
+    doctored = dict(ledger)
+    doctored["data_gen_by_round"] = {"11": "g2"}
+    findings = ledger_staleness(doctored, mods, {7: {}, 9: {}})
+    assert any("r9" in f for f in findings)
+
+    # an empty round map can never claim the boundary exemption
+    empty_map = dict(ledger)
+    empty_map["data_gen_by_round"] = {}
+    findings = ledger_staleness(empty_map, mods, {9: {}})
+    assert any("r9" in f for f in findings)
+
+
 def test_assume_changed_is_sticky_until_next_round():
     """The r6/r10 ledger trap, closed: names passed once via
     --assume-changed persist in the ledger and keep applying on plain

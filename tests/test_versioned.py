@@ -362,6 +362,107 @@ def _race_commits(spark, t, grace_seconds: float, n: int = 8):
     return landed, rolled_back
 
 
+def test_vacuum_restores_dir_published_mid_sweep(spark, tmp_path, monkeypatch):
+    """The r10-advice TOCTOU, closed deterministically: vacuum
+    classifies an aged attempt dir as unpublished, then a writer links
+    its marker BEFORE vacuum's rename-aside lands. The post-rename
+    marker re-read must detect the publish and restore the dir — the
+    marker may never end up pointing at nothing."""
+    import shutil as _sh
+
+    import epl_cas_etl_2026_spark.sources.versioned as vmod
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+    # an aged, fully-written, unpublished attempt at version 1
+    nonce = "cafe0000beef"
+    attempt = os.path.join(t.root, f"v=1_{nonce}")
+    _df(spark, [(2, "b")]).write.parquet(attempt)
+    os.utime(attempt, (os.path.getmtime(attempt) - 7200,) * 2)
+
+    real_rename = os.rename
+
+    def publish_then_rename(src, dst):
+        # the racing writer wins the gap between vacuum's classification
+        # and its rename-aside: the marker for v=1 goes live first
+        if src == attempt and not os.path.exists(t._marker_path(1)):
+            with open(t._marker_path(1), "w") as f:
+                f.write(nonce)
+        real_rename(src, dst)
+
+    monkeypatch.setattr(vmod.os, "rename", publish_then_rename)
+    removed = t.vacuum(keep_last=1, grace_seconds=0)
+    monkeypatch.undo()
+    # v=1 was published mid-sweep: vacuum must have restored it (v=0
+    # was still latest at sweep start, so it stays too)
+    assert removed == []
+    assert os.path.isdir(attempt)
+    assert t.latest_version() == 1
+    assert sorted(map(tuple, t.read(spark).collect())) == [(2, "b")]
+    # no .trash_ residue
+    assert not [n for n in os.listdir(t.root) if n.startswith(".trash_")]
+    _sh.rmtree(t.root)
+
+
+def test_vacuum_repairs_crashed_trash_dir(spark, tmp_path):
+    """A vacuum that crashed between its rename-aside and the marker
+    re-verify leaves a .trash_ dir. The next sweep restores it when its
+    marker is live, and ages it out like an orphan when it is not."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+    t.commit(_df(spark, [(2, "b")]))
+    # simulate the crash: v=1's PUBLISHED dir sits renamed aside
+    live = t._version_dir(1)
+    name = os.path.basename(live)
+    os.rename(live, os.path.join(t.root, f".trash_{name}_deadbeef"))
+    assert t.vacuum(keep_last=2, grace_seconds=0) == []
+    assert os.path.isdir(live), "live snapshot must be restored"
+    assert sorted(map(tuple, t.read(spark).collect())) == [(2, "b")]
+    # an UNPUBLISHED trash dir (no marker) ages out under grace
+    orphan_trash = os.path.join(t.root, ".trash_v=9_feedface_0badc0de")
+    os.makedirs(orphan_trash)
+    assert t.vacuum(keep_last=2, grace_seconds=3600) == []  # young: kept
+    assert os.path.isdir(orphan_trash)
+    os.utime(orphan_trash, (os.path.getmtime(orphan_trash) - 7200,) * 2)
+    t.vacuum(keep_last=2, grace_seconds=3600)
+    assert not os.path.isdir(orphan_trash)
+
+
+def test_read_retries_when_vacuum_retires_resolved_version(
+    spark, tmp_path, monkeypatch
+):
+    """r10 verdict item 5: a latest-version reader resolves N, then a
+    concurrent vacuum(keep_last=1) retires N because N+1 just landed.
+    read() must re-resolve and serve N+1 instead of failing on the
+    missing directory. Pinned time-travel reads still raise."""
+    import shutil as _sh
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+    v0_dir = t._version_dir(0)
+    t.commit(_df(spark, [(2, "b")]))
+
+    # deterministic interleaving: the reader's first latest_version()
+    # answers 0 (stale resolve); then vacuum lands (v=0 dir gone);
+    # subsequent calls answer the truth
+    real_latest = VersionedTable.latest_version
+    calls = {"n": 0}
+
+    def stale_then_fresh(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return 0
+        return real_latest(self)
+
+    monkeypatch.setattr(VersionedTable, "latest_version", stale_then_fresh)
+    _sh.rmtree(v0_dir)  # the vacuum retiring N under the reader
+    assert sorted(map(tuple, t.read(spark).collect())) == [(2, "b")]
+    monkeypatch.undo()
+    # a pinned historic read of the vacuumed version must NOT retarget
+    with pytest.raises(Exception):
+        t.read(spark, version=0).collect()
+
+
 def test_commit_vacuum_race_graceless_never_tears(spark, tmp_path):
     """The harshest misuse: a GRACELESS vacuum spin-loop racing a
     writer. Writers may starve (every attempt dir can be swept between
