@@ -429,6 +429,7 @@ def simhash_near_dup_pairs(
     n_bands: int = 4,
     band_bits: int = 15,
     prehashed=None,
+    pair_filter=None,
 ):
     """SimHash near-dup via band join: split the 60-bit hash into
     ``n_bands`` bands; a pair is a CANDIDATE iff some whole band is
@@ -439,6 +440,14 @@ def simhash_near_dup_pairs(
     ``prehashed``: an already-computed ``(id_col, h)`` frame — callers
     sweeping several banding configs hash the corpus ONCE and share it
     (the Arrow simhash UDF is the expensive stage, not the band join).
+
+    ``pair_filter``: optional boolean Column over (``id_a``, ``id_b``)
+    applied right after the band join, BEFORE the hamming verify and
+    the pair-dedup — the calibration-sampling hook: a deterministic
+    id-arithmetic sample predicate here shrinks the dedup input
+    linearly with the sample rate instead of deduping the full
+    candidate stream first (at web scale the unfiltered candidate
+    stream is orders of magnitude larger than the sampled one).
     """
     if prehashed is not None:
         hashed = prehashed
@@ -479,10 +488,11 @@ def simhash_near_dup_pairs(
     b = banded.select(
         F.col(id_col).alias("id_b"), F.col("h").alias("hb"), "band", "key"
     )
+    joined = a.join(b, ["band", "key"]).filter(F.col("id_a") < F.col("id_b"))
+    if pair_filter is not None:
+        joined = joined.filter(pair_filter)
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
+        joined.withColumn(
             "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
         )
         .filter(F.col("hamming") <= max_hamming)

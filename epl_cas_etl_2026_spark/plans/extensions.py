@@ -704,6 +704,149 @@ def docs_minhash_estimate_error(
 
 
 # ---------------------------------------------------------------------------
+# SIMHASH ESTIMATOR CALIBRATION (round-11) — the third leg of the
+# estimator-audit family (docs_minhash_estimate_error pins the MinHash
+# Jaccard estimator, embedding_lsh_estimate_error the hyperplane-LSH
+# cosine estimator): for SimHash, hamming distance d over the P=60
+# sign bits estimates cos(pi*d/P) (Charikar SRP, STOC'02), commonly
+# used as a proxy for the cosine of the DISTINCT-TOKEN indicator
+# vectors the bit votes were built from. That proxy has a known bias —
+# the vote vector is not the indicator vector — and THIS gate
+# quantifies it: per hamming distance, the table-estimated cosine vs
+# the exact indicator cosine |A∩B|/sqrt(|A||B|) in integer millis.
+# The d→cos(pi*d/60) mapping is a 61-entry INTEGER LITERAL table
+# computed once in Python and injected verbatim into BOTH engines (the
+# _LSH_EST_MILLI precedent) — no engine evaluates cos(); the exact
+# side uses the proven FLOOR(ROUND(sim,6)*1000+0.5) half-up rule.
+#
+# 100 TB shape: candidates come from the 4×15-bit band join (never
+# all-pairs), and the calibration runs on a DETERMINISTIC 5% SAMPLE of
+# the candidate stream ((id_a*31+id_b) % 20 = 0, identical integer
+# arithmetic in both engines) applied BEFORE the pair-dedup — an
+# estimator audit does not need every pair, and the sample bounds the
+# exact-verify join linearly at any corpus size (this self-similar
+# corpus yields ~23k raw candidates per 500 docs; unfiltered dedup at
+# sf1 would shuffle ~227M pairs, the sampled one ~11M). Exact verify
+# joins the two distinct-token ARRAYS per sampled pair (the setjoin
+# lesson), built ONLY for docs that appear in some sampled pair
+# (semi-join pushdown).
+# ---------------------------------------------------------------------------
+_SIMHASH_P = 60
+_SIMHASH_EST_MILLI = [
+    int(math.floor(1000.0 * math.cos(math.pi * d / _SIMHASH_P) + 0.5))
+    for d in range(_SIMHASH_P + 1)
+]
+
+
+@_register(
+    "docs_simhash_estimate_error",
+    f"""
+    WITH sim AS ({_SIMHASH_SQL}),
+    banded AS (
+      SELECT doc_id, k AS band, (h >> (k * 15)) & 32767 AS key
+      FROM sim, generate_series(0, 3) AS t(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM banded a JOIN banded c
+        ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+      WHERE (a.doc_id * 31 + c.doc_id) % 20 = 0
+    ),
+    wl AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+      FROM documents
+    ),
+    perpair AS (
+      SELECT CAST(bit_count(xor(sa.h, sb.h)) AS BIGINT) AS hamming,
+             CAST(FLOOR(ROUND(len(list_intersect(wa.s, wb.s))
+                              / sqrt(len(wa.s) * len(wb.s)), 6)
+                        * 1000 + 0.5) AS BIGINT) AS exact_milli
+      FROM cand
+      JOIN sim sa ON sa.doc_id = id_a
+      JOIN sim sb ON sb.doc_id = id_b
+      JOIN wl wa ON wa.doc_id = id_a
+      JOIN wl wb ON wb.doc_id = id_b
+    ),
+    curved AS (
+      SELECT hamming, exact_milli,
+             ([{', '.join(str(x) for x in _SIMHASH_EST_MILLI)}]
+             )[hamming + 1] AS est_cos_milli
+      FROM perpair
+    )
+    SELECT hamming,
+           CAST(est_cos_milli AS BIGINT) AS est_cos_milli,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(exact_milli) AS BIGINT) AS sum_exact_milli,
+           CAST(MIN(exact_milli) AS BIGINT) AS min_exact_milli,
+           CAST(MAX(exact_milli) AS BIGINT) AS max_exact_milli,
+           CAST(SUM(ABS(est_cos_milli - exact_milli)) AS BIGINT)
+             AS sum_abs_err_milli
+    FROM curved GROUP BY hamming, est_cos_milli ORDER BY hamming
+    """,
+)
+def docs_simhash_estimate_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from epl_cas_etl_2026_spark.functions.text import words
+    from epl_cas_etl_2026_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sample = ((F.col("id_a") * 31 + F.col("id_b")) % 20) == 0
+    pairs = simhash_near_dup_pairs(
+        docs, max_hamming=_SIMHASH_P, pair_filter=sample
+    )
+    pairs = pairs.localCheckpoint(eager=False)  # 3 consumers below
+    # distinct-token arrays ONLY for docs in some sampled pair
+    touched = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    wl = docs.join(touched, "doc_id", "left_semi").select(
+        "doc_id", F.array_distinct(words(F.col("text"))).alias("s")
+    )
+    wa = wl.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    wb = wl.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    lut = F.array(*[F.lit(int(x)) for x in _SIMHASH_EST_MILLI])
+    perpair = (
+        pairs.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select(
+            F.col("hamming").cast("long").alias("hamming"),
+            F.element_at(lut, (F.col("hamming") + 1).cast("int"))
+            .cast("long")
+            .alias("est_cos_milli"),
+            F.expr(
+                "CAST(FLOOR(ROUND(size(array_intersect(sa, sb))"
+                " / sqrt(size(sa) * size(sb)), 6) * 1000 + 0.5) AS BIGINT)"
+            ).alias("exact_milli"),
+        )
+    )
+    return (
+        perpair.groupBy("hamming", "est_cos_milli")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("exact_milli").cast("long").alias("sum_exact_milli"),
+            F.min("exact_milli").cast("long").alias("min_exact_milli"),
+            F.max("exact_milli").cast("long").alias("max_exact_milli"),
+            F.sum(F.abs(F.col("est_cos_milli") - F.col("exact_milli")))
+            .cast("long")
+            .alias("sum_abs_err_milli"),
+        )
+        .select(
+            "hamming",
+            "est_cos_milli",
+            "n_pairs",
+            "sum_exact_milli",
+            "min_exact_milli",
+            "max_exact_milli",
+            "sum_abs_err_milli",
+        )
+        .orderBy("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding similarity: brute-force cosine top-k (TakeOrderedAndProject).
 # ---------------------------------------------------------------------------
 @_register(

@@ -301,6 +301,12 @@ def docs_phrase_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(2)
         .collect()  # bounded driver coordination: exactly 2 rows
     )
+    if len(top2) < 2:  # empty/degenerate corpus: schema'd zero rows
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_t1 long, n_t2 long, "
+            "phrase_hits long, min_fwd_gap long",
+        )
     t1 = top2[0]["w"].replace("'", "''")
     t2 = top2[1]["w"].replace("'", "''")
     # let-bind split(text) via transform(array(...))[0] (the winnow
