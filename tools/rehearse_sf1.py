@@ -161,6 +161,12 @@ def main() -> int:
         ".localdata", "sf1"))
     ap.add_argument("--queries", default="")
     ap.add_argument("--out", default="")
+    ap.add_argument(
+        "--merge-into", default="",
+        help="SECTION name: merge per-query records into that dict of"
+        " the committed SCALE_sf1.json instead of overwriting a file"
+        " (the per-round certification flow; creates the section if"
+        " absent, never touches other sections)")
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
 
@@ -245,6 +251,17 @@ def main() -> int:
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
+    if args.merge_into:
+        root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SCALE_sf1.json")
+        with open(root) as f:
+            doc = json.load(f)
+        doc.setdefault(args.merge_into, {}).update(results)
+        with open(root, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(f"merged {len(results)} records into SCALE_sf1.json"
+              f"[{args.merge_into!r}]")
     bad = [n for n, r in results.items()
            if r.get("err") or r.get("ok") is False]
     print("failures:", bad)
