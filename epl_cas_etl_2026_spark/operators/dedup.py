@@ -400,21 +400,36 @@ def simhash60_udf():
     from pyspark.sql.functions import pandas_udf
 
     idx = np.arange(60, dtype=np.int64)
+    weights = (np.int64(1) << idx)
 
     def sh(col):
-        out = []
-        for text in col:
-            toks = set((text or "").split(" "))
-            votes = np.zeros(60, dtype=np.int64)
+        # Batch-level vectorization: md5 is computed ONCE per DISTINCT
+        # token in the batch (the corpus repeats tokens heavily, so
+        # this collapses the dominant per-doc hashlib loop), votes are
+        # one ±1 matrix row per vocab token summed per doc with numpy.
+        # Bit-identical to the per-doc loop: same md5-derived 60-bit
+        # value per token, same integer vote sums, same bit rule.
+        toks_per_doc = [
+            sorted(set((text or "").split(" "))) for text in col
+        ]
+        vocab: dict = {}
+        for toks in toks_per_doc:
             for t in toks:
-                h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
-                bits = (h >> idx) & 1
-                votes += 2 * bits - 1
-            val = 0
-            for i in range(60):
-                if votes[i] > 0:
-                    val |= 1 << i
-            out.append(val)
+                if t not in vocab:
+                    vocab[t] = len(vocab)
+        if vocab:
+            hs = np.empty(len(vocab), dtype=np.int64)
+            for t, i in vocab.items():
+                hs[i] = int(
+                    hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16
+                )
+            M = (((hs[:, None] >> idx) & 1) * 2 - 1).astype(np.int64)
+        out = np.zeros(len(toks_per_doc), dtype=np.int64)
+        for j, toks in enumerate(toks_per_doc):
+            if not toks:
+                continue
+            votes = M[[vocab[t] for t in toks]].sum(axis=0)
+            out[j] = int(weights[votes > 0].sum())
         return pd.Series(out, dtype="int64")
 
     sh.__annotations__ = {"col": pd.Series, "return": pd.Series}
@@ -590,7 +605,10 @@ def connected_components(
                 small.select(F.col("b").alias("a"), F.col("a").alias("b"))
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the count() below is the round's first action and
+            # materializes the checkpoint in the same job (was eager —
+            # one materialization job + one cached count per round)
+            .localCheckpoint(eager=False)
         )
         cnt = new_e.count()
         if prev_cnt is not None and cnt == prev_cnt:

@@ -119,7 +119,7 @@ def bfs_hop_distance(
     if max_depth < 1:
         raise ValueError("max_depth must be >= 1")
     spark = edges.sparkSession
-    dist = (
+    seed = (
         spark.range(1)
         .select(
             F.lit(source).alias(node_col),
@@ -127,8 +127,14 @@ def bfs_hop_distance(
         )
         .persist()
     )
-    frontier = dist.select(node_col)
-    prev_frontier = None
+    # the cumulative label set is a UNION of the persisted per-round
+    # frontier frames (each tiny) — one job per round (the frontier
+    # count that doubles as loop control), instead of the former two
+    # (count + an extra union materialization): the anti-join and the
+    # final checkpoint read every member from cache.
+    rounds = [seed]
+    dist = seed
+    frontier = seed.select(node_col)
     for k in range(1, max_depth + 1):
         nxt = (
             frontier.join(edges, frontier[node_col] == edges[src])
@@ -143,22 +149,16 @@ def bfs_hop_distance(
         if nxt.count() == 0:
             nxt.unpersist()
             break
-        new_dist = dist.unionByName(nxt).persist()
-        new_dist.count()  # materialize before releasing parents
-        dist.unpersist()
-        if prev_frontier is not None:
-            prev_frontier.unpersist()
-        dist = new_dist
+        rounds.append(nxt)
+        dist = dist.unionByName(nxt)
         frontier = nxt.select(node_col)
-        prev_frontier = nxt
     # hand back a materialized (reachable-set-sized) frame and release
     # every cached intermediate — no storage leaks across invocations;
     # unpersist_edges=True additionally releases a caller-persisted
     # edge frame once the walk is done
     result = dist.localCheckpoint(eager=True)
-    dist.unpersist()
-    if prev_frontier is not None:
-        prev_frontier.unpersist()
+    for f in rounds:
+        f.unpersist()
     if unpersist_edges:
         edges.unpersist()
     return result

@@ -109,8 +109,10 @@ def two_phase_competition_rank(
         "__pid", F.spark_partition_id()
     )
     # one materialization so the counts job and the rank job see the
-    # same (sampled) range partitioning
-    parted = parted.localCheckpoint(eager=True)
+    # same (sampled) range partitioning; lazy — the counts job below is
+    # the first action and materializes the checkpoint itself (one job,
+    # not a separate eager materialization + a cached count)
+    parted = parted.localCheckpoint(eager=False)
 
     counts = {
         r["__pid"]: r["cnt"]
@@ -161,7 +163,8 @@ def two_phase_row_number(
     parted = df.repartitionByRange(n, *order_by).withColumn(
         "__pid", F.spark_partition_id()
     )
-    parted = parted.localCheckpoint(eager=True)
+    # lazy: the counts collect right below materializes the checkpoint
+    parted = parted.localCheckpoint(eager=False)
     counts = {
         r["__pid"]: r["cnt"]
         for r in parted.groupBy("__pid")
@@ -211,7 +214,8 @@ def two_phase_grouped_row_number(
     parted = df.repartitionByRange(
         n, F.col(group_col), *order_by
     ).withColumn("__pid", F.spark_partition_id())
-    parted = parted.localCheckpoint(eager=True)
+    # lazy: the counts collect right below materializes the checkpoint
+    parted = parted.localCheckpoint(eager=False)
     counts = (
         parted.groupBy("__pid", group_col)
         .agg(F.count(F.lit(1)).alias("cnt"))

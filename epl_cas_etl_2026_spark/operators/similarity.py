@@ -407,6 +407,12 @@ def kmeans_fit(
         )
     centroids = [list(r["v"]) for r in init]
 
+    # NOTE (r11 optimization round): a one-exchange rewrite of the
+    # means job (groupBy(cluster) with dim avg(__v[i]) columns, no
+    # explode) was measured AND REVERTED — interleaved A/B at sf0.1
+    # put it at ~1.0 s/iteration vs ~0.61 s for this shape: the wide
+    # aggregate's 2·dim accumulators lose to posexplode + two tiny
+    # exchanges inside whole-stage codegen. Keep the explode form.
     for _ in range(iters):
         assigned = embeddings.select(
             F.col(id_col),
@@ -617,6 +623,8 @@ def pq_fit(
                 "__a"
             ),
         ).select("sub_id", "subvec", "__a.code")
+        # same explode-shaped means as kmeans_fit (the wide-avg
+        # one-exchange variant measured slower — see kmeans_fit note)
         means = (
             a.select("sub_id", "code", F.posexplode("subvec").alias("dim", "x"))
             .groupBy("sub_id", "code", "dim")
@@ -787,6 +795,11 @@ def ivfpq_topk(
         vec_col=vec_col,
         return_centroids=True,
     )
+    # pin the assignment ONCE: its plan re-runs the Arrow argmin UDF
+    # over the whole corpus for EVERY consumer otherwise (residual
+    # build, probed-member filter, and the gate's coverage/member
+    # aggregates — 4 full UDF passes measured before this checkpoint)
+    assigned = assigned.localCheckpoint(eager=False)
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cluster int, centroid array<double>",
@@ -810,7 +823,9 @@ def ivfpq_topk(
     )
     codes = pq_encode(
         resid, codebooks, dim=dim, m=m, id_col=id_col, vec_col="resid"
-    )
+        # pin: the encode UDF otherwise re-runs per consumer (the ADC
+        # scan here + the gate's independent LUT re-derivation)
+    ).localCheckpoint(eager=False)
     q = (
         emb.filter(F.col(id_col) == query_id)
         .select(to_double(F.col(vec_col)).alias("v"))
@@ -1154,9 +1169,23 @@ def pq_adc_batch_serve(
         .groupBy("q_id", id_col)
         .agg(F.sum("t").alias("adc_dist"))
     )
+    # two-phase shortlist (the embedding_dim_truncation_recall
+    # pattern): prune to the per-(query, input-partition) top-K first —
+    # Q×P window groups spread over every core — then rank the tiny
+    # survivor set per query. Lossless: each partition's local top-K
+    # is a superset of its contribution to the global top-K, and both
+    # phases order by (adc_dist, id) so ties resolve identically to
+    # the single-window form.
+    pid = adc.withColumn("__pid", F.spark_partition_id())
+    w_pre = Window.partitionBy("q_id", "__pid").orderBy("adc_dist", id_col)
+    pruned = (
+        pid.withColumn("__rn", F.row_number().over(w_pre))
+        .filter(F.col("__rn") <= shortlist)
+        .drop("__pid", "__rn")
+    )
     w_short = Window.partitionBy("q_id").orderBy("adc_dist", id_col)
     short = (
-        adc.withColumn("__rn", F.row_number().over(w_short))
+        pruned.withColumn("__rn", F.row_number().over(w_short))
         .filter(F.col("__rn") <= shortlist)
         .drop("__rn")
     )

@@ -147,7 +147,8 @@ def two_phase_cumsum(
     parted = df.repartitionByRange(n, F.asc(order_col)).withColumn(
         "__pid", F.spark_partition_id()
     )
-    parted = parted.localCheckpoint(eager=True)
+    # lazy: the totals collect right below materializes the checkpoint
+    parted = parted.localCheckpoint(eager=False)
     totals = {
         r["__pid"]: r["t"]
         for r in parted.groupBy("__pid")

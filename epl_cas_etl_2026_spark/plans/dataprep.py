@@ -704,19 +704,24 @@ def catalog_joinability_profile(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     rows = []
+    # one distinct-values frame per (table, column) — customer.c_custkey
+    # and orders.o_orderkey each appear in TWO profile pairs, and the
+    # per-pair form re-ran their distincts
+    dcache: dict = {}
+
+    def _dcol(t: str, c: str):
+        if (t, c) not in dcache:
+            dcache[(t, c)] = (
+                load_table(spark, sf_dir, t)
+                .select(F.col(c).cast("long").alias("v"))
+                .distinct()
+                .localCheckpoint(eager=False)  # count + semi-join probes
+            )
+        return dcache[(t, c)]
+
     for ta, ca, tb, cb in _JOINABILITY_PAIRS:
-        da = (
-            load_table(spark, sf_dir, ta)
-            .select(F.col(ca).cast("long").alias("v"))
-            .distinct()
-        )
-        db = (
-            load_table(spark, sf_dir, tb)
-            .select(F.col(cb).cast("long").alias("v"))
-            .distinct()
-        )
-        da = da.localCheckpoint(eager=False)  # count + semi-join probe
-        db = db.localCheckpoint(eager=False)
+        da = _dcol(ta, ca)
+        db = _dcol(tb, cb)
         na = da.agg(F.count(F.lit(1)).alias("ndv_a"))
         nb = db.agg(F.count(F.lit(1)).alias("ndv_b"))
         ni = da.join(db, "v", "left_semi").agg(
@@ -1077,7 +1082,8 @@ def customers_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nm") < F.col("nm_b"))
         .select("nm", "nm_b", "node", "node_b")
         .distinct()
-        .filter(F.levenshtein("nm", "nm_b") <= 1)
+        # bounded levenshtein: O(len) band for the ≤1 check, -1 past it
+        .filter(F.levenshtein("nm", "nm_b", 1) >= 0)
         .select("node", "node_b")
     )
     comp = connected_components(pairs, "node", "node_b")

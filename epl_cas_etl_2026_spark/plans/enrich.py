@@ -112,11 +112,14 @@ def parts_fuzzy_probe_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_name",
             F.col("p_partkey").alias("match_key"),
             F.col("p_name").alias("match_name"),
-            F.levenshtein("probe_name", "p_name")
+            # bounded form: O(len·k) banded DP instead of the O(len²)
+            # full matrix; returns -1 past the bound, the exact
+            # distance (identical to the unbounded call) within it
+            F.levenshtein("probe_name", "p_name", _MAX_DIST)
             .cast("long")
             .alias("dist"),
         )
-        .filter(F.col("dist") <= _MAX_DIST)
+        .filter(F.col("dist") >= 0)
     )
     w = Window.partitionBy("probe_key").orderBy("dist", "match_key")
     return (
@@ -269,7 +272,8 @@ def customers_fastss_editdist_pairs(
         .filter(F.col("name_a") < F.col("name_b"))
         .select("name_a", "name_b")
         .distinct()
-        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        # bounded levenshtein: O(len) band for the ≤1 check, -1 past it
+        .filter(F.levenshtein("name_a", "name_b", 1) >= 0)
         .orderBy("name_a", "name_b")
     )
 

@@ -617,17 +617,41 @@ def docs_minhash_estimate_error(
 ) -> DataFrame:
     from epl_cas_etl_2026_spark.functions.text import words
     from epl_cas_etl_2026_spark.operators.dedup import (
-        lsh_candidate_pairs,
         minhash_signature_agg,
         shingles_of_words,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    cands = lsh_candidate_pairs(
-        docs, "doc_id", "text", 16, 4, 3, use_md5=True
+    # ONE signature pass shared by the banding and the estimator
+    # columns (was two: lsh_candidate_pairs re-computed its own
+    # internal signature frame — the md5-per-shingle hash scan is the
+    # dominant stage of this query, and it ran twice). The banding
+    # below is lsh_candidate_pairs(n_hashes=16, band_size=4) verbatim.
+    sigs = minhash_signature_agg(
+        docs, "doc_id", "text", 16, 3, use_md5=True
+    ).persist()
+    band_keys = F.array(
+        *[
+            F.concat_ws("-", *[F.col(f"h{b * 4 + j}") for j in range(4)])
+            for b in range(4)
+        ]
+    )
+    banded = sigs.select(
+        F.col("doc_id").alias("doc"),
+        F.posexplode(band_keys).alias("band", "band_key"),
+    )
+    cands = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
     )
     cands = cands.localCheckpoint(eager=False)  # 3 consumers below
-    sigs = minhash_signature_agg(docs, "doc_id", "text", 16, 3, use_md5=True)
     sa = sigs.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"h{j}").alias(f"a{j}") for j in range(16)],
@@ -2335,24 +2359,55 @@ def embedding_dim_truncation_recall(
             F.array(*[F.lit(d).cast("int") for d in _TRUNC_DS])
         ).alias("d")
     )
-    vt = F.slice(F.col("v"), F.lit(1), F.col("d"))
-    qt = F.slice(F.col("qv"), F.lit(1), F.col("d"))
-    sims = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-        .crossJoin(F.broadcast(ds))
-        .select(
-            "d",
-            "qid",
-            "vec_id",
-            F.round(
-                dot(vt, qt)
-                / F.nullif(
-                    F.sqrt(dot(vt, vt)) * F.sqrt(dot(qt, qt)), F.lit(0.0)
-                ),
-                6,
-            ).alias("sim"),
-        )
+    # One pass over the pair scan for the WHOLE d-sweep (was: the pair
+    # scan ×4 via a crossJoin with the budget axis, each row slicing
+    # and re-multiplying its own d-prefix): the three elementwise
+    # product arrays (v·q, v·v, q·q — the only O(dim) multiply work)
+    # are computed ONCE per pair inside a Generate barrier (explode of
+    # a 1-element array, which CollapseProject cannot inline back into
+    # the consumers), and each budget's dot/norms are then prefix
+    # folds over slices of those arrays. aggregate(slice(zip_with(a,b),
+    # 1, d)) is the same sequence of multiplies and left-fold adds as
+    # aggregate(zip_with(slice(a), slice(b))) — sims are bit-identical
+    # to the previous form, so the oracle hash is unchanged.
+    prods = F.struct(
+        F.zip_with("v", "qv", lambda a, b: a * b).alias("pq"),
+        F.transform("v", lambda a: a * a).alias("vv"),
+        F.transform("qv", lambda a: a * a).alias("qq"),
     )
+    pairz = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.explode(F.array(prods)).alias("z"))
+    )
+
+    def _pref(arr, d):
+        return F.aggregate(
+            F.slice(arr, 1, d), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    sims = pairz.select(
+        "qid",
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("d"),
+                        F.round(
+                            _pref(F.col("z.pq"), d)
+                            / F.nullif(
+                                F.sqrt(_pref(F.col("z.vv"), d))
+                                * F.sqrt(_pref(F.col("z.qq"), d)),
+                                F.lit(0.0),
+                            ),
+                            6,
+                        ).alias("sim"),
+                    )
+                    for d in _TRUNC_DS
+                ]
+            )
+        ).alias("s"),
+    ).select(F.col("s.d").alias("d"), "qid", "vec_id", F.col("s.sim").alias("sim"))
 
     def _trunc_topk(df: DataFrame) -> DataFrame:
         pid = df.withColumn("__pid", F.spark_partition_id())
@@ -2528,6 +2583,9 @@ def embedding_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, centroids = kmeans_fit(
         emb, k=8, iters=2, return_centroids=True
     )
+    # pin: consumed by the argmin re-verify AND the serve-side list
+    # join — without this the Arrow argmin UDF re-runs per consumer
+    assigned = assigned.localCheckpoint(eager=False)
     # invariant 1: coverage + argmin, re-verified JVM-side (the exact
     # pattern of embedding_kmeans_clusters at k=8)
     v = to_double(F.col("embedding"))
@@ -8739,42 +8797,60 @@ def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts = F.when(
         F.col("len") >= L, F.sequence(F.lit(1), F.col("len") - (L - 1))
     ).otherwise(F.array().cast("array<int>"))
-    grams = docs.select(
+    # two-phase lossless duplicate detection on a SLIM gram stream:
+    # the corpus-wide exchange carries (doc_id, s, h) — 20 bytes/row —
+    # not the 50-char gram string (the r8 form shuffled every gram
+    # string once, ~4× the bytes; guide §8: shuffle the lightweight
+    # proxy, attach the payload once). The explicit repartition(h)
+    # still makes the frequency count and the candidate probe consume
+    # the SAME exchange; gram STRINGS are re-derived for hash-
+    # duplicated candidates only, by joining the (small) candidate
+    # frame back to the documents table on doc_id — one text-sized
+    # shuffle of candidates' docs instead of a gram-sized shuffle of
+    # the whole corpus. Hash collisions can only ADD candidates, never
+    # drop a real duplicate, so the string-confirm set is unchanged.
+    slim = docs.select(
         "doc_id",
-        "source",
-        "len",
         F.explode(
             F.transform(
                 starts,
                 lambda i: F.struct(
                     i.alias("s"),
-                    F.col("text").substr(i, F.lit(L)).alias("gram"),
+                    F.xxhash64(
+                        F.col("text").substr(i, F.lit(L))
+                    ).alias("h"),
                 ),
             )
         ).alias("g"),
-    ).select("doc_id", "source", "len", "g.s", "g.gram")
-    # two-phase lossless duplicate detection: 8-byte hash keys first,
-    # gram strings only for hash-duplicated candidates. The explicit
-    # repartition(h) makes the frequency count and the candidate probe
-    # consume the SAME exchange, and pinning the (small) candidate
-    # frame stops the string-confirm and hits joins from re-running
-    # the gram explode — one explode pass total instead of three
-    # (measured 2x at sf0.1: 9.1 s -> 4.4 s).
-    ghp = grams.withColumn("h", F.xxhash64("gram")).repartition(F.col("h"))
+    ).select("doc_id", "g.s", "g.h")
+    shp = slim.repartition(F.col("h"))
     dup_h = (
-        ghp.groupBy("h")
+        shp.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
         .select("h")
     )
-    cand = ghp.join(dup_h, "h").localCheckpoint(eager=False)
+    cand = shp.join(dup_h, "h")
+    # candidates only: re-attach doc metadata + re-slice the gram text;
+    # pinned so the string-confirm and hits joins below share one pass
+    cand_g = (
+        cand.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "len",
+            "s",
+            F.col("text").substr(F.col("s"), F.lit(L)).alias("gram"),
+        )
+        .localCheckpoint(eager=False)
+    )
     dup_gram = (
-        cand.groupBy("gram")
+        cand_g.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
         .select("gram")
     )
-    hits = cand.join(dup_gram, "gram").select("doc_id", "source", "len", "s")
+    hits = cand_g.join(dup_gram, "gram").select("doc_id", "source", "len", "s")
     # islands: running max of span ends per doc
     w_prev = (
         Window.partitionBy("doc_id")
@@ -9223,13 +9299,14 @@ def _bpe_train_segs(spark: SparkSession, sf_dir: str):
         F.expr("regexp_extract_all(word, '(?s).', 0)").alias("seg"),
     ).localCheckpoint()
 
-    def token_count_of(frame: DataFrame):
-        row = frame.agg(
-            F.sum(F.col("freq") * F.size("seg")).cast("long").alias("t")
-        ).collect()[0]
-        return row["t"]
-
-    def top_pair(frame: DataFrame):
+    def pair_stats(frame: DataFrame):
+        """ONE job per merge round (was three: top-pair, token-count,
+        eager checkpoint): the adjacent-pair groupBy yields both the
+        argmax pair — min_by over struct(-c, w1, w2) is exactly
+        ORDER BY c DESC, w1, w2 LIMIT 1 — and Σc, which converts to
+        the post-merge token count arithmetically: token_count =
+        Σ freq·size(seg) = Σ freq·(pairs_per_word+1) = Σc + Σfreq,
+        and Σfreq is merge-invariant (computed once below)."""
         pairs = frame.select(
             "freq",
             F.explode(
@@ -9245,19 +9322,29 @@ def _bpe_train_segs(spark: SparkSession, sf_dir: str):
         ).select(
             F.col("p.a").alias("w1"), F.col("p.b").alias("w2"), "freq"
         )
-        rows = (
+        row = (
             pairs.groupBy("w1", "w2")
             .agg(F.sum("freq").cast("long").alias("c"))
-            .orderBy(F.desc("c"), "w1", "w2")
-            .limit(1)
-            .collect()
+            .agg(
+                F.sum("c").alias("pair_tok"),
+                F.min_by(
+                    F.struct("w1", "w2", "c"),
+                    F.struct((-F.col("c")).alias("nc"), "w1", "w2"),
+                ).alias("top"),
+            )
+            .collect()[0]
         )
-        return rows[0] if rows else None
+        return row["pair_tok"], row["top"]
 
-    out = [(0, "", "", 0, token_count_of(segs))]
+    base = segs.agg(
+        F.sum(F.col("freq") * F.size("seg")).cast("long").alias("t0"),
+        F.sum("freq").cast("long").alias("vt"),
+    ).collect()[0]
+    vocab_freq_total = base["vt"] or 0
+    out = [(0, "", "", 0, base["t0"])]
     cur = segs
+    _pair_tok, best = pair_stats(cur)
     for k in range(1, _BPE_TRAIN_ROUNDS + 1):
-        best = top_pair(cur)
         if best is None:
             break
         merged = best["w1"] + best["w2"]
@@ -9270,8 +9357,20 @@ def _bpe_train_segs(spark: SparkSession, sf_dir: str):
                 F.lit(best["w2"]),
                 F.lit(merged),
             ).alias("seg"),
-        ).localCheckpoint()
-        out.append((k, best["w1"], best["w2"], best["c"], token_count_of(cur)))
+            # lazy checkpoint: the round's single stats job below both
+            # materializes these partitions and reads them
+        ).localCheckpoint(eager=False)
+        pair_tok, nxt = pair_stats(cur)
+        out.append(
+            (
+                k,
+                best["w1"],
+                best["w2"],
+                best["c"],
+                (pair_tok or 0) + vocab_freq_total,
+            )
+        )
+        best = nxt
     return out, cur
 
 
