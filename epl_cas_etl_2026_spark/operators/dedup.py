@@ -576,21 +576,29 @@ def connected_components(
     e = sym0  # current UNDIRECTED edge set, kept symmetric on entry
     prev_cnt = None
     for _ in range(max_iter):
+        # Each star phase establishes hash-partitioning on "a" ONCE
+        # (explicit repartition, AQE-coalescible) and lets the
+        # neighborhood-min groupBy and the min join both reuse that
+        # exchange; the two INTERMEDIATE distincts of the former shape
+        # are dropped — they only bounded row counts (min-aggregations
+        # are duplicate-insensitive and the per-round closing distinct
+        # restores the canonical edge set), and each cost a full
+        # (a, b) exchange. 8 exchanges/round -> 3.
         # ---- large-star ----
-        mins = e.groupBy("a").agg(
+        ep = e.repartition("a")
+        mins = ep.groupBy("a").agg(
             F.least(F.min("b"), F.first("a")).alias("m")
         )
         large = (
-            e.filter(F.col("b") > F.col("a"))
+            ep.filter(F.col("b") > F.col("a"))
             .join(mins, "a")
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
         )
         # ---- small-star (on the symmetric view of large's output) ----
         sym = large.unionByName(
             large.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).distinct()
+        ).repartition("a")
         smaller = sym.filter(F.col("b") < F.col("a"))
         mins2 = smaller.groupBy("a").agg(F.min("b").alias("m"))
         small = (
@@ -598,7 +606,6 @@ def connected_components(
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
             .unionByName(mins2.select(F.col("a"), F.col("m").alias("b")))
-            .distinct()
         )
         new_e = (
             small.unionByName(

@@ -402,16 +402,29 @@ def orders_label_fleiss_kappa(
 ) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     n = _FLEISS_N
-    cnt = li.groupBy(
-        F.col("l_orderkey").alias("k"), F.col("l_returnflag").alias("f")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    per = cnt.groupBy("k").agg(
-        F.sum("c").alias("total"), F.sum(F.col("c") * F.col("c")).alias("sq")
+    # ONE scan + ONE order-keyed exchange (was two scan+groupBy passes
+    # of the same (k, f) counts — one for the per-item totals, one
+    # re-joined for the marginal cells — across ~4 exchanges): the
+    # explicit repartition on the order key is reused by the (k, f)
+    # aggregation AND the per-item total window; qualifying cells
+    # (total == n raters) flow straight into both final aggregates.
+    # n_items falls out arithmetically: each qualifying item's cell
+    # counts sum to exactly n, so n_items = sum(c) div n.
+    cnt = (
+        li.select(
+            F.col("l_orderkey").alias("k"), F.col("l_returnflag").alias("f")
+        )
+        .repartition("k")
+        .groupBy("k", "f")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cells = cnt.withColumn(
+        "total", F.sum("c").over(Window.partitionBy("k"))
     ).filter(F.col("total") == n)
-    cells = cnt.join(per.select("k"), "k")
-    item_stats = per.agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.sum("sq").cast("long").alias("sum_sq"),
+    cells = cells.localCheckpoint(eager=False)  # item stats + marginals
+    item_stats = cells.agg(
+        (F.sum("c") / n).cast("long").alias("n_items"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
     )
     marg = (
         cells.groupBy("f")

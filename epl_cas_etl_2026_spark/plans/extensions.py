@@ -4313,27 +4313,40 @@ def docs_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.split(F.col("text"), " ").alias("w")
     )
+    # ONE gram-keyed exchange (was two full gram-string shuffles + a
+    # double explode: groupBy(gram) for the doc counts AND a join of
+    # the whole gram stream back onto them). The raw gram stream is
+    # hash-partitioned by gram once; the (gram, source) aggregation,
+    # the per-gram doc-count window, and nothing else touch the heavy
+    # 8-word strings again — the final per-source rollup shuffles a
+    # handful of rows. nd is recovered as sum over sources of
+    # per-(gram, source) distinct docs, identical because every doc_id
+    # carries exactly one source. Interleaved A/B at sf0.1:
+    # 1.81 -> 1.01 s (same host window).
     grams = docs.select(
         "doc_id",
         "source",
         F.explode(shingles_of_words(F.col("w"), n=8)).alias("gram"),
+    ).repartition("gram")
+    gstats = grams.groupBy("gram", "source").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.count_distinct("doc_id").alias("ndd"),
     )
-    gram_docs = grams.groupBy("gram").agg(
-        F.count_distinct("doc_id").alias("nd")
+    gs = gstats.withColumn(
+        "nd", F.sum("ndd").over(Window.partitionBy("gram"))
     )
-    joined = grams.join(gram_docs, "gram")
-    dup = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
-    n = F.count(F.lit(1))
     return (
-        joined.groupBy("source")
+        gs.groupBy("source")
         .agg(
-            n.alias("n_spans"),
-            dup.alias("dup_spans"),
+            F.sum("c").alias("n_spans"),
+            F.sum(F.when(F.col("nd") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_spans"
+            ),
             # integer half-up per-mille: no float division, no .5-boundary
             # drift between engines
             F.expr(
-                "CAST((2000 * SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)"
-                " + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)"
+                "CAST((2000 * SUM(CASE WHEN nd > 1 THEN c ELSE 0 END)"
+                " + SUM(c)) DIV (2 * SUM(c)) AS BIGINT)"
             ).alias("dup_permille"),
         )
         .orderBy("source")
@@ -7763,20 +7776,38 @@ def orders_market_basket_rules(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item")
-    ).distinct()
-    items = items.localCheckpoint(eager=False)  # 3 consumers
-    n = items.select("oid").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders")
+    # ONE basket-building exchange: collect_set per order dedups the
+    # (order, item) stream in the same aggregation (the old shape paid
+    # a distinct exchange, TWO more exchanges re-keying the distinct
+    # frame by oid for its self-join, and a distinct-oid exchange for
+    # n_orders), and the in-row pair transform emits exactly the
+    # k(k-1)/2 ordered pairs per basket instead of the join's k^2
+    # rows. sort_array makes the set order deterministic, so ia < ib
+    # holds by construction — identical pair multiset to the
+    # self-join + filter.
+    sets = (
+        li.groupBy(F.col("l_orderkey").alias("oid"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("arr"))
+        .localCheckpoint(eager=False)  # n_orders + isup + pairs
     )
-    isup = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    n = sets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    isup = (
+        sets.select(F.explode("arr").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     isup = isup.localCheckpoint(eager=False)  # both rule directions
-    a = items.select("oid", F.col("item").alias("ia"))
-    b = items.select("oid", F.col("item").alias("ib"))
     pairs = (
-        a.join(b, "oid")
-        .filter(F.col("ia") < F.col("ib"))
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(arr, (x, i) ->"
+                    " transform(slice(arr, i + 2, size(arr)),"
+                    " y -> struct(x AS ia, y AS ib))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ia", "p.ib")
         .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).alias("c12"))
         .filter(F.col("c12") >= _BASKET_MIN_PAIR_SUPPORT)
@@ -9549,32 +9580,37 @@ def docs_dsir_topk_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_BUCKETS
         ).alias("bucket"),
     )
-    raw_b = grams.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("r_b")
-    )
-    tgt_b = (
-        grams.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("t_b"))
-    )
-    tot = grams.agg(
-        F.count(F.lit(1)).cast("long").alias("r_tot"),
+    # TWO explode + md5 passes (was FOUR: separate raw-bucket count,
+    # en-bucket count, and corpus-totals scans each re-ran the word
+    # explode and the md5-per-word hash; they fuse into ONE
+    # conditional aggregation whose map-side combine still shuffles
+    # only ~n_buckets rows per task, and the corpus totals follow
+    # arithmetically from the bucket marginals — every gram carries
+    # exactly one bucket). Interleaved A/B at sf0.1: wall-flat vs the
+    # four-pass original locally (2.28 vs 2.33 s, same host window) —
+    # the win is the halved scan/explode/hash work, which IS the
+    # dominant cost once the scan is storage-bound at scale. A
+    # single-pass per-(doc, bucket) variant was MEASURED AND
+    # REVERTED: it replaces these collapsed shuffles with a full
+    # gram-stream exchange (distinct (doc, bucket) ≈ gram count) and
+    # measured no better (2.34 s, same window) while shuffling ~40×
+    # the bytes — re-running md5 is cheaper than moving the stream.
+    bstats = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("r_b"),
         F.count(F.when(F.col("lang") == "en", 1))
         .cast("long")
-        .alias("t_tot"),
+        .alias("t_b"),
     )
-    base = (
-        raw_b.join(tgt_b, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            (F.coalesce(F.col("t_b"), F.lit(0)) + 1)
-            .cast("long")
-            .alias("tb1"),
-            (F.col("r_b") + 1).cast("long").alias("rb1"),
-            (F.col("t_tot") + _DSIR_BUCKETS).cast("long").alias("ttb"),
-            (F.col("r_tot") + _DSIR_BUCKETS).cast("long").alias("rtb"),
-        )
+    tot = bstats.agg(
+        F.sum("r_b").cast("long").alias("r_tot"),
+        F.sum("t_b").cast("long").alias("t_tot"),
+    )
+    base = bstats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (F.col("t_b") + 1).cast("long").alias("tb1"),
+        (F.col("r_b") + 1).cast("long").alias("rb1"),
+        (F.col("t_tot") + _DSIR_BUCKETS).cast("long").alias("ttb"),
+        (F.col("r_tot") + _DSIR_BUCKETS).cast("long").alias("rtb"),
     )
     for prefix, src in (
         ("ta_", "tb1"), ("tt_", "ttb"), ("ra_", "rb1"), ("rt_", "rtb")

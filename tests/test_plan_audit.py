@@ -102,16 +102,18 @@ def test_span_dedup_no_cartesian_and_single_gram_exchange(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "docs_span_dedup_stats")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the gram⋈gram-count join must be an equi hash join on gram, and
-    # the grams side's exchange must be the SAME hashpartitioning the
-    # count aggregation used (no second independent shuffle scheme)
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
-    # exchanges must stay in the gram family (gram for the count agg +
-    # join, gram-prefixed (gram, doc_id) for the distinct expansion)
-    # apart from the final tiny per-source rollup — any other scheme
-    # means the join stopped reusing the aggregation's partitioning
+    # r11 shape: the gram stream is shuffled ONCE (explicit gram
+    # repartition) and there is NO join back at all — the per-gram doc
+    # count comes from a window over the same partitioning, so any
+    # join node means the single-exchange plan regressed
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 1
+    # exchanges must be exactly: the one gram repartition plus the
+    # final tiny per-source rollup — a (gram, source) or (gram,
+    # doc_id) scheme would mean the aggregation/window stopped
+    # reusing the gram partitioning
     exchanges = re.findall(r"hashpartitioning\((\w+)#", plan)
-    assert "gram" in exchanges, exchanges
+    assert exchanges.count("gram") == 1, exchanges
     assert set(exchanges) <= {"gram", "source"}, exchanges
 
 
