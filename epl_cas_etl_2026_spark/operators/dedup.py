@@ -201,12 +201,15 @@ def lsh_candidate_pairs(
     candidate near-duplicate pairs. Returns distinct (id_a < id_b)
     pairs. Equi-join on band keys — no all-pairs comparison."""
     n_bands = n_hashes // band_size
-    # persist: the self-join below consumes this twice; signatures are
-    # n_hashes longs per doc (~128 B/doc — cachable even at billions of
-    # docs), while recomputing means re-hashing every shingle twice.
+    # materialized: the self-join below consumes this twice; signatures
+    # are n_hashes longs per doc (~128 B/doc — holdable even at
+    # billions of docs), while recomputing means re-hashing every
+    # shingle twice. Lazy localCheckpoint, not persist(): the
+    # cached-plan path serializes concurrent consumer stages on
+    # cache-block locks (r11 session-3 KMV measurement).
     sig_df = minhash_signature_agg(
         df, id_col, text_col, n_hashes, shingle_n, use_md5
-    ).persist()
+    ).localCheckpoint(eager=False)
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -321,7 +324,9 @@ def near_dup_pairs_incremental(
             F.posexplode(band_keys).alias("band", "band_key"),
         )
 
-    new_banded = banded(new_sigs).persist()
+    new_banded = banded(new_sigs).localCheckpoint(
+        eager=False
+    )  # not persist(): see lsh_candidate_pairs
     all_banded = banded(index_sigs).unionByName(new_banded)
     # equi-join on (band, key): the new side is the small batch, the
     # index side streams from storage — same slim-shuffle shape as the
@@ -475,8 +480,8 @@ def simhash_near_dup_pairs(
             docs = docs.repartition(target)
         hashed = docs.select(
             F.col(id_col), simhash60_udf()(F.col(text_col)).alias("h")
-        )
-        hashed.persist()
+        ).localCheckpoint(eager=False)  # not persist(): cache-block
+        # locks serialize concurrent consumer stages (r11 session-3)
     mask = (1 << band_bits) - 1
     # Unlike the vector-LSH paths (which keep the band join slim and
     # join the WIDE payload back onto the deduped pairs), the whole

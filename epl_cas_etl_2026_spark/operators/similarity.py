@@ -191,17 +191,19 @@ def band_lsh_pairs(
         to_double(F.col(vec_col)).alias("__v"),
         band_keys(F.col(vec_col)).alias("__bands"),
     )
-    # One pass computes keys + normalized vectors; persist so the
+    # One pass computes keys + normalized vectors; materialize so the
     # banded side and the verify side don't re-run the scan + matmul.
-    # (~n·(b keys + dim doubles) — tiny next to the input.)
+    # (~n·(b keys + dim doubles) — tiny next to the input.) Lazy
+    # localCheckpoint, not persist(): the cached-plan path serializes
+    # concurrent consumer stages on cache-block locks and pins the
+    # cached subtree against AQE (r11 session-3 KMV measurement).
     keyed = with_keys.withColumn(
         "__n", F.sqrt(dot(F.col("__v"), F.col("__v")))
     ).select(
         F.col(id_col),
         F.transform("__v", lambda x: x / F.col("__n")).alias("nv"),
         "__bands",
-    )
-    keyed.persist()
+    ).localCheckpoint(eager=False)
     banded = keyed.select(
         F.col(id_col), F.posexplode("__bands").alias("band", "key")
     )
@@ -286,8 +288,8 @@ def band_lsh_calibration_pairs(
                 "transform(__bands, k -> cast(conv(k, 2, 10) as bigint))"
             ).alias("bk"),
         )
+        .localCheckpoint(eager=False)  # not persist(): see band_lsh_pairs
     )
-    keyed.persist()
     banded = keyed.select(
         F.col(id_col), F.posexplode("__bands").alias("band", "key")
     )

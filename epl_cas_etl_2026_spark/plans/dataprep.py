@@ -594,39 +594,43 @@ def lineitem_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     ff = freq.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
-    ff = ff.localCheckpoint(eager=False)  # 4 consumers
+    ff = ff.localCheckpoint(eager=False)  # 2 consumers (tot, asc_)
     asc_ = two_phase_cumsum(ff, "c", "m", "cum_m")
-    desc_ = two_phase_cumsum(
-        ff.withColumn("negc", -F.col("c")), "negc", "m", "cumd"
-    )
+    # sc2 fused into tot: one pass over ff yields every ff-grain total
     tot = ff.agg(
         F.sum("m").alias("n_keys"),
         F.sum(F.col("c") * F.col("m")).alias("s"),
         F.max("c").alias("maxc"),
+        F.sum(F.col("c") * F.col("c") * F.col("m")).alias("v"),
     )
-    s2 = asc_.agg(
-        F.sum(
-            F.col("c") * F.col("m") * (2 * F.col("cum_m") - F.col("m") + 1)
-        ).alias("s2ic")
-    )
-    sc2 = ff.agg(F.sum(F.col("c") * F.col("c") * F.col("m")).alias("v"))
     tot = tot.localCheckpoint(eager=False)  # feeds topn + final
     topn = tot.select(
-        F.expr("(n_keys + 99) div 100").alias("top_n")
+        F.expr("(n_keys + 99) div 100").alias("top_n"),
+        F.col("n_keys").alias("__nk"),
     )
-    shr = (
-        desc_.crossJoin(F.broadcast(topn))
+    # The r11 optimization round dropped the SECOND two-phase cumsum:
+    # ff has one row per distinct frequency value c, so the descending
+    # cumulative count is pure arithmetic over the ascending one —
+    # cumd = n_keys - cum_m + m, hence cumd - m = n_keys - cum_m.
+    # s2ic and share_sum then fuse into ONE aggregate over asc_.
+    s2shr = (
+        asc_.crossJoin(F.broadcast(topn))
         .agg(
+            F.sum(
+                F.col("c")
+                * F.col("m")
+                * (2 * F.col("cum_m") - F.col("m") + 1)
+            ).alias("s2ic"),
             F.sum(
                 F.col("c")
                 * F.least(
                     F.col("m"),
                     F.greatest(
-                        F.col("top_n") - (F.col("cumd") - F.col("m")),
+                        F.col("top_n") - (F.col("__nk") - F.col("cum_m")),
                         F.lit(0).cast("long"),
                     ),
                 )
-            ).alias("share_sum")
+            ).alias("share_sum"),
         )
     )
     nk_d = F.col("n_keys").cast("double")
@@ -636,9 +640,7 @@ def lineitem_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (F.col("n_keys") + 1).cast("double") / nk_d
     )
     return (
-        tot.crossJoin(s2)
-        .crossJoin(sc2)
-        .crossJoin(shr)
+        tot.crossJoin(s2shr)
         .select(
             F.col("s").alias("n_rows"),
             F.col("n_keys"),

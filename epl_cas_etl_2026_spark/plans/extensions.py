@@ -627,9 +627,13 @@ def docs_minhash_estimate_error(
     # internal signature frame — the md5-per-shingle hash scan is the
     # dominant stage of this query, and it ran twice). The banding
     # below is lsh_candidate_pairs(n_hashes=16, band_size=4) verbatim.
+    # lazy localCheckpoint, not persist(): the cached-plan path
+    # serializes concurrent consumer stages on cache-block locks and
+    # blocks AQE on the cached subtree (r11 session-3 measurement on
+    # the KMV query: 23-34 s persist vs 1.2 s checkpoint)
     sigs = minhash_signature_agg(
         docs, "doc_id", "text", 16, 3, use_md5=True
-    ).persist()
+    ).localCheckpoint(eager=False)
     band_keys = F.array(
         *[
             F.concat_ws("-", *[F.col(f"h{b * 4 + j}") for j in range(4)])
@@ -5570,8 +5574,7 @@ def docs_simhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = docs.repartition(target)
     hashed = docs.select(
         "doc_id", simhash60_udf()(F.col("text")).alias("h")
-    )
-    hashed.persist()
+    ).localCheckpoint(eager=False)  # not persist(): see the KMV note
     stats = []
     for nb, bb in _SWEEP_CONFIGS:
         cand = simhash_near_dup_pairs(

@@ -129,11 +129,13 @@ def _bm25_scored(docs: DataFrame) -> DataFrame:
         .filter(F.col("word").isin(*_BM25_TERMS))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-        # tf feeds both df and the score join; without the persist,
+        # tf feeds both df and the score join; without materialization,
         # Catalyst duplicates the subtree and tokenizes the corpus
         # TWICE — at scale tf is tiny (query-term hits only), so
-        # persisting it is the correct trade
-        .persist()
+        # holding it is the correct trade. Lazy localCheckpoint, not
+        # persist(): the cached-plan path serializes concurrent
+        # consumer stages on cache-block locks (r11 session-3).
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("word").agg(
         F.count(F.lit(1)).cast("double").alias("df")

@@ -166,7 +166,10 @@ def docs_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.array_sort(F.expr(_SHINGLES)).alias("shs"),
         )
-        .persist()
+        # lazy localCheckpoint, not persist(): the cached-plan path
+        # serializes concurrent consumer stages on cache-block locks
+        # (r11 session-3 KMV measurement)
+        .localCheckpoint(eager=False)
     )
 
     toks = with_shs.select("doc_id", F.explode("shs").alias("sh"))

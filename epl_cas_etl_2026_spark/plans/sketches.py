@@ -104,13 +104,14 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("v")
     ).filter(F.col("v").isNotNull())
 
-    # persisted: `exact` feeds both the sketch build and the probe
-    # side; without the persist each branch re-scans the raw parquet
+    # materialized: `exact` feeds both the sketch build and the probe
+    # side; without it each branch re-scans the raw parquet
     # (plan-asserted single scan in tests/test_plan_audit.py). The
-    # cached frame is value-cardinality rows, not data-sized.
+    # frame is value-cardinality rows, not data-sized. Lazy
+    # localCheckpoint, not persist(): see the KMV note above.
     exact = vals.groupBy("v").agg(
         F.count(F.lit(1)).cast("long").alias("exact_count")
-    ).persist()
+    ).localCheckpoint(eager=False)
     # cell(j, b) = Σ exact_count over values hashing to b — identical
     # to counting the exploded raw stream (the direct mergeable build
     # described above), but here the exact per-value counts already
@@ -394,10 +395,25 @@ def events_kmv_theta_intersection(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.expr(_KMV_FILTER))
+    # ONE scan of events (r11 optimization round; was FOUR — sketch,
+    # per-type exact distinct, and both intersect sides each re-read
+    # the table): the shared distinct (event_type, user_id) frame is
+    # exactly the map-side-deduped exchange countDistinct would have
+    # paid anyway, materialized once and read by all four consumers.
+    # h = md5(user_id) is a pure function of user_id, so hashing the
+    # DISTINCT pairs yields the identical distinct (event_type, h)
+    # population the KMV minima are defined over (fewer md5 evals too).
+    # LAZY localCheckpoint, not persist(): with persist() the noop
+    # job's concurrent consumer stages serialize on cache-block
+    # computation locks (measured 23-34 s vs 1.2 s for the checkpoint
+    # on the same data — the worst cache-contention case in the repo).
+    d = ev.select("event_type", "user_id").distinct().localCheckpoint(
+        eager=False
+    )
     h32 = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
-    hashed = ev.select("event_type", h32.alias("h"))
+    hashed = d.select("event_type", h32.alias("h"))
     # partial per-partition sketches -> tiny merge frame (<= P*T*K rows)
     partials = hashed.mapInPandas(
         _kmv_partition_minima, "event_type string, h long"
@@ -411,8 +427,8 @@ def events_kmv_theta_intersection(
     sk = kept.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_in_sketch"), F.max("h").alias("h_k")
     )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_distinct")
+    exact = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
     )
     per_type = (
         sk.join(exact, "event_type")
@@ -457,13 +473,10 @@ def events_kmv_theta_intersection(
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     exact_inter = (
-        ev.filter(F.col("event_type") == _KMV_A)
+        d.filter(F.col("event_type") == _KMV_A)
         .select("user_id")
-        .distinct()
         .join(
-            ev.filter(F.col("event_type") == _KMV_B)
-            .select("user_id")
-            .distinct(),
+            d.filter(F.col("event_type") == _KMV_B).select("user_id"),
             "user_id",
         )
         .agg(F.count(F.lit(1)).cast("long").alias("xd"))

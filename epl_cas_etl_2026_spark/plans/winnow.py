@@ -207,11 +207,14 @@ def _with_fingerprints_udf(docs: DataFrame) -> DataFrame:
     """,
 )
 def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persisted: fp feeds both aggregate branches; without it the
-    # fingerprint expression (the dominant cost) evaluates per branch
+    # materialized: fp feeds both aggregate branches; without it the
+    # fingerprint expression (the dominant cost) evaluates per branch.
+    # Lazy localCheckpoint, not persist(): the cached-plan path
+    # serializes concurrent consumer stages on cache-block locks
+    # (r11 session-3 KMV measurement).
     fps = _with_fingerprints(
         load_table(spark, sf_dir, "documents")
-    ).persist()
+    ).localCheckpoint(eager=False)
     per_row = fps.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size("fp")).cast("long").alias("n_fps"),
@@ -259,30 +262,45 @@ def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = _with_fingerprints(load_table(spark, sf_dir, "documents"))
-    # persisted: doc_hashes feeds three branches (df-cap filter + both
-    # join sides); the slim (doc_id, h) frame caches instead of
-    # re-running the fingerprint scan per branch
-    doc_hashes = (
-        fps.select("doc_id", F.explode("fp").alias("k"))
-        .select("doc_id", F.expr(f"k div {POS_SCALE}").alias("h"))
-        .distinct()
-        .persist()
+    # Per-doc hash dedup happens IN-ROW (array_distinct over the
+    # hash16 projection of fp), so the exploded (doc_id, h) stream is
+    # distinct by construction — no corpus-wide DISTINCT exchange.
+    doc_hashes = fps.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"transform(fp, k -> k div {POS_SCALE})")
+            )
+        ).alias("h"),
     )
-    rare = (
-        doc_hashes.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= DF_CAP)
-        .select("h")
+    # ONE h-keyed exchange: the per-hash document frequency (window)
+    # and the per-hash sorted doc set (groupBy) both run on the same
+    # hashpartitioning(h); the DF cap drops boilerplate hashes BEFORE
+    # any doc list materializes, bounding collect_set at DF_CAP. The
+    # ordered pairs are an in-row transform over the sorted set
+    # (sorted ⇒ doc_a < doc_b by construction — identical pair
+    # multiset to the old rare-join + self-join, which shuffled the
+    # (doc_id, h) frame three more times).
+    from pyspark.sql import Window
+
+    dh = doc_hashes.repartition("h")
+    capped = dh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("df") <= DF_CAP)
+    per_h = capped.groupBy("h").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ds")
     )
-    pruned = doc_hashes.join(rare, "h")
-    other = doc_hashes.select(
-        F.col("h"), F.col("doc_id").alias("doc_b")
-    )
+    pairs = per_h.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
     return (
-        pruned.withColumnRenamed("doc_id", "doc_a")
-        .join(other, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
         .limit(10)
