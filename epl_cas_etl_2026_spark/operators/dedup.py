@@ -204,12 +204,15 @@ def lsh_candidate_pairs(
     # materialized: the self-join below consumes this twice; signatures
     # are n_hashes longs per doc (~128 B/doc — holdable even at
     # billions of docs), while recomputing means re-hashing every
-    # shingle twice. Lazy localCheckpoint, not persist(): the
-    # cached-plan path serializes concurrent consumer stages on
-    # cache-block locks (r11 session-3 KMV measurement).
+    # shingle twice. persist(), not localCheckpoint: the r12
+    # per-callsite interleaved A/B (verdict item 1) measured persist
+    # ≥ lazy localCheckpoint at this callsite (docs_near_dup_pairs
+    # med 1.84 s persist vs 3.50 s ckpt at 32 cores) — the KMV
+    # cache-block-lock pathology does not reproduce on the self-join
+    # consumer shape, and the checkpoint costs an extra write job.
     sig_df = minhash_signature_agg(
         df, id_col, text_col, n_hashes, shingle_n, use_md5
-    ).localCheckpoint(eager=False)
+    ).persist()
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -324,9 +327,7 @@ def near_dup_pairs_incremental(
             F.posexplode(band_keys).alias("band", "band_key"),
         )
 
-    new_banded = banded(new_sigs).localCheckpoint(
-        eager=False
-    )  # not persist(): see lsh_candidate_pairs
+    new_banded = banded(new_sigs).persist()  # r12 A/B: see lsh_candidate_pairs
     all_banded = banded(index_sigs).unionByName(new_banded)
     # equi-join on (band, key): the new side is the small batch, the
     # index side streams from storage — same slim-shuffle shape as the

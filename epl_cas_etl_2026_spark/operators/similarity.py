@@ -25,6 +25,7 @@ around them stays native and codegen'd.
 from __future__ import annotations
 
 import math
+import os
 import random
 
 from pyspark.sql import DataFrame
@@ -193,17 +194,21 @@ def band_lsh_pairs(
     )
     # One pass computes keys + normalized vectors; materialize so the
     # banded side and the verify side don't re-run the scan + matmul.
-    # (~n·(b keys + dim doubles) — tiny next to the input.) Lazy
-    # localCheckpoint, not persist(): the cached-plan path serializes
-    # concurrent consumer stages on cache-block locks and pins the
-    # cached subtree against AQE (r11 session-3 KMV measurement).
+    # (~n·(b keys + dim doubles) — tiny next to the input.) persist(),
+    # not localCheckpoint: the r12 per-callsite interleaved A/B at 32
+    # cores (verdict item 1) measured the r11 lazy-localCheckpoint swap
+    # as the LOSER here (embedding_lsh_auto_params 2.35/2.94 ckpt vs
+    # 1.47/1.65 persist min/med; near_dup_cosine 2.32/3.03 vs
+    # 2.00/2.53) — the serial consumer pattern of this frame never
+    # hits the KMV-style concurrent cache-block-lock case, and the
+    # checkpoint's extra write job + AQE pinning are pure cost.
     keyed = with_keys.withColumn(
         "__n", F.sqrt(dot(F.col("__v"), F.col("__v")))
     ).select(
         F.col(id_col),
         F.transform("__v", lambda x: x / F.col("__n")).alias("nv"),
         "__bands",
-    ).localCheckpoint(eager=False)
+    ).persist()
     banded = keyed.select(
         F.col(id_col), F.posexplode("__bands").alias("band", "key")
     )
@@ -288,7 +293,7 @@ def band_lsh_calibration_pairs(
                 "transform(__bands, k -> cast(conv(k, 2, 10) as bigint))"
             ).alias("bk"),
         )
-        .localCheckpoint(eager=False)  # not persist(): see band_lsh_pairs
+        .persist()  # r12 A/B: persist ≥ localCheckpoint here, see band_lsh_pairs
     )
     banded = keyed.select(
         F.col(id_col), F.posexplode("__bands").alias("band", "key")
@@ -1156,6 +1161,21 @@ def pq_adc_batch_serve(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # r12 NOTE (verdict item 4 — MEASURED AND DECLINED): two rewrites
+    # of this ADC core were built bit-identical (exact-equality
+    # verified on the full served frame incl. float adc_dist) and both
+    # LOST the interleaved 32-core A/B:
+    #   v2 — LUT pivoted to one Q-vector row per (sub_id, code), codes
+    #        join fan-out ×1 instead of ×Q, groupBy(id) with Q sum
+    #        columns: pq_batch_topk med 4.04->4.55 s, pq_index_serve
+    #        med 4.35->5.42 s (the pivot exchange + wide agg lose to
+    #        the codegen'd fan-out join, the wide-avg Lloyd-means
+    #        pathology again);
+    #   v3 — LUT as a driver-side literal (no join): med 3.7->7.0 and
+    #        4.6->8.5 s (2048-double literal trees per agg column
+    #        swamp codegen).
+    # The broadcast fan-out join + hash agg below stays (guide §1.1:
+    # empirical winner over the "ideal" plan).
     lut = (
         pq_subvectors(
             emb.filter(F.col(id_col).isin(qids)), dim, m, id_col, vec_col

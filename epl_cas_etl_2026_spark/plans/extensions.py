@@ -2432,7 +2432,12 @@ def embedding_dim_truncation_recall(
             .select("d", "qid", "vec_id")
         )
 
-    rk = _trunc_topk(sims).localCheckpoint(eager=False)  # ex + hits
+    # NO materialization (r12 A/B, verdict item 1): the two consumers
+    # (ex + hits) share identical subtrees, so ReuseExchange serves
+    # both from one execution; dropping the r11 lazy localCheckpoint
+    # measured 2.52/2.62 s (min/med) vs 2.75/4.44 s with it, and
+    # leaves AQE free to re-optimize the final join.
+    rk = _trunc_topk(sims)
     ex = rk.filter(F.col("d") == 64).select("qid", "vec_id")
     hits = rk.join(ex, ["qid", "vec_id"]).select("d", "qid")
     nq = q.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))

@@ -166,10 +166,11 @@ def docs_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.array_sort(F.expr(_SHINGLES)).alias("shs"),
         )
-        # lazy localCheckpoint, not persist(): the cached-plan path
-        # serializes concurrent consumer stages on cache-block locks
-        # (r11 session-3 KMV measurement)
-        .localCheckpoint(eager=False)
+        # persist(), not localCheckpoint: r12 per-callsite interleaved
+        # A/B at 32 cores (verdict item 1) — jaccard_prefix_join med
+        # 2.82 s persist vs 3.02 s ckpt; the KMV cache-lock case never
+        # reproduces on this serial consumer shape.
+        .persist()
     )
 
     toks = with_shs.select("doc_id", F.explode("shs").alias("sh"))
@@ -199,7 +200,7 @@ def docs_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rn") <= p1len).alias("is_p1"),
             (F.col("df") > _DF_CAP).alias("heavy"),
         )
-        .localCheckpoint(eager=False)  # consumed by all three branches
+        .persist()  # consumed by all three branches (r12 A/B: see above)
     )
 
     # --- LIGHT branch: df-capped single-token prefix join, with the

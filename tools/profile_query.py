@@ -1,10 +1,11 @@
 """Per-query optimization harness (round-11): for each named query,
 time the noop-sink materialization (min-of-N on the bench session) and
-dump `.explain("formatted")` to plans/r11/<query>_<tag>.txt.
+dump `.explain("formatted")` to plans/<outdir>/<query>_<tag>.txt.
 
 Usage:
     python tools/profile_query.py --queries a,b,c [--tag before]
         [--sf /root/testdata/sf0.1] [--runs 3] [--no-explain]
+        [--outdir r12]
 
 Explain is captured BEFORE timing (plan only, no execution cost); the
 timed runs use the same get_spark session bench.py uses, so numbers are
@@ -30,6 +31,7 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--no-explain", action="store_true")
     ap.add_argument("--warm-sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--outdir", default="r12")
     args = ap.parse_args()
 
     from epl_cas_etl_2026_spark import get_spark
@@ -39,7 +41,7 @@ def main() -> int:
     import gc
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(here, "plans", "r11")
+    outdir = os.path.join(here, "plans", args.outdir)
     os.makedirs(outdir, exist_ok=True)
 
     names = [n.strip() for n in args.queries.split(",") if n.strip()]
