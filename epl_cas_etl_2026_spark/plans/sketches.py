@@ -107,11 +107,15 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized: `exact` feeds both the sketch build and the probe
     # side; without it each branch re-scans the raw parquet
     # (plan-asserted single scan in tests/test_plan_audit.py). The
-    # frame is value-cardinality rows, not data-sized. Lazy
-    # localCheckpoint, not persist(): see the KMV note above.
+    # frame is value-cardinality rows, not data-sized. persist(), not
+    # localCheckpoint (r12): the consumers are serial (broadcast build
+    # then probe stream), so the KMV concurrent-cache-lock case never
+    # applies; interleaved A/B measured a wash (0.82/1.00 ckpt vs
+    # 0.79/1.07 persist min/med) and persist keeps the
+    # InMemoryTableScan shape the plan-audit test pins.
     exact = vals.groupBy("v").agg(
         F.count(F.lit(1)).cast("long").alias("exact_count")
-    ).localCheckpoint(eager=False)
+    ).persist()
     # cell(j, b) = Σ exact_count over values hashing to b — identical
     # to counting the exploded raw stream (the direct mergeable build
     # described above), but here the exact per-value counts already

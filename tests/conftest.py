@@ -49,6 +49,29 @@ _GATE_MODULES = {
     "test_bench_budgets",
     "test_dsir",
     "test_cc_oracle",
+    "test_r11_rewrites",
+    "test_r12_rewrites",
+    # round-12 expansion (verdict item 2): the gate tier is now the
+    # DEFAULT pytest selection (pytest.ini addopts), sized so the
+    # driver's verify window always completes — these additions are
+    # the fast operator/plan pins (~90 s extra at 8 cores, measured
+    # from the r12 full-run junit timings), keeping the default tier
+    # ≈3 min nominal / <10 min on a 2.5×-slow host window. The heavy
+    # tails (test_oracle_differential 635 s, test_properties 90 s,
+    # codec/streaming suites) stay in the once-per-round full run:
+    # `pytest -m "gate or not gate"`.
+    "test_retrieval",
+    "test_retrieval_eval",
+    "test_sketch_fingerprint",
+    "test_graph",
+    "test_setjoin_properties",
+    "test_decision_support",
+    "test_warehouse",
+    "test_enrich",
+    "test_substring_dedup",
+    "test_attribution_rag",
+    "test_pii_scrub",
+    "test_layout",
 }
 
 
