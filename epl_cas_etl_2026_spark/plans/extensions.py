@@ -35,7 +35,7 @@ from epl_cas_etl_2026_spark.operators.multimodal import (
     decode_image_meta,
     with_binary_payload,
 )
-from epl_cas_etl_2026_spark.sources.parquet import load_table
+from epl_cas_etl_2026_spark.sources.parquet import load_table, spread_scan
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -1218,7 +1218,10 @@ def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lineitem_moments_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread_scan (r12): six decimal(38) product aggregates over 600k
+    # rows on one scan split — interleaved A/B 1.84 → 1.45 s med;
+    # no-op at scale.
+    li = spread_scan(load_table(spark, sf_dir, "lineitem"))
     qc = F.floor(F.col("l_quantity") * 100 + 0.5).cast("decimal(38,0)")
     pc = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("decimal(38,0)")
     m = li.groupBy("l_returnflag").agg(
@@ -2432,11 +2435,12 @@ def embedding_dim_truncation_recall(
             .select("d", "qid", "vec_id")
         )
 
-    # NO materialization (r12 A/B, verdict item 1): the two consumers
-    # (ex + hits) share identical subtrees, so ReuseExchange serves
-    # both from one execution; dropping the r11 lazy localCheckpoint
-    # measured 2.52/2.62 s (min/med) vs 2.75/4.44 s with it, and
-    # leaves AQE free to re-optimize the final join.
+    # NO materialization (r12 A/B, verdict item 1): dropping the r11
+    # lazy localCheckpoint measured 2.52/2.62 s (min/med) interleaved
+    # vs 2.75/4.44 s with it and 2.62/2.80 s with persist — the two
+    # consumers (ex + hits) duplicate the window subtree in the static
+    # plan, but runtime exchange reuse + AQE staying free to plan the
+    # final join beat both materialization variants here.
     rk = _trunc_topk(sims)
     ex = rk.filter(F.col("d") == 64).select("qid", "vec_id")
     hits = rk.join(ex, ["qid", "vec_id"]).select("d", "qid")
@@ -8848,7 +8852,16 @@ def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle of candidates' docs instead of a gram-sized shuffle of
     # the whole corpus. Hash collisions can only ADD candidates, never
     # drop a real duplicate, so the string-confirm set is unchanged.
-    slim = docs.select(
+    # r12 (verdict item 3): the gram explode+hash is the query's single
+    # heaviest stage (phase-profiled at 2.1 s of the 4.5 s wall), and it
+    # runs at SCAN parallelism — one split on a small local file, so
+    # ~1.24M substr+xxhash64 ops serialized on one task. Spread ONLY
+    # when the scan is under-parallel (the band_lsh_pairs /
+    # minhash_signature_agg idiom): at scale the scan has plenty of
+    # splits and no exchange happens. Interleaved A/B: hash stage
+    # 2.11 → 0.42 s med; full query 4.70/4.86 → 3.17/3.60 s (min/med).
+    docs_spread = spread_scan(docs)
+    slim = docs_spread.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -9568,7 +9581,10 @@ _DSIR_K = 64
     """,
 )
 def docs_dsir_topk_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_scan (r12): the md5-per-word explode otherwise runs on the
+    # single scan split — interleaved A/B 1.77/2.18 → 1.47/2.05
+    # (min/med); no-op at scale.
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     words = docs.select(
         "doc_id",
         "lang",

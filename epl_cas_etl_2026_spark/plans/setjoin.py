@@ -81,7 +81,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from epl_cas_etl_2026_spark.sources.parquet import load_table
+from epl_cas_etl_2026_spark.sources.parquet import load_table, spread_scan
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -156,7 +156,11 @@ array_distinct(
     """,
 )
 def docs_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_scan (r12): the shingle build + array_sort per doc (and
+    # the persisted frame's partition count) otherwise ride the single
+    # scan split — interleaved A/B min 2.18 → 1.93 s (med wash, noisy
+    # window); no-op at scale.
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     with_shs = (
         docs.select(
             "doc_id",
